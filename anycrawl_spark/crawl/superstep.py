@@ -1,0 +1,518 @@
+"""The crawl superstep driver: BFS rounds over snapshot tables.
+
+Re-architecture of the reference's event-driven crawl loop (SURVEY §3.2 —
+BullMQ worker + Crawlee RequestQueue + Redis counters, reference:
+packages/scrape/src/Worker.ts, engines/Base.ts:314-457, managers/
+Progress.ts) as deterministic Spark supersteps:
+
+    per round r:
+      pending  -> politeness window -> budget window -> (host-hash, salted)
+               -> fetch (mapInPandas, simulated)  -> status classify (F7)
+      ok       -> extract spans/links (mapInPandas) -> documents append
+      links    -> posexplode -> canonicalize -> depth/scope/path/robots gates
+               -> intra-round first-wins dedup -> bloom+anti-join vs seen
+               -> discovery_seq assignment (window) -> frontier append
+      retries  -> attempt+1, next_eligible_round = r + 2^attempt
+      progress -> per-job aggregates -> finalize check -> snapshot commit
+
+Scale design (explicit, per north_rule):
+- The frontier snapshot holds PENDING rows only; terminal rows go to an
+  append-only ``frontier_log`` (lineage). The per-round rewrite is O(pending),
+  not O(all URLs ever seen) — at 10^10 URLs the pending set is the working
+  set, and in Iceberg this becomes a MERGE writing only changed files.
+- ``seen`` is append-only keys; dedup runs through sharded blooms
+  (operators/seen.py) so the exact anti-join sees only bloom-positives.
+- Fetch input is repartitioned by ``xxhash64(url)`` — this IS the salting:
+  after the politeness window has enforced per-host caps, fetch rows are
+  independent, so spreading a mega-host across partitions is free. The
+  politeness window itself partitions by (job, host); its skew at mega-host
+  scale is bounded because a host can contribute at most its pending rows,
+  and the window is rank-then-filter (no buffering of the full partition in
+  Python).
+- Determinism: every ordering is an explicit sort key (depth, discovery_seq,
+  link ordinal) — never partition iteration order. Same seeds => same crawl,
+  byte-identical tables, which the parity + resume tests assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from anycrawl_spark import synth
+from anycrawl_spark.crawl.fetcher import fetch
+from anycrawl_spark.crawl.params import CrawlParams, RETRYABLE_STATUSES
+from anycrawl_spark.operators.gates import (
+    make_job_gate,
+    make_robots_filter,
+    make_tokens_udf,
+    with_scope_keys,
+)
+from anycrawl_spark.operators.seen import filter_fresh
+from anycrawl_spark.operators.spans import extract
+from anycrawl_spark.functions.urls import canonicalize_url, url_host, with_url_key
+from anycrawl_spark.schemas import FRONTIER, JOBS, PROGRESS
+from anycrawl_spark.storage import SnapshotStore
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        jobs: list[dict],
+        robots: list[dict],
+        params: CrawlParams | None = None,
+        web: synth.WebConfig = synth.DEFAULT_WEB,
+        num_buckets: int = 32,
+        fetch_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.store = SnapshotStore(workdir, spark)
+        self.jobs = jobs
+        self.params = params or CrawlParams()
+        self.web = web
+        self.num_buckets = num_buckets
+        self.fetch_partitions = fetch_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        # small driver-side policy state (broadcast-sized; jobs dim, J3)
+        self.robots_by_host: dict[str, list[tuple[str, str]]] = {}
+        self.host_delays: dict[str, int] = {}
+        for r in robots:
+            self.robots_by_host.setdefault(r["host"], []).append(
+                (r["rule"], r["path_prefix"])
+            )
+            if r.get("crawl_delay_ms"):
+                self.host_delays[r["host"]] = max(
+                    self.host_delays.get(r["host"], 0), r["crawl_delay_ms"]
+                )
+        self._robots_udf = make_robots_filter(self.robots_by_host)
+        self._job_gate = make_job_gate(jobs)
+        self.max_depth_by_job = {j["job_id"]: j["max_depth"] for j in jobs}
+        self.limit_by_job = {j["job_id"]: j["limit"] for j in jobs}
+        # mutable per-job counters (recovered from progress on resume)
+        self.done: dict[str, int] = {}
+        self.enqueued: dict[str, int] = {}
+        self.succeeded: dict[str, int] = {}
+        self.failed: dict[str, int] = {}
+        self.next_seq: dict[str, int] = {}
+        self.pending: dict[str, int] = {}   # frontier pending-row count per job
+        self.finalized: set[str] = set()
+        self.round_stats: list[dict] = []
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self) -> None:
+        """Seed the frontier/seen tables (round -1 commit)."""
+        rows = []
+        seen_rows = []
+        for j in self.jobs:
+            jid = j["job_id"]
+            self.done[jid] = 0
+            self.succeeded[jid] = 0
+            self.failed[jid] = 0
+            seed = canonicalize_url(j["seed_url"])
+            ok = seed is not None and self._robots_ok_driver(seed)
+            if ok:
+                rows.append(
+                    (jid, seed, None, url_host(seed), 0, 0, None, 0,
+                     "pending", 0, 0, 0.0)
+                )
+                seen_rows.append((jid, seed))
+                self.enqueued[jid] = 1
+                self.next_seq[jid] = 1
+                self.pending[jid] = 1
+            else:
+                self.enqueued[jid] = 0
+                self.next_seq[jid] = 0
+                self.pending[jid] = 0
+                self.finalized.add(jid)
+        frontier = self.spark.createDataFrame(rows, FRONTIER)
+        # url_hash is always assigned JVM-side for consistency
+        frontier = frontier.withColumn("url_hash", F.xxhash64("url"))
+        self.store.write("frontier", frontier)
+        seen = self.spark.createDataFrame(seen_rows, "job_id string, url string")
+        seen = seen.select(
+            "job_id", F.xxhash64("url").alias("url_hash"), F.lit(-1).alias("first_round")
+        )
+        self.store.append("seen", seen)
+        jobs_df = self.spark.createDataFrame(
+            [tuple(j[f.name] for f in JOBS.fields) for j in self.jobs], JOBS
+        )
+        self.store.write("jobs", jobs_df)
+        # round -1 progress baseline so resume() recovers init-time state
+        self.store.append(
+            "progress",
+            self.spark.createDataFrame(
+                [
+                    (j["job_id"], -1, self.enqueued[j["job_id"]], 0, 0, 0,
+                     j["job_id"] in self.finalized, self.next_seq[j["job_id"]])
+                    for j in self.jobs
+                ],
+                PROGRESS,
+            ),
+        )
+        self.store.commit_round(-1)
+
+    def _robots_ok_driver(self, url: str) -> bool:
+        from anycrawl_spark.crawl.params import robots_decision
+
+        host = url_host(url)
+        rules = self.robots_by_host.get(host)
+        if not rules:
+            return True
+        path = url.split(host, 1)[1] if host and host in url else "/"
+        return robots_decision(rules, path)
+
+    # ---------------------------------------------------------------- resume
+
+    def resume(self) -> int:
+        """Recover driver counters from the last committed round; return the
+        next round number to run (north_rule: resumable from snapshots)."""
+        self.store.rollback_to_committed()
+        last = self.store.last_round
+        prog = self.store.read_appends("progress")
+        for j in self.jobs:
+            jid = j["job_id"]
+            self.done[jid] = 0
+            self.enqueued[jid] = 0
+            self.succeeded[jid] = 0
+            self.failed[jid] = 0
+            self.next_seq[jid] = 0
+            self.pending[jid] = 0
+        if prog is not None:
+            w = Window.partitionBy("job_id").orderBy(F.col("round").desc())
+            latest = (
+                prog.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .collect()
+            )
+            for r in latest:
+                self.done[r.job_id] = r.done
+                self.enqueued[r.job_id] = r.enqueued
+                self.succeeded[r.job_id] = r.succeeded
+                self.failed[r.job_id] = r.failed
+                self.next_seq[r.job_id] = r.next_seq
+                if r.finalized:
+                    self.finalized.add(r.job_id)
+        # pending counts recovered from the frontier snapshot itself
+        for r in (
+            self.store.read("frontier").groupBy("job_id").count().collect()
+        ):
+            self.pending[r.job_id] = r["count"]
+        return last + 1
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, max_rounds: int | None = None) -> None:
+        start = self.store.last_round + 1
+        limit_rounds = max_rounds if max_rounds is not None else self.params.max_rounds
+        for r in range(start, start + limit_rounds):
+            if len(self.finalized) == len(self.jobs):
+                break
+            self.run_round(r)
+
+    def run_round(self, rnd: int) -> dict:
+        frontier = self.store.read("frontier")  # pending rows only
+        active = [j["job_id"] for j in self.jobs if j["job_id"] not in self.finalized]
+        remaining = {
+            jid: max(0, self.limit_by_job[jid] - self.done.get(jid, 0)) for jid in active
+        }
+        # Flag-based scheduling: one pass, two windows, zero self-joins.
+        #   _eligible: pending + backoff elapsed + job active
+        #   politeness: rank within (job, host) by (depth, seq) <= host tokens
+        #   budget:     rank within job over politeness-passing rows <= remaining
+        # The budget window orders by (_pass1 desc, depth, seq): non-passing
+        # rows sort last, so passing rows get ranks 1..n exactly — the same
+        # greedy order as the reference simulator.
+        tokens_for = make_tokens_udf(self.host_delays, self.params)
+        remaining_map = (
+            F.create_map(*[F.lit(x) for kv in remaining.items() for x in kv])
+            if remaining
+            else F.create_map()
+        )
+        # ineligible (backoff) rows must sort last so eligible rows get dense
+        # ranks 1..n within each window
+        w_host = Window.partitionBy("job_id", "host").orderBy(
+            F.col("_eligible").desc(), F.col("depth").asc(), F.col("discovery_seq").asc()
+        )
+        w_budget = Window.partitionBy("job_id").orderBy(
+            F.col("_pass1").desc(), F.col("depth").asc(), F.col("discovery_seq").asc()
+        )
+        flagged = (
+            frontier.withColumn(
+                "_eligible",
+                (F.col("status") == "pending")
+                & (F.col("next_eligible_round") <= rnd)
+                & F.col("job_id").isin(active),
+            )
+            .withColumn(
+                "_host_rank",
+                F.when(F.col("_eligible"), F.row_number().over(w_host)),
+            )
+            .withColumn(
+                "_pass1",
+                F.col("_eligible") & (F.col("_host_rank") <= tokens_for(F.col("host"))),
+            )
+            .withColumn("_budget_rank", F.row_number().over(w_budget))
+            .withColumn(
+                "_sched",
+                F.col("_pass1")
+                & (F.col("_budget_rank") <= F.coalesce(remaining_map[F.col("job_id")], F.lit(0))),
+            )
+            .persist()
+        )
+        frontier_cols = [f.name for f in FRONTIER.fields]
+        sched = flagged.filter(F.col("_sched")).select(*frontier_cols)
+        # deferred + eligible-but-capped rows stay pending unchanged
+        not_sched = flagged.filter(~F.col("_sched")).select(*frontier_cols)
+
+        # --- fetch: salt/spread by url hash (politeness already enforced) ---
+        sched = sched.repartition(
+            self.fetch_partitions, F.pmod(F.col("url_hash"), F.lit(self.fetch_partitions))
+        )
+        fetched = fetch(sched, self.web).persist()
+
+        ok = fetched.filter(F.col("status_code") == 200)
+        retryable = fetched.filter(
+            F.col("status_code").isin(list(RETRYABLE_STATUSES))
+            & (F.col("attempt") + 1 < self.params.max_attempts)
+        )
+        dead = fetched.filter(
+            (F.col("status_code") != 200)
+            & ~(
+                F.col("status_code").isin(list(RETRYABLE_STATUSES))
+                & (F.col("attempt") + 1 < self.params.max_attempts)
+            )
+        )
+
+        docs = extract(ok).persist()
+
+        # --- documents + metrics appends -----------------------------------
+        self.store.append(
+            "documents",
+            docs.select(
+                "job_id",
+                F.concat(F.lit("doc_"), F.conv(F.abs(F.col("url_hash")).cast("string"), 10, 16)).alias("doc_id"),
+                "url", "url_hash", "host", "depth",
+                F.lit(rnd).alias("round"),
+                "status_code", "title", "markdown", "spans",
+                F.size("links").alias("n_links"),
+            ),
+        )
+        self.store.append(
+            "metrics",
+            fetched.select(
+                "job_id", F.lit(rnd).alias("round"), "url_hash", "host",
+                "status_code", "latency_ms", "size_bytes",
+            ),
+        )
+
+        # --- link expansion -> candidates ----------------------------------
+        seen = self.store.read_appends("seen")
+        links = docs.select(
+            "job_id",
+            F.col("depth").alias("parent_depth"),
+            F.col("discovery_seq").alias("parent_seq"),
+            F.col("url_hash").alias("parent_url_hash"),
+            F.posexplode("links").alias("ordinal", "url"),
+        )
+        max_depth_map = F.create_map(
+            *[F.lit(x) for kv in self.max_depth_by_job.items() for x in kv]
+        )
+        cand = (
+            with_url_key(links)  # canonicalize + url_hash + host (drops invalid)
+            .withColumn("depth", F.col("parent_depth") + 1)
+            .filter(F.col("depth") <= max_depth_map[F.col("job_id")])
+        )
+        cand = with_scope_keys(cand)
+        cand = cand.filter(
+            self._job_gate(
+                F.col("job_id"), F.col("url"), F.col("host"),
+                F.col("_domain"), F.col("_origin"),
+            )
+        ).drop("_domain", "_origin")
+        cand = cand.filter(self._robots_udf(F.col("host"), F.col("url")))
+
+        # intra-round first-wins dedup: min (parent_depth, parent_seq, ordinal)
+        w_first = Window.partitionBy("job_id", "url_hash").orderBy(
+            "parent_depth", "parent_seq", "ordinal"
+        )
+        cand = cand.withColumn("_rn", F.row_number().over(w_first)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+
+        fresh = filter_fresh(cand, seen, self.num_buckets)
+
+        # --- discovery_seq assignment (deterministic BFS ordinal) ----------
+        base_seq_map = F.create_map(
+            *[F.lit(x) for kv in self.next_seq.items() for x in kv]
+        )
+        w_seq = Window.partitionBy("job_id").orderBy(
+            "parent_depth", "parent_seq", "ordinal"
+        )
+        fresh = fresh.withColumn(
+            "discovery_seq",
+            F.row_number().over(w_seq) - 1 + base_seq_map[F.col("job_id")],
+        ).persist()
+
+        fresh_frontier = fresh.select(
+            "job_id", "url", "url_hash", "host", "depth", "discovery_seq",
+            "parent_url_hash",
+            F.lit(rnd).alias("round_added"),
+            F.lit("pending").alias("status"),
+            F.lit(0).alias("attempt"),
+            F.lit(0).alias("next_eligible_round"),
+            F.lit(0.0).alias("priority"),
+        )
+
+        retry_rows = retryable.select(
+            "job_id", "url", "url_hash", "host", "depth", "discovery_seq",
+            "parent_url_hash", "round_added",
+            F.lit("pending").alias("status"),
+            (F.col("attempt") + 1).alias("attempt"),
+            (F.lit(rnd) + F.pow(F.lit(2), F.col("attempt") + 1).cast("int")).alias(
+                "next_eligible_round"
+            ),
+            "priority",
+        )
+
+        next_frontier = (
+            not_sched
+            .unionByName(retry_rows.select(*frontier_cols))
+            .unionByName(fresh_frontier.select(*frontier_cols))
+        ).persist()
+
+        # --- terminal log + seen append ------------------------------------
+        terminal = ok.select(
+            *[c for c in frontier_cols if c != "status"],
+            F.lit("fetched").alias("status"),
+        ).unionByName(
+            dead.select(
+                *[c for c in frontier_cols if c != "status"],
+                F.lit("failed").alias("status"),
+            )
+        )
+        self.store.append("frontier_log", terminal.select(*frontier_cols))
+        self.store.append(
+            "seen",
+            fresh.select(
+                "job_id", "url_hash", F.lit(rnd).alias("first_round")
+            ),
+        )
+
+        # --- per-job aggregates -> driver counters -------------------------
+        agg = {
+            (r_.job_id, r_.k): r_.c
+            for r_ in fetched.withColumn(
+                "k",
+                F.when(F.col("status_code") == 200, "ok")
+                .when(
+                    F.col("status_code").isin(list(RETRYABLE_STATUSES))
+                    & (F.col("attempt") + 1 < self.params.max_attempts),
+                    "retry",
+                )
+                .otherwise("dead"),
+            )
+            .groupBy("job_id", "k")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        fresh_counts = {
+            r_.job_id: r_.c
+            for r_ in fresh.groupBy("job_id").agg(F.count("*").alias("c")).collect()
+        }
+
+        progress_rows = []
+        sched_total = 0
+        for jid in active:
+            n_ok = agg.get((jid, "ok"), 0)
+            n_dead = agg.get((jid, "dead"), 0)
+            n_retry = agg.get((jid, "retry"), 0)
+            sched_total += n_ok + n_dead + n_retry
+            n_fresh = fresh_counts.get(jid, 0)
+            self.done[jid] += n_ok + n_dead
+            self.succeeded[jid] += n_ok
+            self.failed[jid] += n_dead
+            self.enqueued[jid] += n_fresh
+            self.next_seq[jid] += n_fresh
+            # pending' = pending - terminal(ok+dead) + fresh  (retries stay)
+            self.pending[jid] = self.pending.get(jid, 0) - n_ok - n_dead + n_fresh
+            if self.done[jid] >= self.limit_by_job[jid] or self.pending[jid] == 0:
+                self.finalized.add(jid)
+            progress_rows.append(
+                (jid, rnd, self.enqueued[jid], self.done[jid], self.succeeded[jid],
+                 self.failed[jid], jid in self.finalized, self.next_seq[jid])
+            )
+
+        # finalized jobs' leftover pending rows become 'skipped' in the log
+        nf_cached = next_frontier
+        if self.finalized:
+            leftovers = next_frontier.filter(F.col("job_id").isin(list(self.finalized)))
+            next_frontier = next_frontier.filter(
+                ~F.col("job_id").isin(list(self.finalized))
+            )
+            self.store.append(
+                "frontier_log",
+                leftovers.withColumn("status", F.lit("skipped")).select(*frontier_cols),
+            )
+
+        self.store.write("frontier", next_frontier)
+        self.store.append(
+            "progress", self.spark.createDataFrame(progress_rows, PROGRESS)
+        )
+        self.store.commit_round(rnd)
+        stats = {
+            "round": rnd,
+            "scheduled": sched_total,
+            "fresh": sum(fresh_counts.values()),
+            "active_jobs": len(active),
+        }
+        self.round_stats.append(stats)
+        flagged.unpersist()
+        fetched.unpersist()
+        docs.unpersist()
+        fresh.unpersist()
+        nf_cached.unpersist()
+        return stats
+
+    # -------------------------------------------------------------- outputs
+
+    def seen_sets(self) -> dict[str, set]:
+        """job_id -> set of canonical urls ever admitted (for parity tests)."""
+        log = self.store.read_appends("frontier_log")
+        frontier = self.store.read("frontier")
+        dfs = [frontier.select("job_id", "url")]
+        if log is not None:
+            dfs.append(log.select("job_id", "url"))
+        allrows = dfs[0]
+        for d in dfs[1:]:
+            allrows = allrows.unionByName(d)
+        out: dict[str, set] = {j["job_id"]: set() for j in self.jobs}
+        for r in allrows.distinct().collect():
+            out[r.job_id].add(r.url)
+        return out
+
+    def discovery(self) -> dict[str, dict]:
+        """job_id -> {url: (depth, discovery_seq)}."""
+        log = self.store.read_appends("frontier_log")
+        frontier = self.store.read("frontier")
+        allrows = frontier.select("job_id", "url", "depth", "discovery_seq")
+        if log is not None:
+            allrows = allrows.unionByName(
+                log.select("job_id", "url", "depth", "discovery_seq")
+            )
+        out: dict[str, dict] = {j["job_id"]: {} for j in self.jobs}
+        for r in allrows.distinct().collect():
+            out[r.job_id][r.url] = (r.depth, r.discovery_seq)
+        return out
+
+    def terminal_status(self) -> dict[str, dict]:
+        log = self.store.read_appends("frontier_log")
+        out: dict[str, dict] = {j["job_id"]: {} for j in self.jobs}
+        if log is None:
+            return out
+        for r in log.filter(F.col("status").isin("fetched", "failed")).collect():
+            out[r.job_id][r.url] = r.status
+        return out

@@ -1,0 +1,166 @@
+"""Scheduling + candidate gates: politeness, budget, robots, scope, paths.
+
+Spark face of the policy in ``crawl/params.py``; each gate is a window or a
+vectorized predicate (SURVEY §2.2, §4.2):
+
+- politeness (per-host token bucket): ``row_number`` over (job_id, host)
+  ordered by (depth, discovery_seq), capped at the host's tokens. New
+  functionality required by north_rule (reference has none — its only
+  host-level behavior is the 403 10s penalty wait, Base.ts:608-609).
+- budget (job page limit): ``row_number`` over job_id ordered by
+  (depth, discovery_seq), capped at limit - done (reference pre-nav abort at
+  done>=limit, EngineConfigurator.ts:62-136). Applied AFTER politeness so
+  host-deferred rows don't consume budget — matches the simulator.
+- robots allow/deny: longest-prefix match against a per-host rule dict,
+  vectorized in a pandas UDF over (host, path) (J6 — absent in reference).
+- scope filter F3 (all/same-domain/same-hostname/same-origin) vs the job's
+  seed scope keys (reference: Crawlee EnqueueStrategy, Base.ts:384-387).
+- include/exclude path filter F1 (glob + /re/ compiled per job on the driver,
+  matched vectorized; reference: Base.ts:339-379).
+
+All job-level metadata (limits, strategies, compiled patterns) rides inside
+UDF closures / literal maps — the jobs dim is tiny vs the frontier (a
+broadcast join in spirit; reference analog J3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anycrawl_spark.crawl.params import CrawlParams, robots_decision
+from anycrawl_spark.functions.patterns import compile_patterns, url_passes
+from anycrawl_spark.functions.urls import (
+    registrable_domain_udf,
+    origin_udf,
+)
+
+_SCHED_ORDER = ["depth", "discovery_seq"]  # asc; unique per job
+
+
+def make_tokens_udf(host_delays: dict[str, int], params: CrawlParams):
+    """Vectorized per-host politeness token lookup."""
+    delays = dict(host_delays)
+
+    @F.pandas_udf(T.IntegerType())
+    def tokens_for(host: pd.Series) -> pd.Series:
+        return host.map(lambda h: params.host_tokens(delays.get(h)))
+
+    return tokens_for
+
+
+def apply_politeness(pending: DataFrame, host_delays: dict[str, int], params: CrawlParams) -> DataFrame:
+    """Keep at most host_tokens rows per (job, host), lowest (depth, seq) first."""
+    delays = dict(host_delays)
+    default_tokens = params.default_host_tokens
+
+    @F.pandas_udf(T.IntegerType())
+    def tokens_for(host: pd.Series) -> pd.Series:
+        return host.map(
+            lambda h: params.host_tokens(delays.get(h)) if delays.get(h) else default_tokens
+        )
+
+    w = Window.partitionBy("job_id", "host").orderBy(*_SCHED_ORDER)
+    return (
+        pending.withColumn("_host_rank", F.row_number().over(w))
+        .withColumn("_tokens", tokens_for(F.col("host")))
+        .filter(F.col("_host_rank") <= F.col("_tokens"))
+        .drop("_host_rank", "_tokens")
+    )
+
+
+def apply_budget(pending: DataFrame, remaining_by_job: dict[str, int]) -> DataFrame:
+    """Keep at most remaining[job] rows per job, lowest (depth, seq) first."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in remaining_by_job.items() for x in kv]
+    ) if remaining_by_job else F.create_map()
+    w = Window.partitionBy("job_id").orderBy(*_SCHED_ORDER)
+    return (
+        pending.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_remaining", mapping[F.col("job_id")])
+        .filter(F.col("_rank") <= F.coalesce(F.col("_remaining"), F.lit(0)))
+        .drop("_rank", "_remaining")
+    )
+
+
+def make_robots_filter(robots_rules_by_host: dict[str, list[tuple[str, str]]]):
+    """Vectorized robots allow/deny on (host, url). Allowed when host unknown."""
+    rules = {h: list(rs) for h, rs in robots_rules_by_host.items()}
+
+    @F.pandas_udf(T.BooleanType())
+    def robots_allowed(host: pd.Series, url: pd.Series) -> pd.Series:
+        out = []
+        for h, u in zip(host, url):
+            rs = rules.get(h)
+            if not rs:
+                out.append(True)
+                continue
+            path = u.split(h, 1)[1] if (h and h in u) else "/"
+            out.append(robots_decision(rs, path))
+        return pd.Series(out)
+
+    return robots_allowed
+
+
+def make_job_gate(jobs: list[dict]):
+    """Vectorized per-job candidate gate: scope keys + path patterns.
+
+    Returns (udf, needed_cols): call as udf(job_id, url, host, domain, origin).
+    """
+    meta = {}
+    for j in jobs:
+        meta[j["job_id"]] = {
+            "strategy": j["strategy"],
+            "include": compile_patterns(j.get("include_paths")),
+            "exclude": compile_patterns(j.get("exclude_paths")),
+            "seed_host": None,
+            "seed_domain": None,
+            "seed_origin": None,
+        }
+    # seed scope keys, computed once on the driver
+    from anycrawl_spark.functions.urls import (
+        canonicalize_url, url_host, url_origin, registrable_domain,
+    )
+
+    for j in jobs:
+        seed = canonicalize_url(j["seed_url"])
+        m = meta[j["job_id"]]
+        if seed:
+            m["seed_host"] = url_host(seed)
+            m["seed_domain"] = registrable_domain(m["seed_host"])
+            m["seed_origin"] = url_origin(seed)
+
+    @F.pandas_udf(T.BooleanType())
+    def job_gate(
+        job_id: pd.Series, url: pd.Series, host: pd.Series,
+        domain: pd.Series, origin: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for jid, u, h, d, o in zip(job_id, url, host, domain, origin):
+            m = meta.get(jid)
+            if m is None:
+                out.append(False)
+                continue
+            s = m["strategy"]
+            if s == "same-hostname":
+                ok = h == m["seed_host"]
+            elif s == "same-origin":
+                ok = o == m["seed_origin"]
+            elif s == "all":
+                ok = True
+            else:  # same-domain (reference default)
+                ok = d == m["seed_domain"]
+            if ok:
+                ok = url_passes(u, m["include"], m["exclude"])
+            out.append(bool(ok))
+        return pd.Series(out)
+
+    return job_gate
+
+
+def with_scope_keys(df: DataFrame) -> DataFrame:
+    return df.withColumn("_domain", registrable_domain_udf(F.col("host"))).withColumn(
+        "_origin", origin_udf(F.col("url"))
+    )

@@ -1,0 +1,151 @@
+"""URL-seen filter: partitioned bloom shards + exact anti-join (SURVEY §2.3 J1).
+
+The reference dedups inside Crawlee's RequestQueueV2 on
+``${jobId}-${computeUniqueKey(url)}`` (reference: packages/scrape/src/engines/
+Base.ts:413-441). At 10^10 seen keys a bare ``left_anti`` join shuffles the
+full candidate set against the full seen table every round; this module adds
+the scale path mandated by north_rule ("partitioned bloom/cuckoo URL-seen
+filter"):
+
+1. ``seen`` is hash-bucketed on ``pmod(dedup_hash, num_buckets)``; each bucket
+   builds one bloom bitmap (numpy, vectorized) via ``applyInPandas`` — one
+   binary row per bucket, ~1.2 bytes/key at 10 bits/key (fpp ~1%).
+2. Candidates (bucketed the same way) join the shard table ON THE BUCKET KEY —
+   co-partitioned, so each shard travels once to where its candidates are;
+   nothing resembling a 12 GB broadcast at 10^10 scale. Locally Catalyst
+   broadcasts the (tiny) shard table, which is also right.
+3. ``might_contain`` (pandas UDF, numpy bit probe) splits candidates:
+   bloom-negative => definitively fresh (no false negatives, no join needed);
+   bloom-positive (true dups + ~1% FP) => exact ``left_anti`` against seen.
+
+Net effect at scale: the expensive anti-join sees only (dup_rate + 1%) of
+candidates instead of all of them. Shards rebuild incrementally per round from
+the bucket's keys (at production scale: maintained as an Iceberg table of
+binary rows, merged per round — rebuild cost is proportional to bucket size,
+amortized by only rebuilding dirtied buckets).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOOM_K = 7            # hash probes per key (optimal for ~10 bits/key)
+BITS_PER_KEY = 10      # ~1% fpp
+DEFAULT_BUCKETS = 32   # local test default; 4096 at 10^10 scale
+
+SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_keys", T.LongType()),
+        T.StructField("bloom", T.BinaryType()),
+    ]
+)
+
+
+def with_dedup_key(df: DataFrame, num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Attach the composite per-job dedup hash + its shard bucket.
+
+    ``dedup_hash = xxhash64(job_id, url_hash)`` — JVM-side, mirrors the
+    reference's jobId-scoped uniqueKey (Base.ts:420).
+    """
+    return df.withColumn("dedup_hash", F.xxhash64("job_id", "url_hash")).withColumn(
+        "bucket", F.pmod(F.col("dedup_hash"), F.lit(num_buckets)).cast("int")
+    )
+
+
+def _bloom_params(n_keys: int) -> int:
+    m_bits = max(1024, n_keys * BITS_PER_KEY)
+    return (m_bits + 63) // 64 * 64
+
+
+def _bit_positions(hashes: np.ndarray, m_bits: int) -> Iterator[np.ndarray]:
+    """Double hashing: pos_i = (h1 + i*h2) mod m, vectorized over all keys."""
+    h = hashes.astype(np.uint64)
+    h1 = h % np.uint64(m_bits)
+    h2 = (h >> np.uint64(17) | np.uint64(1)) % np.uint64(m_bits)
+    for i in range(BLOOM_K):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    hashes = pdf["dedup_hash"].to_numpy()
+    m_bits = _bloom_params(len(hashes))
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for pos in _bit_positions(hashes, m_bits):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return pd.DataFrame(
+        {
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "n_keys": [len(hashes)],
+            "bloom": [bits.tobytes()],
+        }
+    )
+
+
+def build_bloom_shards(seen_keyed: DataFrame) -> DataFrame:
+    """seen rows (with dedup_hash+bucket) -> one bloom row per bucket."""
+    return (
+        seen_keyed.select("bucket", "dedup_hash")
+        .groupBy("bucket")
+        .applyInPandas(_build_shard, schema=SHARD_SCHEMA)
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def _might_contain(bloom: pd.Series, dedup_hash: pd.Series) -> pd.Series:
+    out = np.ones(len(bloom), dtype=bool)
+    # group by identical shard bytes (one per bucket per batch) to stay vectorized
+    groups: dict[int, list[int]] = {}
+    keys = dedup_hash.to_numpy()
+    for idx, blob in enumerate(bloom):
+        if blob is None:
+            out[idx] = False  # no shard for this bucket => nothing seen there
+            continue
+        groups.setdefault(id(blob), []).append(idx)
+    for idxs in groups.values():
+        blob = bloom.iloc[idxs[0]]
+        if blob is None:
+            continue
+        bits = np.frombuffer(blob, dtype=np.uint8)
+        m_bits = len(bits) * 8
+        hs = keys[idxs]
+        hit = np.ones(len(idxs), dtype=bool)
+        for pos in _bit_positions(hs, m_bits):
+            hit &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        out[idxs] = hit
+    return pd.Series(out)
+
+
+def filter_fresh(
+    candidates: DataFrame,
+    seen: DataFrame,
+    num_buckets: int = DEFAULT_BUCKETS,
+    use_bloom: bool = True,
+) -> DataFrame:
+    """Return candidate rows whose (job_id, url_hash) is NOT in ``seen``.
+
+    ``candidates``/``seen`` must carry job_id + url_hash. Output preserves
+    candidate columns (minus helper keys).
+    """
+    cand = with_dedup_key(candidates, num_buckets)
+    drop_cols = ("dedup_hash", "bucket")
+    if not use_bloom:
+        fresh = cand.join(seen.select("job_id", "url_hash"), ["job_id", "url_hash"], "left_anti")
+        return fresh.drop(*drop_cols)
+    seen_keyed = with_dedup_key(seen.select("job_id", "url_hash"), num_buckets)
+    shards = build_bloom_shards(seen_keyed)
+    probed = cand.join(shards, "bucket", "left").withColumn(
+        "maybe_seen", _might_contain(F.col("bloom"), F.col("dedup_hash"))
+    )
+    definitely_fresh = probed.filter(~F.col("maybe_seen"))
+    needs_exact = probed.filter(F.col("maybe_seen")).join(
+        seen.select("job_id", "url_hash"), ["job_id", "url_hash"], "left_anti"
+    )
+    result = definitely_fresh.unionByName(needs_exact)
+    return result.drop("maybe_seen", "bloom", "n_keys", *drop_cols)

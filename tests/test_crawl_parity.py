@@ -1,0 +1,89 @@
+"""Crawl-loop parity: Spark superstep engine vs the pure-Python reference
+simulator on the deterministic synthetic web (north_rule gate: same crawl
+ordering + URL-seen set under the same seed list and politeness budget).
+
+The two implementations share only the policy module (crawl/params.py) and the
+URL kernel; frontier management, dedup, scheduling windows and seq assignment
+are implemented independently (sequential loop vs DataFrame windows)."""
+
+import shutil
+
+import pytest
+
+from anycrawl_spark import synth
+from anycrawl_spark.crawl.params import CrawlParams
+from anycrawl_spark.crawl.simulator import ReferenceSimulator
+from anycrawl_spark.crawl.superstep import CrawlEngine
+
+
+@pytest.fixture(scope="module")
+def parity_run(spark, tmp_path_factory):
+    jobs = [dict(j, limit=40) for j in synth.seed_jobs(3)]
+    # exercise path filters on one job
+    jobs[1] = dict(jobs[1], include_paths=["**/p/**", "/\\/p\\/\\d+$/"], exclude_paths=["**/p/7"])
+    robots = synth.robots_rules()
+    params = CrawlParams(max_rounds=40)
+
+    sim = ReferenceSimulator(jobs, robots, params)
+    sim.run()
+
+    wd = str(tmp_path_factory.mktemp("crawl"))
+    eng = CrawlEngine(spark, wd, jobs, robots, params, num_buckets=8)
+    eng.init_state()
+    eng.run()
+    yield sim, eng
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_seen_set_equality(parity_run):
+    sim, eng = parity_run
+    s, r = eng.seen_sets(), sim.seen_sets()
+    for jid in r:
+        assert s[jid] == r[jid], f"{jid}: seen-set mismatch"
+        assert len(s[jid]) > 5  # non-trivial crawl
+
+
+def test_crawl_order_equality(parity_run):
+    """(depth, discovery_seq) per URL — the BFS ordering invariant (O1)."""
+    sim, eng = parity_run
+    s, r = eng.discovery(), sim.discovery()
+    for jid in r:
+        assert s[jid] == r[jid], f"{jid}: discovery order mismatch"
+
+
+def test_terminal_status_equality(parity_run):
+    sim, eng = parity_run
+    s, r = eng.terminal_status(), sim.terminal_status()
+    for jid in r:
+        assert s[jid] == r[jid]
+
+
+def test_progress_counters(parity_run):
+    sim, eng = parity_run
+    for jid, st in sim.states.items():
+        assert eng.done[jid] == st.done
+        assert eng.succeeded[jid] == st.succeeded
+        assert eng.failed[jid] == st.failed
+        assert eng.enqueued[jid] == st.enqueued
+        assert jid in eng.finalized
+
+
+def test_limit_respected(parity_run):
+    _, eng = parity_run
+    for j in eng.jobs:
+        assert eng.done[j["job_id"]] <= j["limit"]
+
+
+def test_robots_gating(parity_run):
+    """No fetched URL may violate a disallow rule."""
+    sim, eng = parity_run
+    from anycrawl_spark.crawl.params import robots_decision
+    from anycrawl_spark.functions.urls import url_host
+
+    for jid, statuses in eng.terminal_status().items():
+        for url in statuses:
+            host = url_host(url)
+            rules = eng.robots_by_host.get(host)
+            if rules:
+                path = url.split(host, 1)[1]
+                assert robots_decision(rules, path), f"robots violation: {url}"
