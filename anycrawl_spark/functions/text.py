@@ -1,0 +1,103 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All of these are pure ``pyspark.sql.functions`` column math (JVM-side,
+whole-stage-codegen'd — no Python in the hot path), so they run at 100 TB scan
+speed and are exactly mirrorable in the DuckDB oracle SQL
+(``anycrawl_spark/queries.py``).
+
+Ops: token counting (whitespace model), quality scoring (length/punctuation/
+stopword ratios), language ID (stopword-hit heuristic over small embedded
+lists), document fingerprinting (content hash + shingle sketch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small embedded stopword samples per language (heuristic lang-id only).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"],
+}
+
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace token array (empty-string elements removed)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    kept = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return kept / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] doc-quality score: rewards mid-length docs and a sane
+    punctuation rate, penalizes stopword-free (keyword-stuffed) text.
+
+    score = 0.4*len_term + 0.3*stop_term + 0.3*punct_term
+    """
+    n = token_count(text).cast("double")
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 10.0, F.lit(1.0))
+    return F.round(0.4 * len_term + 0.3 * stop_term + 0.3 * punct_term, 4)
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword hits; 'und' (undetermined) when all
+    zero. Deterministic tie-break: alphabetical language order wins."""
+    hits = {lg: lang_hits(text, lg) for lg in sorted(STOPWORDS)}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build reversed so earlier (alphabetical) langs take precedence
+    for lg in sorted(STOPWORDS, reverse=True):
+        expr = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+
+    md5 (not xxhash64) so the DuckDB oracle computes the identical value.
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings ('w1 w2 w3'), distinct."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        )
+    )

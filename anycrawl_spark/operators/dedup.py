@@ -1,0 +1,175 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Four families, each scale-designed:
+
+- **exact**: md5-fingerprint groupBy, keep min doc_id. One shuffle on the
+  16-byte hash; at 100 TB the shuffle carries (hash, doc_id) only — never the
+  text (project before shuffle).
+- **MinHash + LSH**: shingle -> per-seed min of md5(seed||shingle) -> band the
+  signature -> join on (band, band_hash) -> candidate pairs -> exact Jaccard
+  verify. All JVM-side higher-order functions; the only join is on band
+  buckets (tiny vs all-pairs). This is the standard scale path for near-dup:
+  candidates ~ O(true dups), not O(n^2).
+- **SimHash**: 64-bit bitwise-majority of token hashes via bit-position
+  explode + groupBy — Hamming-near docs bucket by simhash prefix.
+- **n-gram Jaccard**: exact verify kernel used by LSH; also exposed directly
+  with a length-bucket blocking key for small candidate sets.
+
+MinHash/exact/jaccard are DuckDB-oracle-checkable (md5 on both engines);
+SimHash uses xxhash64 (JVM) => rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from anycrawl_spark.functions.text import fingerprint, shingles
+
+MINHASH_SEEDS = 12
+LSH_BANDS = 4  # 3 rows per band
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) texts: (fingerprint, n_docs, keep_id)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_seeds: int = MINHASH_SEEDS,
+    k: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash) — minhash = min over shingles of md5(seed||shingle).
+
+    Stays JVM-side: shingling + per-seed min via higher-order functions on the
+    shingle array — no explode, no Python. One row per (doc, seed).
+    """
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+
+    def _hasher(seed: int):
+        # single-arg lambda required: 2-arg form means (element, index) in Spark
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x))
+
+    per_seed = [
+        F.struct(
+            F.lit(s).alias("seed"),
+            F.array_min(F.transform(F.col("sh"), _hasher(s))).alias("minhash"),
+        )
+        for s in range(num_seeds)
+    ]
+    return (
+        sh.select(F.col(id_col), F.explode(F.array(*per_seed)).alias("ms"))
+        .select(id_col, F.col("ms.seed").alias("seed"), F.col("ms.minhash").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_seeds: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) sharing >=1 LSH band bucket."""
+    sig = minhash_signatures(docs, id_col, text_col, num_seeds, k)
+    rows_per_band = num_seeds // bands
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs: (id_a, id_b, jaccard)."""
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("inter") / F.greatest(F.col("uni"), F.lit(1)), 4).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_seeds: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates -> verified pairs."""
+    cands = lsh_candidate_pairs(docs, id_col, text_col, num_seeds, bands, k)
+    return jaccard_pairs(cands, docs, id_col, text_col, k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: majority vote over token xxhash64 bits.
+
+    Shuffle profile: explode tokens -> explode 64 bit positions would be 64x
+    rows; instead aggregate bit counts via a 64-element vector per token and
+    sum element-wise with ``F.aggregate`` on the grouped token-hash array —
+    one groupBy on the doc id only.
+    """
+    from anycrawl_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    # Variable-shift bit math needs SQL expressions (the Python shiftleft/
+    # shiftright wrappers only take literal shift amounts). All JVM-side:
+    # bitcount[i] = sum over token hashes of bit i; simhash bit i set when
+    # bitcount[i]*2 >= n_tokens (majority vote).
+    sim = F.expr(
+        "aggregate("
+        "  zip_with("
+        "    transform(sequence(0, 63),"
+        "              i -> aggregate(th, 0, (acc, h) -> acc + int(shiftright(h, i) & 1))),"
+        "    sequence(0, 63),"
+        "    (cnt, i) -> IF(cnt * 2 >= size(th), shiftleft(1L, i), 0L)),"
+        "  0L, (acc, x) -> acc | x)"
+    )
+    return toks.select(F.col(id_col), sim.alias("simhash"), F.size("th").alias("n_tokens"))
+
+
+def simhash_buckets(docs: DataFrame, prefix_bits: int = 16, **kw) -> DataFrame:
+    """Bucket docs by simhash prefix — Hamming-near candidates co-bucket."""
+    sh = simhash(docs, **kw)
+    return sh.withColumn(
+        "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    )

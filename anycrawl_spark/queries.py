@@ -1,0 +1,779 @@
+"""Named operator queries + DuckDB oracle SQL (the driver correctness gate).
+
+Each entry maps one operator from SURVEY §2 onto the driver-provided tables
+(`region nation customer supplier part orders lineitem events documents
+embeddings`) so DuckDB can verify the Spark result (row count + schema +
+order-insensitive value hash). Column names are aliased identically on both
+sides; floats are rounded on both sides to dodge ULP drift between engines.
+
+Non-SQL-expressible ops (SERP parse, simhash over xxhash64, LSH ANN, the
+crawl round itself) are exported without an oracle => driver records the
+weaker rows-only check; their real correctness lives in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from anycrawl_spark.functions import text as TX
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish queries exercising the crawl engine's relational operator set
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """Flagship scan+agg (SURVEY §2.5): grouped sums with column math —
+    the shape of the per-round progress/credits aggregation (A1-A5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_status_classify(spark, sf_dir):
+    """F7 HTTP-status classifier shape (Base.ts:60-113): CASE buckets + agg."""
+    ev = _t(spark, sf_dir, "events")
+    cls = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    return (
+        ev.withColumn("value_class", cls)
+        .groupBy("event_type", "value_class")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+SQL_STATUS_CLASSIFY = """
+SELECT event_type,
+       CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS value_class,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_progress_counters(spark, sf_dir):
+    """A1-A3 progress counters: done/succeeded/failed per job analog."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("done"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("succeeded"),
+        F.sum(F.when(F.col("o_totalprice") <= 100000, 1).otherwise(0)).alias("failed"),
+    )
+
+
+SQL_PROGRESS_COUNTERS = """
+SELECT o_orderstatus,
+       count(*) AS done,
+       sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS succeeded,
+       sum(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) AS failed
+FROM orders GROUP BY 1
+"""
+
+
+def q_anti_join_seen(spark, sf_dir):
+    """J1 URL-seen dedup shape: left_anti (customers with no orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_ANTI_JOIN_SEEN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_semi_join_seen(spark, sf_dir):
+    """The dual: left_semi (EXISTS) — bloom-positive path of the seen filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+SQL_SEMI_JOIN_SEEN = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_enrich_left_join(spark, sf_dir):
+    """J2 SERP-enrichment shape: left join preserving left rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+SQL_ENRICH_LEFT_JOIN = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """J3 job-metadata lookup shape: fact join broadcast(dim) + agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("volume"),
+        )
+    )
+
+
+SQL_BROADCAST_DIM_JOIN = """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice * l_quantity), 2) AS volume
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_budget_topk(spark, sf_dir):
+    """O2 budget top-k (limit enforcement): row_number window <= k."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+SQL_BUDGET_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+def q_discovery_seq(spark, sf_dir):
+    """O1 discovery-sequence assignment: dense per-partition ordinal by time."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("discovery_seq", F.row_number().over(w) - 1)
+        .select("user_id", "event_id", "discovery_seq")
+    )
+
+
+SQL_DISCOVERY_SEQ = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1 AS discovery_seq
+FROM events
+"""
+
+
+def q_union_dedup(spark, sf_dir):
+    """U1/U2 union + distinct-by-key (SERP page merge shape)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b).distinct()
+
+
+SQL_UNION_DEDUP = """
+SELECT DISTINCT * FROM (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 150000
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+def q_path_filter(spark, sf_dir):
+    """F1 include/exclude path regex filter (glob->regex, Base.ts:339-379)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").rlike("^STANDARD.*") & ~F.col("p_type").rlike(".*COPPER$"))
+        .select("p_partkey", "p_type")
+    )
+
+
+SQL_PATH_FILTER = """
+SELECT p_partkey, p_type FROM part
+WHERE regexp_matches(p_type, '^STANDARD.*') AND NOT regexp_matches(p_type, '.*COPPER$')
+"""
+
+
+def q_credits(spark, sf_dir):
+    """A5/X17 credits formula: per-row cost column math + per-group sum
+    (credits.ts:96-139)."""
+    o = _t(spark, sf_dir, "orders")
+    cost = (
+        F.lit(1)
+        + F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 2).otherwise(0)
+        + F.when(F.col("o_totalprice") > 200000, 3).otherwise(0)
+    )
+    return (
+        o.withColumn("credits", cost)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("credits").alias("credits_used"), F.count("*").alias("n_jobs"))
+    )
+
+
+SQL_CREDITS = """
+SELECT o_orderpriority,
+       sum(1 + CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 2 ELSE 0 END
+             + CASE WHEN o_totalprice > 200000 THEN 3 ELSE 0 END) AS credits_used,
+       count(*) AS n_jobs
+FROM orders GROUP BY 1
+"""
+
+
+def q_bandwidth_agg(spark, sf_dir):
+    """A6 traffic aggregation: per-key byte totals (Bandwidth.ts:43-52)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("bytes_total"),
+        F.count("*").alias("n_requests"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_BANDWIDTH_AGG = """
+SELECT event_type, round(sum(value), 2) AS bytes_total,
+       count(*) AS n_requests, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_pagination(spark, sf_dir):
+    """O3 results pagination: rank window + offset/limit slice
+    (CrawlController.ts:231-242, MAX_PER_PAGE=100)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .select("o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_PAGINATION = """
+SELECT o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderkey, o_totalprice, row_number() OVER (ORDER BY o_orderkey ASC) AS rn
+  FROM orders) WHERE rn > 100 AND rn <= 200
+"""
+
+
+def q_retry_backoff(spark, sf_dir):
+    """X12 exponential backoff math as columns (Queue.ts:83-88)."""
+    li = _t(spark, sf_dir, "lineitem")
+    attempt = F.least(F.col("l_linenumber"), F.lit(3))
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            attempt.alias("attempt"),
+            F.pow(F.lit(2.0), attempt).cast("long").alias("backoff_rounds"),
+        )
+    )
+
+
+SQL_RETRY_BACKOFF = """
+SELECT l_orderkey, l_linenumber,
+       least(l_linenumber, 3) AS attempt,
+       CAST(power(2.0, least(l_linenumber, 3)) AS BIGINT) AS backoff_rounds
+FROM lineitem
+"""
+
+
+def q_queue_depth(spark, sf_dir):
+    """A7 queue-depth stats: status histogram (Queue.ts:143-147)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(F.count("*").alias("depth"))
+
+
+SQL_QUEUE_DEPTH = "SELECT o_orderstatus, count(*) AS depth FROM orders GROUP BY 1"
+
+
+def q_expiry_sweep(spark, sf_dir):
+    """F11 expired/pending sweep: predicate filter + projection
+    (Worker.ts:276-349)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") < F.lit("1995-01-01")) & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+    )
+
+
+SQL_EXPIRY_SWEEP = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01' AND o_orderstatus = 'F'
+"""
+
+
+def q_host_histogram(spark, sf_dir):
+    """§4.2 skew detection: per-key frontier histogram feeding the salting
+    decision (hosts with count above threshold)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_pending"))
+        .filter(F.col("n_pending") > 20)
+    )
+
+
+SQL_HOST_HISTOGRAM = """
+SELECT l_suppkey, count(*) AS n_pending FROM lineitem
+GROUP BY 1 HAVING count(*) > 20
+"""
+
+
+def q_serp_slice(spark, sf_dir):
+    """O4 SERP final slice: global orderBy + limit with deterministic ties."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+SQL_SERP_SLICE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    """Token counting + char counts per document (JVM column math)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.char_count(F.col("text")).alias("n_chars_computed"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+       length(text) AS n_chars_computed
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword argmax) + distribution."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("pred_lang", TX.lang_id(F.col("text")))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return (
+        r"len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),"
+        f" x -> x <> ''), x -> list_contains([{words}], x)))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT lang,
+         {_sql_lang_hits('de')} AS h_de,
+         {_sql_lang_hits('en')} AS h_en,
+         {_sql_lang_hits('es')} AS h_es,
+         {_sql_lang_hits('fr')} AS h_fr
+  FROM documents)
+SELECT lang,
+       CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+            WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       count(*) AS n
+FROM h GROUP BY 1, 2
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Doc quality scoring: avg per source."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("q", TX.quality_score(F.col("text")))
+        .groupBy("source")
+        .agg(F.round(F.sum("q"), 2).alias("quality_sum"), F.count("*").alias("n_docs"))
+    )
+
+
+_SQL_TOKS = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"
+_SQL_EN = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+
+SQL_QUALITY_SCORE = f"""
+WITH m AS (
+  SELECT source,
+         len({_SQL_TOKS}) AS n_tok,
+         len(list_filter({_SQL_TOKS}, x -> list_contains([{_SQL_EN}], x))) AS n_stop,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(text) AS n_char
+  FROM documents)
+SELECT source,
+       round(sum(round(
+         0.4 * least(n_tok / 100.0, 1.0)
+       + 0.3 * least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0)
+       + 0.3 * (1.0 - least((n_punct * 1.0 / greatest(n_char, 1)) * 10.0, 1.0)), 4)), 2) AS quality_sum,
+       count(*) AS n_docs
+FROM m GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text (exact-dedup key)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup groups: fingerprint -> (n_docs, keep_id)."""
+    from anycrawl_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d)
+
+
+SQL_EXACT_DUP_GROUPS = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_unigram(spark, sf_dir):
+    """MinHash signatures (unigram variant, md5-based so DuckDB can check;
+    the k-shingle + LSH pipeline is q_near_duplicates / tests)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+
+    def _hasher(seed: int):
+        # NB: must be single-arg — a 2-arg lambda is (element, index) to Spark
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x))
+
+    per_seed = [
+        F.struct(
+            F.lit(s).alias("seed"),
+            F.array_min(F.transform(F.array_distinct(toks), _hasher(s))).alias("minhash"),
+        )
+        for s in range(4)
+    ]
+    return d.select(
+        "doc_id", F.explode(F.array(*per_seed)).alias("ms")
+    ).select("doc_id", F.col("ms.seed").alias("seed"), F.col("ms.minhash").alias("minhash"))
+
+
+SQL_MINHASH_UNIGRAM = f"""
+WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks FROM documents),
+     s AS (SELECT unnest(range(4)) AS seed)
+SELECT doc_id, seed,
+       list_min(list_transform(toks, x -> md5(seed || '|' || x))) AS minhash
+FROM t CROSS JOIN s
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram (token-set) Jaccard similarity, all pairs within a 50-doc block."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select(
+        "doc_id", F.array_distinct(TX.tokens(F.lower(F.col("text")))).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks FROM documents WHERE doc_id < 50)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+             len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+FROM t a, t b WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (queries = first 5 vecs)."""
+    from anycrawl_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # rank at 4dp on BOTH engines: coarse enough that cross-engine ULP drift
+    # can't flip an ordering (ties break on vec_id identically)
+    return cosine_topk(e, qs, k=10, round_dp=4)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+     q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < 5),
+     s AS (SELECT q.query_id, v.vec_id,
+                  round(list_dot_product(v.emb, q.qemb) /
+                        greatest(sqrt(list_dot_product(v.emb, v.emb)) *
+                                 sqrt(list_dot_product(q.qemb, q.qemb)), 1e-12), 4) AS cosine
+           FROM v CROSS JOIN q),
+     r AS (SELECT query_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+           FROM s)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops: rows-only driver check; full checks in tests/
+# ---------------------------------------------------------------------------
+
+def q_serp_search(spark, sf_dir):
+    """SERP build+fetch+parse+slice pipeline (X15/X16/O4); parse is a pandas
+    UDF over synthetic Google-DOM pages — not SQL-expressible."""
+    from anycrawl_spark.operators.serp import serp_search
+
+    qdf = spark.createDataFrame(
+        [("q0", "spark crawl engine", 15), ("q1", "frontier dedup bloom", 7)],
+        "query_id string, query string, limit int",
+    )
+    return serp_search(qdf)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (xxhash64-based, JVM-only => rows-only check)."""
+    from anycrawl_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(d)
+
+
+def q_near_duplicates(spark, sf_dir):
+    """MinHash-LSH near-dup pipeline (k=3 shingles). The corpus is all
+    distinct at test scale, so near-dups are planted: docs 0..29 get a mutated
+    copy (last 3 tokens dropped) at doc_id+10000; the pipeline must recover
+    (i, i+10000) pairs via LSH banding + Jaccard verify."""
+    from anycrawl_spark.operators.dedup import near_duplicates
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    mutated = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
+        ).alias("text"),
+    )
+    return near_duplicates(d.unionByName(mutated), threshold=0.5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (recall tested in pytest)."""
+    from anycrawl_spark.operators.similarity import ann_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_lsh(e, qs, dim=64, k=10, bits=4)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> fixed-width features
+    (deterministic fake decode; real decoder stubbed)."""
+    from anycrawl_spark.operators.multimodal import extract_features, materialize_media
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(F.concat(F.lit("http://media.synth/img/"), F.col("doc_id")).alias("media_ref"))
+    )
+    media = materialize_media(refs)
+    return extract_features(media, dim=8)
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q_pricing_summary": q_pricing_summary,
+    "q_status_classify": q_status_classify,
+    "q_progress_counters": q_progress_counters,
+    "q_anti_join_seen": q_anti_join_seen,
+    "q_semi_join_seen": q_semi_join_seen,
+    "q_enrich_left_join": q_enrich_left_join,
+    "q_broadcast_dim_join": q_broadcast_dim_join,
+    "q_budget_topk": q_budget_topk,
+    "q_discovery_seq": q_discovery_seq,
+    "q_union_dedup": q_union_dedup,
+    "q_path_filter": q_path_filter,
+    "q_credits": q_credits,
+    "q_bandwidth_agg": q_bandwidth_agg,
+    "q_pagination": q_pagination,
+    "q_retry_backoff": q_retry_backoff,
+    "q_queue_depth": q_queue_depth,
+    "q_expiry_sweep": q_expiry_sweep,
+    "q_host_histogram": q_host_histogram,
+    "q_serp_slice": q_serp_slice,
+    "q_token_stats": q_token_stats,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_exact_dup_groups": q_exact_dup_groups,
+    "q_minhash_unigram": q_minhash_unigram,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_embedding_topk": q_embedding_topk,
+    # rows-only (no oracle)
+    "q_serp_search": q_serp_search,
+    "q_simhash": q_simhash,
+    "q_near_duplicates": q_near_duplicates,
+    "q_ann_lsh": q_ann_lsh,
+    "q_media_features": q_media_features,
+}
+
+def verify_against_duckdb(spark, sf_dir: str, names=None) -> list[tuple[str, str]]:
+    """Run queries on Spark + oracles on DuckDB, compare exactly (the driver's
+    check, reproduced locally). Returns [(name, failure_reason)]."""
+    import duckdb
+    import pandas as pd
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    failures: list[tuple[str, str]] = []
+    for name, fn in QUERIES.items():
+        if names and name not in names:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            continue
+        sql = ORACLES.get(name)
+        if sql is None:
+            if len(sdf) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        odf = con.execute(sql).df()
+        a, b = norm(sdf), norm(odf)
+        if list(a.columns) != list(b.columns):
+            failures.append((name, f"schema {list(a.columns)} != {list(b.columns)}"))
+            continue
+        if len(a) != len(b):
+            failures.append((name, f"rowcount {len(a)} != {len(b)}"))
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        except AssertionError as e:
+            failures.append((name, f"values: {str(e)[:200]}"))
+    return failures
+
+
+ORACLES = {
+    "q_pricing_summary": SQL_PRICING_SUMMARY,
+    "q_status_classify": SQL_STATUS_CLASSIFY,
+    "q_progress_counters": SQL_PROGRESS_COUNTERS,
+    "q_anti_join_seen": SQL_ANTI_JOIN_SEEN,
+    "q_semi_join_seen": SQL_SEMI_JOIN_SEEN,
+    "q_enrich_left_join": SQL_ENRICH_LEFT_JOIN,
+    "q_broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
+    "q_budget_topk": SQL_BUDGET_TOPK,
+    "q_discovery_seq": SQL_DISCOVERY_SEQ,
+    "q_union_dedup": SQL_UNION_DEDUP,
+    "q_path_filter": SQL_PATH_FILTER,
+    "q_credits": SQL_CREDITS,
+    "q_bandwidth_agg": SQL_BANDWIDTH_AGG,
+    "q_pagination": SQL_PAGINATION,
+    "q_retry_backoff": SQL_RETRY_BACKOFF,
+    "q_queue_depth": SQL_QUEUE_DEPTH,
+    "q_expiry_sweep": SQL_EXPIRY_SWEEP,
+    "q_host_histogram": SQL_HOST_HISTOGRAM,
+    "q_serp_slice": SQL_SERP_SLICE,
+    "q_token_stats": SQL_TOKEN_STATS,
+    "q_lang_id": SQL_LANG_ID,
+    "q_quality_score": SQL_QUALITY_SCORE,
+    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "q_exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "q_minhash_unigram": SQL_MINHASH_UNIGRAM,
+    "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "q_embedding_topk": SQL_EMBEDDING_TOPK,
+}

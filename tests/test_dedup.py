@@ -1,0 +1,75 @@
+"""Deduplication operator tests: exact, MinHash-LSH, SimHash, Jaccard."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river"),        # near dup of 0
+        (3, "completely different content about spark shuffle partitions and bloom filters"),
+        (4, "THE  Quick   Brown fox jumps over the lazy dog near the river bank"),  # ws/case dup of 0
+        (5, "another unrelated document mentioning politeness budgets and robots gating"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark):
+    from anycrawl_spark.operators.dedup import exact_dedup, exact_duplicates
+
+    d = _docs(spark)
+    groups = {r.keep_id: r.n_docs for r in exact_duplicates(d).collect()}
+    # 0,1,4 normalize to the same fingerprint
+    assert groups[0] == 3
+    kept = {r.doc_id for r in exact_dedup(d).collect()}
+    assert kept == {0, 2, 3, 5}
+
+
+def test_minhash_lsh_near_duplicates(spark):
+    from anycrawl_spark.operators.dedup import lsh_candidate_pairs, near_duplicates
+
+    d = _docs(spark)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in near_duplicates(d, threshold=0.5).collect()}
+    # exact dups have jaccard 1.0; near dup 0-2 above 0.5
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+    # unrelated docs never pair
+    assert not any(3 in p or 5 in p for p in pairs)
+    # LSH candidates are a superset of verified pairs
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(d).collect()}
+    assert set(pairs) <= cands
+
+
+def test_jaccard_values(spark):
+    from anycrawl_spark.operators.dedup import jaccard_pairs
+
+    d = _docs(spark)
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [3]}))
+    j = jaccard_pairs(pairs, d).collect()[0].jaccard
+    assert j < 0.1  # disjoint shingle sets
+
+
+def test_simhash_properties(spark):
+    from anycrawl_spark.operators.dedup import simhash
+
+    d = _docs(spark)
+    sh = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    # identical token streams => identical simhash
+    assert sh[0] == sh[1] == sh[4]
+    # near-dup differs in few bits; unrelated differs in many
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sh[0], sh[2]) <= 16
+    assert hamming(sh[0], sh[3]) > 16
+
+
+def test_simhash_buckets(spark):
+    from anycrawl_spark.operators.dedup import simhash_buckets
+
+    d = _docs(spark)
+    b = {r.doc_id: r.bucket for r in simhash_buckets(d, prefix_bits=8).collect()}
+    assert b[0] == b[1] == b[4]
