@@ -40,16 +40,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from anycrawl_spark import synth
-from anycrawl_spark.crawl.fetcher import fetch
 from anycrawl_spark.crawl.params import CrawlParams, RETRYABLE_STATUSES
 from anycrawl_spark.operators.gates import (
     make_job_gate,
     make_robots_filter,
-    make_tokens_udf,
+    tokens_expr,
     with_scope_keys,
 )
 from anycrawl_spark.operators.seen import filter_fresh
-from anycrawl_spark.operators.spans import extract
+from anycrawl_spark.operators.spans import fetch_extract
 from anycrawl_spark.functions.urls import canonicalize_url, url_host, with_url_key
 from anycrawl_spark.schemas import FRONTIER, JOBS, PROGRESS
 from anycrawl_spark.storage import SnapshotStore
@@ -226,7 +225,7 @@ class CrawlEngine:
         # The budget window orders by (_pass1 desc, depth, seq): non-passing
         # rows sort last, so passing rows get ranks 1..n exactly — the same
         # greedy order as the reference simulator.
-        tokens_for = make_tokens_udf(self.host_delays, self.params)
+        host_tokens = tokens_expr(self.host_delays, self.params)
         remaining_map = (
             F.create_map(*[F.lit(x) for kv in remaining.items() for x in kv])
             if remaining
@@ -253,7 +252,7 @@ class CrawlEngine:
             )
             .withColumn(
                 "_pass1",
-                F.col("_eligible") & (F.col("_host_rank") <= tokens_for(F.col("host"))),
+                F.col("_eligible") & (F.col("_host_rank") <= host_tokens),
             )
             .withColumn("_budget_rank", F.row_number().over(w_budget))
             .withColumn(
@@ -268,11 +267,13 @@ class CrawlEngine:
         # deferred + eligible-but-capped rows stay pending unchanged
         not_sched = flagged.filter(~F.col("_sched")).select(*frontier_cols)
 
-        # --- fetch: salt/spread by url hash (politeness already enforced) ---
+        # --- fetch+extract: one fused python stage (no raw HTML through
+        # Arrow, one worker per task chain); salt/spread by url hash
+        # (politeness already enforced by the windows above) ----------------
         sched = sched.repartition(
             self.fetch_partitions, F.pmod(F.col("url_hash"), F.lit(self.fetch_partitions))
         )
-        fetched = fetch(sched, self.web).persist()
+        fetched = fetch_extract(sched, self.web).persist()
 
         ok = fetched.filter(F.col("status_code") == 200)
         retryable = fetched.filter(
@@ -287,7 +288,7 @@ class CrawlEngine:
             )
         )
 
-        docs = extract(ok).persist()
+        docs = ok  # extraction already ran in the fused stage
 
         # --- documents + metrics appends -----------------------------------
         self.store.append(
@@ -385,15 +386,20 @@ class CrawlEngine:
         ).persist()
 
         # --- terminal log + seen append ------------------------------------
+        # (fused fetch output doesn't carry next_eligible_round; terminal
+        # rows are never rescheduled so it is constant 0 in the log)
+        term_cols = [c for c in frontier_cols if c not in ("status", "next_eligible_round")]
         terminal = ok.select(
-            *[c for c in frontier_cols if c != "status"],
+            *term_cols,
+            F.lit(0).alias("next_eligible_round"),
             F.lit("fetched").alias("status"),
         ).unionByName(
             dead.select(
-                *[c for c in frontier_cols if c != "status"],
+                *term_cols,
+                F.lit(0).alias("next_eligible_round"),
                 F.lit("failed").alias("status"),
             )
-        )
+        ).select(*frontier_cols)
         self.store.append("frontier_log", terminal.select(*frontier_cols))
         self.store.append(
             "seen",
@@ -402,10 +408,9 @@ class CrawlEngine:
             ),
         )
 
-        # --- per-job aggregates -> driver counters -------------------------
-        agg = {
-            (r_.job_id, r_.k): r_.c
-            for r_ in fetched.withColumn(
+        # --- per-job aggregates -> driver counters (ONE collect action) ----
+        fetch_summary = (
+            fetched.withColumn(
                 "k",
                 F.when(F.col("status_code") == 200, "ok")
                 .when(
@@ -417,12 +422,17 @@ class CrawlEngine:
             )
             .groupBy("job_id", "k")
             .agg(F.count("*").alias("c"))
-            .collect()
-        }
-        fresh_counts = {
-            r_.job_id: r_.c
-            for r_ in fresh.groupBy("job_id").agg(F.count("*").alias("c")).collect()
-        }
+        )
+        fresh_summary = fresh.groupBy("job_id").agg(F.count("*").alias("c")).select(
+            "job_id", F.lit("fresh").alias("k"), "c"
+        )
+        agg: dict = {}
+        fresh_counts: dict = {}
+        for r_ in fetch_summary.unionByName(fresh_summary).collect():
+            if r_.k == "fresh":
+                fresh_counts[r_.job_id] = r_.c
+            else:
+                agg[(r_.job_id, r_.k)] = r_.c
 
         progress_rows = []
         sched_total = 0

