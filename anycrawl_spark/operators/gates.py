@@ -73,21 +73,47 @@ def make_tokens_udf(host_delays: dict[str, int], params: CrawlParams):
 
 def apply_politeness(pending: DataFrame, host_delays: dict[str, int], params: CrawlParams) -> DataFrame:
     """Keep at most host_tokens rows per (job, host), lowest (depth, seq) first."""
-    delays = dict(host_delays)
-    default_tokens = params.default_host_tokens
-
-    @F.pandas_udf(T.IntegerType())
-    def tokens_for(host: pd.Series) -> pd.Series:
-        return host.map(
-            lambda h: params.host_tokens(delays.get(h)) if delays.get(h) else default_tokens
-        )
-
     w = Window.partitionBy("job_id", "host").orderBy(*_SCHED_ORDER)
     return (
         pending.withColumn("_host_rank", F.row_number().over(w))
-        .withColumn("_tokens", tokens_for(F.col("host")))
-        .filter(F.col("_host_rank") <= F.col("_tokens"))
-        .drop("_host_rank", "_tokens")
+        .filter(F.col("_host_rank") <= tokens_expr(host_delays, params))
+        .drop("_host_rank")
+    )
+
+
+def apply_politeness_two_phase(
+    pending: DataFrame,
+    host_delays: dict[str, int],
+    params: CrawlParams,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof politeness: salted local top-k, then exact window.
+
+    A mega-host with millions of pending rows serializes the (job, host)
+    window partition (AQE skew handling covers joins, not windows — SURVEY
+    §4.2.2). Two phases, provably equivalent to ``apply_politeness``:
+
+    1. salt = pmod(url_hash, S): rank within (job, host, salt) and keep the
+       local top-``tokens`` — the global top-``tokens`` rows of a host are
+       distributed across salts, so each salt's local top-``tokens`` is a
+       superset of its share of the global winners (the survivor set is
+       <= S x tokens rows per host, regardless of host size).
+    2. exact (job, host) window over survivors — now bounded per host.
+    """
+    tokens = tokens_expr(host_delays, params)
+    w_salt = Window.partitionBy(
+        "job_id", "host", F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+    ).orderBy(*_SCHED_ORDER)
+    survivors = (
+        pending.withColumn("_salt_rank", F.row_number().over(w_salt))
+        .filter(F.col("_salt_rank") <= tokens)
+        .drop("_salt_rank")
+    )
+    w = Window.partitionBy("job_id", "host").orderBy(*_SCHED_ORDER)
+    return (
+        survivors.withColumn("_host_rank", F.row_number().over(w))
+        .filter(F.col("_host_rank") <= tokens)
+        .drop("_host_rank")
     )
 
 

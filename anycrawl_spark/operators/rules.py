@@ -1,0 +1,95 @@
+"""Rule-table operators: ad-domain blocking (F6) + proxy-rule matching (F12/J5).
+
+Reference behavior:
+- F6: sub-requests whose URL contains any of 13 ad domains are aborted
+  (reference: packages/scrape/src/core/EngineConfigurator.ts:178-202; list at
+  packages/libs/src/constants.ts:4-18). Rebuilt as one vectorized
+  ``~rlike(alternation)`` predicate — a broadcast literal, JVM-side.
+- F12/J5: proxy selection matches a priority-ordered rule list per request
+  URL — exact url match beats url-prefix pattern beats domain wildcard
+  (reference: packages/scrape/src/managers/Proxy.ts:716-750; wildcard->regex
+  at :500-524). Rebuilt as an ordered ``coalesce(when...)`` chain over a
+  broadcast-sized rule list — first match wins, all codegen, no join.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# kept verbatim from the reference list (constants.ts:4-18)
+AD_DOMAINS = [
+    "doubleclick.net",
+    "adservice.google.com",
+    "googlesyndication.com",
+    "googletagservices.com",
+    "googletagmanager.com",
+    "google-analytics.com",
+    "adsystem.com",
+    "adservice.com",
+    "adnxs.com",
+    "ads-twitter.com",
+    "facebook.net",
+    "fbcdn.net",
+    "amazon-adsystem.com",
+]
+
+_AD_RE = "|".join(re.escape(d) for d in AD_DOMAINS)
+
+
+def is_ad_url(url: Column) -> Column:
+    """True when the URL contains any blocked ad domain (F6 semantics:
+    substring containment, matching the reference's ``url.includes(domain)``)."""
+    return url.rlike(_AD_RE)
+
+
+def filter_ad_requests(df, url_col: str = "url"):
+    """Drop ad-domain requests before the fetch stage."""
+    return df.filter(~is_ad_url(F.col(url_col)))
+
+
+@dataclass(frozen=True)
+class ProxyRule:
+    """One proxy rule; exactly one of url/pattern/domain set (Proxy.ts:368-377)."""
+
+    proxy: str
+    url: str | None = None        # exact canonical URL match
+    pattern: str | None = None    # wildcard URL pattern ('*' any chars)
+    domain: str | None = None     # host suffix match ('.x.com' or 'x.com')
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    # Proxy.ts:500-524: '*' -> '.*', everything else literal, anchored
+    return "^" + ".*".join(re.escape(p) for p in pattern.split("*")) + "$"
+
+
+def match_proxy(rules: list[ProxyRule], url: Column, host: Column) -> Column:
+    """First-match proxy selection as an ordered coalesce(when...) chain.
+
+    Priority (Proxy.ts:716-750): exact url > url pattern > domain. Returns the
+    proxy string or NULL (no proxy). Rules are broadcast-sized literals —
+    whole-stage codegen, zero shuffle; a rules table large enough to matter
+    would become a broadcast join instead.
+    """
+    tiers: list[Column] = []
+    for r in rules:
+        if r.url is not None:
+            tiers.append(F.when(url == F.lit(r.url), F.lit(r.proxy)))
+    for r in rules:
+        if r.pattern is not None:
+            tiers.append(F.when(url.rlike(_wildcard_to_regex(r.pattern)), F.lit(r.proxy)))
+    for r in rules:
+        if r.domain is not None:
+            d = r.domain.lstrip(".")
+            tiers.append(
+                F.when((host == F.lit(d)) | host.endswith(F.lit("." + d)), F.lit(r.proxy))
+            )
+    if not tiers:
+        return F.lit(None).cast("string")
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = F.coalesce(out, t)
+    return out

@@ -381,6 +381,85 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
 """
 
 
+def _synth_url_cols():
+    """Deterministic URL synthesis over orders (shared by F6/F12 queries)."""
+    host = (
+        F.when(F.pmod("o_custkey", 7) == 0, F.lit("doubleclick.net"))
+        .when(F.pmod("o_custkey", 7) == 1, F.lit("sub.googletagmanager.com"))
+        .otherwise(
+            F.concat(F.lit("host"), F.pmod("o_custkey", 50).cast("string"), F.lit(".example.com"))
+        )
+    )
+    url = F.concat(F.lit("http://"), host, F.lit("/p/"), F.col("o_orderkey").cast("string"))
+    return host, url
+
+
+_SQL_SYNTH_HOST = """
+CASE WHEN o_custkey % 7 = 0 THEN 'doubleclick.net'
+     WHEN o_custkey % 7 = 1 THEN 'sub.googletagmanager.com'
+     ELSE 'host' || (o_custkey % 50) || '.example.com' END
+"""
+
+
+def q_ad_filter(spark, sf_dir):
+    """F6 ad-domain request filter: drop URLs containing blocked ad domains
+    (EngineConfigurator.ts:178-202; list constants.ts:4-18)."""
+    from anycrawl_spark.operators.rules import filter_ad_requests
+
+    o = _t(spark, sf_dir, "orders")
+    host, url = _synth_url_cols()
+    reqs = o.select("o_orderkey", url.alias("url"))
+    return filter_ad_requests(reqs)
+
+
+def _sql_ad_regex() -> str:
+    import re as _re
+
+    from anycrawl_spark.operators.rules import AD_DOMAINS
+
+    return "|".join(_re.escape(d) for d in AD_DOMAINS)
+
+
+SQL_AD_FILTER = f"""
+SELECT o_orderkey, url FROM (
+  SELECT o_orderkey, 'http://' || {_SQL_SYNTH_HOST} || '/p/' || o_orderkey AS url
+  FROM orders)
+WHERE NOT regexp_matches(url, '{_sql_ad_regex()}')
+"""
+
+
+def q_proxy_match(spark, sf_dir):
+    """F12/J5 proxy-rule first-match: ordered coalesce over broadcast rules
+    (pattern tier beats domain tier; Proxy.ts:716-750)."""
+    from anycrawl_spark.operators.rules import ProxyRule, match_proxy
+
+    o = _t(spark, sf_dir, "orders")
+    host, url = _synth_url_cols()
+    rules = [
+        ProxyRule(proxy="proxy-pattern", pattern="*example.com/p/1*"),
+        ProxyRule(proxy="proxy-domain", domain="example.com"),
+        ProxyRule(proxy="proxy-ads", domain="doubleclick.net"),
+    ]
+    df = o.select("o_orderkey", url.alias("url"), host.alias("host"))
+    return df.select(
+        "o_orderkey", "url",
+        match_proxy(rules, F.col("url"), F.col("host")).alias("proxy"),
+    )
+
+
+SQL_PROXY_MATCH = f"""
+SELECT o_orderkey, url,
+       CASE WHEN regexp_matches(url, '^.*example\\.com/p/1.*$') THEN 'proxy-pattern'
+            WHEN host = 'example.com' OR host LIKE '%.example.com' THEN 'proxy-domain'
+            WHEN host = 'doubleclick.net' OR host LIKE '%.doubleclick.net' THEN 'proxy-ads'
+            END AS proxy
+FROM (SELECT o_orderkey,
+             'http://' || {_SQL_SYNTH_HOST} || '/p/' || o_orderkey AS url,
+             {_SQL_SYNTH_HOST} AS host
+      FROM orders)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -682,6 +761,8 @@ QUERIES = {
     "q_expiry_sweep": q_expiry_sweep,
     "q_host_histogram": q_host_histogram,
     "q_serp_slice": q_serp_slice,
+    "q_ad_filter": q_ad_filter,
+    "q_proxy_match": q_proxy_match,
     "q_token_stats": q_token_stats,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -768,6 +849,8 @@ ORACLES = {
     "q_expiry_sweep": SQL_EXPIRY_SWEEP,
     "q_host_histogram": SQL_HOST_HISTOGRAM,
     "q_serp_slice": SQL_SERP_SLICE,
+    "q_ad_filter": SQL_AD_FILTER,
+    "q_proxy_match": SQL_PROXY_MATCH,
     "q_token_stats": SQL_TOKEN_STATS,
     "q_lang_id": SQL_LANG_ID,
     "q_quality_score": SQL_QUALITY_SCORE,
