@@ -36,6 +36,8 @@ Scale design (explicit, per north_rule):
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -302,12 +304,9 @@ class CrawlEngine:
                 F.size("links").alias("n_links"),
             ),
         )
-        self.store.append(
-            "metrics",
-            fetched.select(
-                "job_id", F.lit(rnd).alias("round"), "url_hash", "host",
-                "status_code", "latency_ms", "size_bytes",
-            ),
+        metrics_df = fetched.select(
+            "job_id", F.lit(rnd).alias("round"), "url_hash", "host",
+            "status_code", "latency_ms", "size_bytes",
         )
 
         # --- link expansion -> candidates ----------------------------------
@@ -400,13 +399,6 @@ class CrawlEngine:
                 F.lit("failed").alias("status"),
             )
         ).select(*frontier_cols)
-        self.store.append("frontier_log", terminal.select(*frontier_cols))
-        self.store.append(
-            "seen",
-            fresh.select(
-                "job_id", "url_hash", F.lit(rnd).alias("first_round")
-            ),
-        )
 
         # --- per-job aggregates -> driver counters (ONE collect action) ----
         fetch_summary = (
@@ -426,9 +418,22 @@ class CrawlEngine:
         fresh_summary = fresh.groupBy("job_id").agg(F.count("*").alias("c")).select(
             "job_id", F.lit("fresh").alias("k"), "c"
         )
+        # Overlap the independent per-round actions: metrics + terminal-log
+        # appends run while the summary collect materializes the fresh chain
+        # (fetched is already cached by the documents append above; each
+        # append targets a distinct table — see SnapshotStore locking).
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_metrics = pool.submit(self.store.append, "metrics", metrics_df)
+            f_log = pool.submit(
+                self.store.append, "frontier_log", terminal.select(*frontier_cols)
+            )
+            summary_rows = fetch_summary.unionByName(fresh_summary).collect()
+            f_metrics.result()
+            f_log.result()
+
         agg: dict = {}
         fresh_counts: dict = {}
-        for r_ in fetch_summary.unionByName(fresh_summary).collect():
+        for r_ in summary_rows:
             if r_.k == "fresh":
                 fresh_counts[r_.job_id] = r_.c
             else:
@@ -458,20 +463,39 @@ class CrawlEngine:
 
         # finalized jobs' leftover pending rows become 'skipped' in the log
         nf_cached = next_frontier
+        leftovers = None
         if self.finalized:
             leftovers = next_frontier.filter(F.col("job_id").isin(list(self.finalized)))
             next_frontier = next_frontier.filter(
                 ~F.col("job_id").isin(list(self.finalized))
             )
-            self.store.append(
-                "frontier_log",
-                leftovers.withColumn("status", F.lit("skipped")).select(*frontier_cols),
-            )
 
-        self.store.write("frontier", next_frontier)
-        self.store.append(
-            "progress", self.spark.createDataFrame(progress_rows, PROGRESS)
-        )
+        # final writes: independent tables in parallel (fresh/next_frontier
+        # are already materialized in caches by the summary collect)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(
+                    self.store.append,
+                    "seen",
+                    fresh.select("job_id", "url_hash", F.lit(rnd).alias("first_round")),
+                ),
+                pool.submit(self.store.write, "frontier", next_frontier),
+                pool.submit(
+                    self.store.append,
+                    "progress",
+                    self.spark.createDataFrame(progress_rows, PROGRESS),
+                ),
+            ]
+            if leftovers is not None:
+                futures.append(
+                    pool.submit(
+                        self.store.append,
+                        "frontier_log",
+                        leftovers.withColumn("status", F.lit("skipped")).select(*frontier_cols),
+                    )
+                )
+            for f in futures:
+                f.result()
         self.store.commit_round(rnd)
         stats = {
             "round": rnd,

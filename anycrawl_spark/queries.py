@@ -670,6 +670,31 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
 """
 
 
+def q_finalize_check(spark, sf_dir):
+    """A3 finalize decision: filter on the progress aggregate —
+    ``done >= limit OR (enqueued > 0 AND done == enqueued)`` (the batch analog
+    of the reference's atomic Lua policy, Progress.ts:279-298)."""
+    o = _t(spark, sf_dir, "orders")
+    prog = o.groupBy("o_custkey").agg(
+        F.count("*").alias("done"),
+        F.sum(F.when(F.col("o_orderstatus") != "P", 1).otherwise(0)).alias("enqueued"),
+    )
+    limit = F.lit(8)
+    return prog.filter(
+        (F.col("done") >= limit)
+        | ((F.col("enqueued") > 0) & (F.col("done") == F.col("enqueued")))
+    ).select("o_custkey", "done", "enqueued")
+
+
+SQL_FINALIZE_CHECK = """
+SELECT o_custkey, done, enqueued FROM (
+  SELECT o_custkey, count(*) AS done,
+         sum(CASE WHEN o_orderstatus <> 'P' THEN 1 ELSE 0 END) AS enqueued
+  FROM orders GROUP BY 1)
+WHERE done >= 8 OR (enqueued > 0 AND done = enqueued)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible ops: rows-only driver check; full checks in tests/
 # ---------------------------------------------------------------------------
@@ -725,6 +750,59 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(e, qs, dim=64, k=10, bits=4)
 
 
+def q_serp_enrich(spark, sf_dir):
+    """J2 SERP -> scrape enrichment: parsed SERP rows left-joined with scraped
+    page payloads by url (SearchController.ts:184-202). The scrape side is the
+    fused fetch+extract over the SERP result URLs — the §3.3 flow end-to-end."""
+    from anycrawl_spark.operators.serp import enrich_with_documents, serp_search
+    from anycrawl_spark.operators.spans import fetch_extract
+
+    qdf = spark.createDataFrame(
+        [("q0", "frontier bloom dedup", 10)],
+        "query_id string, query string, limit int",
+    )
+    serp = serp_search(qdf)
+    sched = serp.select(
+        F.col("query_id").alias("job_id"), "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.lit("h").alias("host"), F.lit(0).alias("depth"),
+        F.col("rank").cast("long").alias("discovery_seq"),
+        F.lit(0).cast("long").alias("parent_url_hash"),
+        F.lit(0).alias("round_added"), F.lit(0).alias("attempt"),
+        F.lit(0.0).alias("priority"),
+    ).distinct()
+    docs = fetch_extract(sched).filter(F.col("status_code") == 200).select(
+        "url", "title", "markdown"
+    )
+    return enrich_with_documents(serp, docs)
+
+
+def q_crawl_round(spark, sf_dir):
+    """The crawl loop itself through the contract: a 2-job bounded BFS on the
+    synthetic web; returns the terminal frontier log (url, depth,
+    discovery_seq, status per job). Deterministic; verified in depth against
+    the sequential simulator by tests/test_crawl_parity.py."""
+    import shutil
+    import tempfile
+
+    from anycrawl_spark import synth
+    from anycrawl_spark.crawl.params import CrawlParams
+    from anycrawl_spark.crawl.superstep import CrawlEngine
+
+    jobs = [dict(j, limit=20) for j in synth.seed_jobs(2)]
+    wd = tempfile.mkdtemp(prefix="q_crawl_round_")
+    try:
+        eng = CrawlEngine(spark, wd, jobs, synth.robots_rules(),
+                          CrawlParams(max_rounds=20), num_buckets=8)
+        eng.init_state()
+        eng.run()
+        log = eng.store.read_appends("frontier_log")
+        out = log.select("job_id", "url", "depth", "discovery_seq", "status").toPandas()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> fixed-width features
     (deterministic fake decode; real decoder stubbed)."""
@@ -771,8 +849,11 @@ QUERIES = {
     "q_minhash_unigram": q_minhash_unigram,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_embedding_topk": q_embedding_topk,
+    "q_finalize_check": q_finalize_check,
     # rows-only (no oracle)
     "q_serp_search": q_serp_search,
+    "q_serp_enrich": q_serp_enrich,
+    "q_crawl_round": q_crawl_round,
     "q_simhash": q_simhash,
     "q_near_duplicates": q_near_duplicates,
     "q_ann_lsh": q_ann_lsh,
@@ -859,4 +940,5 @@ ORACLES = {
     "q_minhash_unigram": SQL_MINHASH_UNIGRAM,
     "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "q_embedding_topk": SQL_EMBEDDING_TOPK,
+    "q_finalize_check": SQL_FINALIZE_CHECK,
 }

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -31,6 +32,9 @@ class SnapshotStore:
         self.base = base
         self.spark = spark
         os.makedirs(base, exist_ok=True)
+        # guards manifest mutation; Spark actions themselves are thread-safe,
+        # so concurrent writes to DIFFERENT tables may run in parallel
+        self._lock = threading.Lock()
         self.manifest_path = os.path.join(base, "MANIFEST.json")
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
@@ -106,8 +110,9 @@ class SnapshotStore:
         data. Uncommitted appends (crash before commit_round) are dropped on
         resume because the manifest still lists the old dir set.
         """
-        dirs = self.manifest["appends"].setdefault(table, [])
-        seq = len(dirs)
+        with self._lock:
+            dirs = self.manifest["appends"].setdefault(table, [])
+            seq = len(dirs)
         final = os.path.join(self.base, table, f"append-{seq:06d}")
         tmp = os.path.join(self.base, table, f"_tmp-append-{seq:06d}")
         if os.path.exists(tmp):
@@ -116,7 +121,8 @@ class SnapshotStore:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
-        dirs.append(final)
+        with self._lock:
+            dirs.append(final)
 
     def read_appends(self, table: str) -> DataFrame | None:
         dirs = [d for d in self.manifest["appends"].get(table, []) if os.path.exists(d)]
