@@ -91,6 +91,34 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def chunk_tokens(text: Column, chunk_size: int = 64, overlap: int = 16) -> Column:
+    """X14 token-aware chunking: overlapping token windows for LLM context
+    packing (reference concept: packages/ai/src/agents/TextChunker.ts:21-80,
+    line-based chunks with overlap — rebuilt token-based, JVM-side).
+
+    Returns array<struct<chunk_id:int, text:string, n_tokens:int>> where
+    chunk i covers tokens [i*stride, i*stride + chunk_size), stride =
+    chunk_size - overlap. Pure higher-order functions — scans at column speed.
+    """
+    stride = chunk_size - overlap
+    toks = tokens(text)
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, 0).otherwise(
+        F.ceil((F.greatest(n - F.lit(overlap), F.lit(1))) / F.lit(stride)).cast("int")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return F.when(n <= 0, F.array()).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)).alias("text"),
+                F.least(n - i * stride, F.lit(chunk_size)).cast("int").alias("n_tokens"),
+            ),
+        )
+    )
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as strings ('w1 w2 w3'), distinct."""
     toks = tokens(F.lower(text))

@@ -31,6 +31,79 @@ from anycrawl_spark.synth import _digest, host_name
 
 RESULTS_PER_PAGE = 10  # Google.ts:10
 
+# F10: the 21 country codes the reference skips during locale resolution
+# (Google.ts:35-57, kept verbatim)
+SKIP_COUNTRIES = [
+    "AL", "AZ", "BD", "BN", "BT", "ET", "GE", "GL", "KH", "LA", "LK",
+    "ME", "MK", "MM", "MN", "MV", "MY", "NP", "TJ", "TM", "UZ",
+]
+
+# Compact locale dims (X15): lang -> lr restrict, lang -> default country,
+# country -> google domain. The reference ships 590-line tables
+# (packages/libs/src/data/Google.ts); these are representative broadcast dims
+# with the same lookup semantics — swap in the full tables as data files.
+LANG_RESTRICT = {
+    "en": "lang_en", "de": "lang_de", "fr": "lang_fr", "es": "lang_es",
+    "pt": "lang_pt", "ja": "lang_ja", "zh": "lang_zh-CN", "it": "lang_it",
+}
+LANG_DEFAULT_COUNTRY = {
+    "en": "US", "de": "DE", "fr": "FR", "es": "ES",
+    "pt": "BR", "ja": "JP", "zh": "CN", "it": "IT",
+}
+GOOGLE_DOMAINS = {
+    "US": "www.google.com", "GB": "www.google.co.uk", "DE": "www.google.de",
+    "FR": "www.google.fr", "ES": "www.google.es", "BR": "www.google.com.br",
+    "JP": "www.google.co.jp", "CN": "www.google.com.hk", "IT": "www.google.it",
+}
+SAFE_SEARCH = {0: "off", 1: "medium", 2: "high"}
+
+
+def _lit_map(d: dict) -> F.Column:
+    return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+
+def build_locale_serp_url(
+    query: F.Column,
+    start: F.Column,
+    lang: F.Column,
+    country: F.Column,
+    limit: F.Column,
+    safe_search: F.Column,
+) -> F.Column:
+    """X15 locale-aware Google URL building as pure column math
+    (Google.ts:72-169 semantics): country resolution (explicit country unless
+    skip-listed, else the language's default, else US), per-country google
+    domain, hl/lr/cr params, num capped at 100, safe mapping, and a seeded
+    deterministic arc_id replacing the reference's random async param."""
+    skip = F.array(*[F.lit(c) for c in SKIP_COUNTRIES])
+    resolved_country = F.coalesce(
+        F.when(~F.array_contains(skip, F.upper(country)), F.upper(country)),
+        _lit_map(LANG_DEFAULT_COUNTRY)[lang],
+        F.lit("US"),
+    )
+    domain = F.coalesce(_lit_map(GOOGLE_DOMAINS)[resolved_country], F.lit("www.google.com"))
+    lr = F.coalesce(_lit_map(LANG_RESTRICT)[lang], F.lit("lang_en"))
+    hl = F.concat(F.coalesce(lang, F.lit("en")), F.lit("-"), resolved_country)
+    num = F.least(F.greatest(limit, F.lit(1)), F.lit(100))
+    safe = F.coalesce(
+        _lit_map(SAFE_SEARCH)[safe_search], F.lit("medium")
+    )
+    arc_id = F.concat(
+        F.lit("arc_id:srp_"),
+        F.substring(F.md5(F.concat(query, F.lit("|"), start.cast("string"))), 1, 10),
+    )
+    return F.concat(
+        F.lit("https://"), domain, F.lit("/search?q="),
+        F.regexp_replace(query, r"\s+", "+"),
+        F.lit("&start="), start.cast("string"),
+        F.lit("&hl="), hl,
+        F.lit("&lr="), lr,
+        F.lit("&cr=country"), resolved_country,
+        F.lit("&ie=utf8&oe=utf8&filter=0&asearch=arc&async="), arc_id,
+        F.lit("&num="), num.cast("string"),
+        F.lit("&safe="), safe,
+    )
+
 
 def build_serp_requests(queries: DataFrame, limit_col: str = "limit") -> DataFrame:
     """(query_id, query, limit) -> one row per page with the fetch URL.

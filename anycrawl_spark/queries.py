@@ -670,6 +670,135 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
 """
 
 
+def q_text_chunks(spark, sf_dir):
+    """X14 token-aware chunking with overlap, exploded to one row per chunk
+    (the LLM-context packing op of a training-data pipeline)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        d.select("doc_id", F.explode(TX.chunk_tokens(F.col("text"), 32, 8)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+SQL_TEXT_CHUNKS = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 100),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE CAST(ceil(greatest(len(toks) - 8, 1) / 24.0) AS INT) END AS n_chunks
+  FROM t),
+i AS (SELECT doc_id, toks, n, unnest(range(greatest(n_chunks, 1))) AS chunk_id
+      FROM c WHERE n > 0)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+       CAST(least(n - chunk_id * 24, 32) AS INT) AS n_tokens
+FROM i
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids (IVF coarse-quantizer training step):
+    element-wise mean over array<float> via posexplode + groupBy."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 5).alias("centroid_v"), F.count("*").alias("n_vecs"))
+        .filter(F.col("dim") < 8)  # keep the checked slice compact
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, CAST(d.dim AS INT) AS dim,
+       round(avg(embedding[d.dim + 1]), 5) AS centroid_v, count(*) AS n_vecs
+FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS dim) d
+GROUP BY 1, 2
+"""
+
+
+def q_serp_urls(spark, sf_dir):
+    """X15 locale-aware SERP URL building over a locale mix synthesized from
+    orders (pure column math, oracle-exact incl. the seeded arc_id)."""
+    from anycrawl_spark.operators.serp import build_locale_serp_url
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    langs = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("ja"), F.lit("zh")),
+        (F.pmod("o_custkey", 5) + 1).cast("int"),
+    )
+    countries = F.element_at(
+        F.array(F.lit("US"), F.lit("GB"), F.lit("MY"), F.lit("BR"), F.lit(None)),
+        (F.pmod("o_custkey", 5) + 1).cast("int"),
+    )
+    q = F.concat(F.lit("query "), F.pmod("o_orderkey", 17).cast("string"))
+    return o.select(
+        "o_orderkey",
+        build_locale_serp_url(
+            q, F.pmod("o_orderkey", 3) * 10, langs, countries,
+            F.pmod("o_custkey", 120).cast("int"), F.pmod("o_orderkey", 4).cast("int"),
+        ).alias("serp_url"),
+    )
+
+
+def _sql_serp_urls() -> str:
+    # mirrors build_locale_serp_url + the literal dims, in DuckDB SQL
+    return r"""
+WITH base AS (
+  SELECT o_orderkey,
+         ['en','de','fr','ja','zh'][(o_custkey % 5) + 1] AS lang,
+         ['US','GB','MY','BR',NULL][(o_custkey % 5) + 1] AS country,
+         'query ' || (o_orderkey % 17) AS q,
+         (o_orderkey % 3) * 10 AS start,
+         CAST(o_custkey % 120 AS INT) AS lim,
+         CAST(o_orderkey % 4 AS INT) AS safe_in
+  FROM orders WHERE o_orderkey < 400),
+r AS (
+  SELECT *,
+    coalesce(
+      CASE WHEN upper(country) IS NOT NULL AND NOT list_contains(
+        ['AL','AZ','BD','BN','BT','ET','GE','GL','KH','LA','LK','ME','MK','MM','MN','MV','MY','NP','TJ','TM','UZ'],
+        upper(country)) THEN upper(country) END,
+      CASE lang WHEN 'en' THEN 'US' WHEN 'de' THEN 'DE' WHEN 'fr' THEN 'FR'
+                WHEN 'es' THEN 'ES' WHEN 'pt' THEN 'BR' WHEN 'ja' THEN 'JP'
+                WHEN 'zh' THEN 'CN' WHEN 'it' THEN 'IT' END,
+      'US') AS rc
+  FROM base)
+SELECT o_orderkey,
+  'https://' ||
+  coalesce(CASE rc WHEN 'US' THEN 'www.google.com' WHEN 'GB' THEN 'www.google.co.uk'
+                   WHEN 'DE' THEN 'www.google.de' WHEN 'FR' THEN 'www.google.fr'
+                   WHEN 'ES' THEN 'www.google.es' WHEN 'BR' THEN 'www.google.com.br'
+                   WHEN 'JP' THEN 'www.google.co.jp' WHEN 'CN' THEN 'www.google.com.hk'
+                   WHEN 'IT' THEN 'www.google.it' END, 'www.google.com') ||
+  '/search?q=' || regexp_replace(q, '\s+', '+', 'g') ||
+  '&start=' || start ||
+  '&hl=' || coalesce(lang, 'en') || '-' || rc ||
+  '&lr=' || coalesce(CASE lang WHEN 'en' THEN 'lang_en' WHEN 'de' THEN 'lang_de'
+                               WHEN 'fr' THEN 'lang_fr' WHEN 'es' THEN 'lang_es'
+                               WHEN 'pt' THEN 'lang_pt' WHEN 'ja' THEN 'lang_ja'
+                               WHEN 'zh' THEN 'lang_zh-CN' WHEN 'it' THEN 'lang_it' END,
+                     'lang_en') ||
+  '&cr=country' || rc ||
+  '&ie=utf8&oe=utf8&filter=0&asearch=arc&async=arc_id:srp_' ||
+  substring(md5(q || '|' || start), 1, 10) ||
+  '&num=' || least(greatest(lim, 1), 100) ||
+  '&safe=' || coalesce(CASE safe_in WHEN 0 THEN 'off' WHEN 1 THEN 'medium' WHEN 2 THEN 'high' END, 'medium')
+  AS serp_url
+FROM r
+"""
+
+
+SQL_SERP_URLS = _sql_serp_urls()
+
+
 def q_finalize_check(spark, sf_dir):
     """A3 finalize decision: filter on the progress aggregate —
     ``done >= limit OR (enqueued > 0 AND done == enqueued)`` (the batch analog
@@ -850,6 +979,9 @@ QUERIES = {
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_embedding_topk": q_embedding_topk,
     "q_finalize_check": q_finalize_check,
+    "q_text_chunks": q_text_chunks,
+    "q_embedding_centroids": q_embedding_centroids,
+    "q_serp_urls": q_serp_urls,
     # rows-only (no oracle)
     "q_serp_search": q_serp_search,
     "q_serp_enrich": q_serp_enrich,
@@ -941,4 +1073,7 @@ ORACLES = {
     "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "q_embedding_topk": SQL_EMBEDDING_TOPK,
     "q_finalize_check": SQL_FINALIZE_CHECK,
+    "q_text_chunks": SQL_TEXT_CHUNKS,
+    "q_embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "q_serp_urls": SQL_SERP_URLS,
 }
