@@ -43,15 +43,10 @@ from pyspark.sql import functions as F
 
 from anycrawl_spark import synth
 from anycrawl_spark.crawl.params import CrawlParams, RETRYABLE_STATUSES
-from anycrawl_spark.operators.gates import (
-    make_job_gate,
-    make_robots_filter,
-    tokens_expr,
-    with_scope_keys,
-)
+from anycrawl_spark.operators.gates import make_candidate_gate, tokens_expr
 from anycrawl_spark.operators.seen import filter_fresh
 from anycrawl_spark.operators.spans import fetch_extract
-from anycrawl_spark.functions.urls import canonicalize_url, url_host, with_url_key
+from anycrawl_spark.functions.urls import canonicalize_url, url_host
 from anycrawl_spark.schemas import FRONTIER, JOBS, PROGRESS
 from anycrawl_spark.storage import SnapshotStore
 
@@ -67,6 +62,8 @@ class CrawlEngine:
         web: synth.WebConfig = synth.DEFAULT_WEB,
         num_buckets: int = 32,
         fetch_partitions: int | None = None,
+        profile: bool = False,
+        two_phase_politeness: bool = False,
     ):
         self.spark = spark
         self.store = SnapshotStore(workdir, spark)
@@ -77,6 +74,8 @@ class CrawlEngine:
         self.fetch_partitions = fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
+        self.profile = profile
+        self.two_phase_politeness = two_phase_politeness
         # small driver-side policy state (broadcast-sized; jobs dim, J3)
         self.robots_by_host: dict[str, list[tuple[str, str]]] = {}
         self.host_delays: dict[str, int] = {}
@@ -88,8 +87,7 @@ class CrawlEngine:
                 self.host_delays[r["host"]] = max(
                     self.host_delays.get(r["host"], 0), r["crawl_delay_ms"]
                 )
-        self._robots_udf = make_robots_filter(self.robots_by_host)
-        self._job_gate = make_job_gate(jobs)
+        self._candidate_gate = make_candidate_gate(jobs, self.robots_by_host)
         self.max_depth_by_job = {j["job_id"]: j["max_depth"] for j in jobs}
         self.limit_by_job = {j["job_id"]: j["limit"] for j in jobs}
         # mutable per-job counters (recovered from progress on resume)
@@ -241,14 +239,32 @@ class CrawlEngine:
         w_budget = Window.partitionBy("job_id").orderBy(
             F.col("_pass1").desc(), F.col("depth").asc(), F.col("discovery_seq").asc()
         )
-        flagged = (
-            frontier.withColumn(
-                "_eligible",
-                (F.col("status") == "pending")
-                & (F.col("next_eligible_round") <= rnd)
-                & F.col("job_id").isin(active),
+        import time as _time
+
+        t0 = _time.time()
+        flagged = frontier.withColumn(
+            "_eligible",
+            (F.col("status") == "pending")
+            & (F.col("next_eligible_round") <= rnd)
+            & F.col("job_id").isin(active),
+        )
+        if self.two_phase_politeness:
+            # salted pre-cap bounds any mega-host's window partition to
+            # salt_buckets x tokens survivors (§4.2 skew); equivalence with
+            # the exact window proven in tests/test_gates.py
+            w_salt = Window.partitionBy(
+                "job_id", "host", F.pmod(F.col("url_hash"), F.lit(16))
+            ).orderBy(
+                F.col("_eligible").desc(), F.col("depth").asc(),
+                F.col("discovery_seq").asc(),
             )
-            .withColumn(
+            flagged = flagged.withColumn(
+                "_eligible",
+                F.col("_eligible")
+                & (F.row_number().over(w_salt) <= host_tokens),
+            )
+        flagged = (
+            flagged.withColumn(
                 "_host_rank",
                 F.when(F.col("_eligible"), F.row_number().over(w_host)),
             )
@@ -293,6 +309,7 @@ class CrawlEngine:
         docs = ok  # extraction already ran in the fused stage
 
         # --- documents + metrics appends -----------------------------------
+        t_defs = _time.time()
         self.store.append(
             "documents",
             docs.select(
@@ -304,6 +321,7 @@ class CrawlEngine:
                 F.size("links").alias("n_links"),
             ),
         )
+        t_docs_append = _time.time()
         metrics_df = fetched.select(
             "job_id", F.lit(rnd).alias("round"), "url_hash", "host",
             "status_code", "latency_ms", "size_bytes",
@@ -321,19 +339,17 @@ class CrawlEngine:
         max_depth_map = F.create_map(
             *[F.lit(x) for kv in self.max_depth_by_job.items() for x in kv]
         )
+        # one fused python stage: canonicalize + scope + paths + robots
         cand = (
-            with_url_key(links)  # canonicalize + url_hash + host (drops invalid)
-            .withColumn("depth", F.col("parent_depth") + 1)
+            links.withColumn("depth", F.col("parent_depth") + 1)
             .filter(F.col("depth") <= max_depth_map[F.col("job_id")])
+            .withColumn("_g", self._candidate_gate(F.col("job_id"), F.col("url")))
+            .filter(F.col("_g.keep"))
+            .withColumn("url", F.col("_g.url"))
+            .withColumn("host", F.col("_g.host"))
+            .drop("_g")
+            .withColumn("url_hash", F.xxhash64("url"))
         )
-        cand = with_scope_keys(cand)
-        cand = cand.filter(
-            self._job_gate(
-                F.col("job_id"), F.col("url"), F.col("host"),
-                F.col("_domain"), F.col("_origin"),
-            )
-        ).drop("_domain", "_origin")
-        cand = cand.filter(self._robots_udf(F.col("host"), F.col("url")))
 
         # intra-round first-wins dedup: min (parent_depth, parent_seq, ordinal)
         w_first = Window.partitionBy("job_id", "url_hash").orderBy(
@@ -430,6 +446,7 @@ class CrawlEngine:
             summary_rows = fetch_summary.unionByName(fresh_summary).collect()
             f_metrics.result()
             f_log.result()
+        t_summary = _time.time()
 
         agg: dict = {}
         fresh_counts: dict = {}
@@ -496,6 +513,7 @@ class CrawlEngine:
                 )
             for f in futures:
                 f.result()
+        t_final = _time.time()
         self.store.commit_round(rnd)
         stats = {
             "round": rnd,
@@ -503,6 +521,13 @@ class CrawlEngine:
             "fresh": sum(fresh_counts.values()),
             "active_jobs": len(active),
         }
+        if self.profile:
+            stats["t_phases"] = {
+                "defs": round(t_defs - t0, 2),
+                "fetch_extract_docs": round(t_docs_append - t_defs, 2),
+                "metrics_log_summary": round(t_summary - t_docs_append, 2),
+                "final_writes": round(t_final - t_summary, 2),
+            }
         self.round_stats.append(stats)
         flagged.unpersist()
         fetched.unpersist()
