@@ -84,6 +84,72 @@ def metrics_stream(requests: DataFrame, window: str = "10 seconds") -> DataFrame
     )
 
 
+def foreach_batch_crawl(
+    spark: SparkSession,
+    workdir: str,
+    robots: list[dict] | None = None,
+    rows_per_second: int = 1,
+    max_batches: int = 3,
+):
+    """Always-on crawl ingress: each micro-batch seeds any newly-arrived jobs
+    into the CrawlEngine and advances ONE superstep round.
+
+    This is the ``foreachBatch`` wiring of §3.2's async crawl start: state
+    lives entirely in the snapshot tables (that's why no
+    ``applyInPandasWithState`` is needed), so the streaming query is just a
+    trigger clock + job ingress. Returns the engine after ``max_batches``
+    micro-batches (bounded for tests; production runs unbounded).
+    """
+    from anycrawl_spark import synth
+    from anycrawl_spark.crawl.params import CrawlParams
+    from anycrawl_spark.crawl.superstep import CrawlEngine
+
+    engine_state = {"engine": None, "round": 0, "batches": 0}
+
+    def handle_batch(batch_df, batch_id: int):
+        # job ingress: one new crawl job per arriving row (bounded demo)
+        new_jobs = [
+            {
+                "job_id": f"sjob-{int(r.value)}",
+                "seed_url": f"http://{synth.host_name(int(r.value) % 20)}/p/0",
+                "engine": "cheerio",
+                "strategy": "same-hostname",
+                "max_depth": 4,
+                "limit": 10,
+                "include_paths": [],
+                "exclude_paths": [],
+                "scrape_paths": [],
+                "status": "running",
+            }
+            for r in batch_df.select("value").distinct().collect()[:2]
+        ]
+        eng = engine_state["engine"]
+        if eng is None and new_jobs:
+            eng = CrawlEngine(
+                spark, workdir, new_jobs, robots or [], CrawlParams(), num_buckets=8
+            )
+            eng.init_state()
+            engine_state["engine"] = eng
+        if eng is not None and len(eng.finalized) < len(eng.jobs):
+            eng.run_round(engine_state["round"])
+            engine_state["round"] += 1
+        engine_state["batches"] += 1
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    q = (
+        rate.writeStream.foreachBatch(handle_batch)
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline and engine_state["batches"] < max_batches:
+        time.sleep(1)
+    q.stop()
+    return engine_state["engine"]
+
+
 def run_scrape_stream_once(spark: SparkSession, rows_per_second: int = 200) -> list:
     """Drive the scrape stream for a few micro-batches into a memory sink and
     return the collected document rows (used by tests)."""

@@ -17,6 +17,16 @@ def test_scrape_stream_produces_documents(spark):
         assert r.url.startswith("http://host")
 
 
+def test_foreach_batch_crawl(spark, tmp_path):
+    from anycrawl_spark.streaming.continuous import foreach_batch_crawl
+
+    eng = foreach_batch_crawl(spark, str(tmp_path / "fbc"), max_batches=4)
+    assert eng is not None
+    # at least one superstep ran and produced state
+    assert eng.store.last_round >= 0
+    assert sum(eng.done.values()) + sum(eng.pending.values()) > 0
+
+
 def test_metrics_stream_watermark(spark):
     from anycrawl_spark.streaming.continuous import (
         metrics_stream, scrape_requests_stream,
