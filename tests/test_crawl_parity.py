@@ -22,6 +22,17 @@ def parity_run(spark, tmp_path_factory):
     # exercise path filters on one job
     jobs[1] = dict(jobs[1], include_paths=["**/p/**", "/\\/p\\/\\d+$/"], exclude_paths=["**/p/7"])
     robots = synth.robots_rules()
+    # 4th job: same-origin strategy seeded on a crawl-delay (politeness) host
+    delay_hosts = [r["host"] for r in robots if r.get("crawl_delay_ms")]
+    jobs.append(
+        dict(
+            synth.seed_jobs(1)[0],
+            job_id="job-origin",
+            seed_url=f"http://{delay_hosts[0]}/p/0",
+            strategy="same-origin",
+            limit=30,
+        )
+    )
     params = CrawlParams(max_rounds=40)
 
     sim = ReferenceSimulator(jobs, robots, params)
