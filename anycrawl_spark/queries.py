@@ -13,13 +13,51 @@ weaker rows-only check; their real correctness lives in tests/.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from anycrawl_spark.functions import text as TX
 
 
+_DIST_SESSIONS: set[int] = set()
+
+
+def ensure_dist(spark: SparkSession) -> None:
+    """Ship the package to python workers via addPyFile.
+
+    Local runs work because the daemon inherits the driver's cwd — but a
+    harness launched from another directory (or a real cluster) needs the
+    package on the workers' sys.path explicitly. Safe to call repeatedly.
+    """
+    key = id(spark.sparkContext)
+    if key in _DIST_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # fresh zip per process (a cached /tmp zip could ship stale code)
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="anycrawl_dist_"), "anycrawl_spark.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added or connect-mode session
+        pass
+    _DIST_SESSIONS.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_dist(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -833,6 +871,7 @@ def q_serp_search(spark, sf_dir):
     UDF over synthetic Google-DOM pages — not SQL-expressible."""
     from anycrawl_spark.operators.serp import serp_search
 
+    ensure_dist(spark)
     qdf = spark.createDataFrame(
         [("q0", "spark crawl engine", 15), ("q1", "frontier dedup bloom", 7)],
         "query_id string, query string, limit int",
@@ -886,6 +925,7 @@ def q_serp_enrich(spark, sf_dir):
     from anycrawl_spark.operators.serp import enrich_with_documents, serp_search
     from anycrawl_spark.operators.spans import fetch_extract
 
+    ensure_dist(spark)
     qdf = spark.createDataFrame(
         [("q0", "frontier bloom dedup", 10)],
         "query_id string, query string, limit int",
@@ -918,6 +958,7 @@ def q_crawl_round(spark, sf_dir):
     from anycrawl_spark.crawl.params import CrawlParams
     from anycrawl_spark.crawl.superstep import CrawlEngine
 
+    ensure_dist(spark)
     jobs = [dict(j, limit=20) for j in synth.seed_jobs(2)]
     wd = tempfile.mkdtemp(prefix="q_crawl_round_")
     try:
