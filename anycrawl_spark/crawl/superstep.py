@@ -140,6 +140,13 @@ class CrawlEngine:
             [tuple(j[f.name] for f in JOBS.fields) for j in self.jobs], JOBS
         )
         self.store.write("jobs", jobs_df)
+        self.store.append(
+            "webhook_events",
+            self.spark.createDataFrame(
+                [(j["job_id"], "crawl.started", -1) for j in self.jobs],
+                "job_id string, event string, round int",
+            ),
+        )
         # round -1 progress baseline so resume() recovers init-time state
         self.store.append(
             "progress",
@@ -457,6 +464,7 @@ class CrawlEngine:
                 agg[(r_.job_id, r_.k)] = r_.c
 
         progress_rows = []
+        event_rows = []   # S11 webhook side table (reference: WebhookEvents.ts:6-36)
         sched_total = 0
         for jid in active:
             n_ok = agg.get((jid, "ok"), 0)
@@ -473,6 +481,10 @@ class CrawlEngine:
             self.pending[jid] = self.pending.get(jid, 0) - n_ok - n_dead + n_fresh
             if self.done[jid] >= self.limit_by_job[jid] or self.pending[jid] == 0:
                 self.finalized.add(jid)
+                event_rows.append(
+                    (jid, "crawl.completed" if self.failed[jid] < self.done[jid]
+                     else "crawl.failed", rnd)
+                )
             progress_rows.append(
                 (jid, rnd, self.enqueued[jid], self.done[jid], self.succeeded[jid],
                  self.failed[jid], jid in self.finalized, self.next_seq[jid])
@@ -509,6 +521,16 @@ class CrawlEngine:
                         self.store.append,
                         "frontier_log",
                         leftovers.withColumn("status", F.lit("skipped")).select(*frontier_cols),
+                    )
+                )
+            if event_rows:
+                futures.append(
+                    pool.submit(
+                        self.store.append,
+                        "webhook_events",
+                        self.spark.createDataFrame(
+                            event_rows, "job_id string, event string, round int"
+                        ),
                     )
                 )
             for f in futures:

@@ -200,10 +200,16 @@ def transform_urls(root: Node, base_url: str) -> None:
                 if sources:
                     best = max(sources, key=lambda t: t[1])
                     node.attrs["src"] = best[0]
-                node.attrs["srcset"] = ", ".join(
-                    f"{resolve_url(base_url, u)} {int(s) if not d else s}{'w' if not d else 'x'}".rstrip()
-                    for u, s, d in _parse_srcset(srcset)
-                )
+                # rebuild keeps the ORIGINAL descriptor text (reference:
+                # `${absoluteUrl} ${parts[1]}`, HTMLTransformer.ts:298-310)
+                rebuilt = []
+                for entry in (e.strip() for e in srcset.split(",")):
+                    if not entry:
+                        continue
+                    parts = _SRCSET_SPLIT.split(entry)
+                    absu = resolve_url(base_url, parts[0])
+                    rebuilt.append(f"{absu} {parts[1]}" if len(parts) > 1 else absu)
+                node.attrs["srcset"] = ", ".join(rebuilt)
             elif node.attrs.get("src"):
                 node.attrs["src"] = resolve_url(base_url, node.attrs["src"])
         elif node.tag == "a" and node.attrs.get("href"):

@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from anycrawl_spark.storage import SnapshotStore
 
-APPEND_TABLES = ("frontier_log", "seen", "documents", "progress", "metrics")
+APPEND_TABLES = (
+    "frontier_log", "seen", "documents", "progress", "metrics", "webhook_events",
+)
 SNAPSHOT_TABLES = ("frontier", "jobs")
 
 
@@ -53,6 +55,9 @@ class CrawlTables:
 
     def frontier_log(self) -> DataFrame | None:
         return self.store.read_appends("frontier_log")
+
+    def webhook_events(self) -> DataFrame | None:
+        return self.store.read_appends("webhook_events")
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -106,6 +106,23 @@ def test_srcset_best_candidate():
     assert out == "![R](http://site.test/b.png)"
 
 
+def test_srcset_rebuilt_absolute():
+    """srcset itself is rewritten with absolute URLs (HTMLTransformer.ts:298-316),
+    including the http:/ repair inside srcset entries."""
+    from anycrawl_spark.functions.htmlmd import parse_html, transform_urls
+
+    root = parse_html(
+        '<img src="/s.png" srcset="/a.png 1x, http:/cdn.test/b.png 2x" alt="x">'
+    )
+    transform_urls(root, "http://site.test/dir/page")
+    img = next(n for n in root.iter() if not n.is_text and n.tag == "img")
+    # original descriptor text preserved (not re-formatted)
+    assert img.attrs["srcset"] == (
+        "http://site.test/a.png 1x, http://cdn.test/b.png 2x"
+    )
+    assert img.attrs["src"] == "http://cdn.test/b.png"  # 2x wins
+
+
 def test_non_main_strip():
     html = (
         "<header><p>skip</p></header><nav><p>skip</p></nav>"
