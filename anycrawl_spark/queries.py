@@ -133,8 +133,8 @@ def q_progress_counters(spark, sf_dir):
 SQL_PROGRESS_COUNTERS = """
 SELECT o_orderstatus,
        count(*) AS done,
-       sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS succeeded,
-       sum(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) AS failed
+       CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS succeeded,
+       CAST(sum(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS failed
 FROM orders GROUP BY 1
 """
 
@@ -295,8 +295,8 @@ def q_credits(spark, sf_dir):
 
 SQL_CREDITS = """
 SELECT o_orderpriority,
-       sum(1 + CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 2 ELSE 0 END
-             + CASE WHEN o_totalprice > 200000 THEN 3 ELSE 0 END) AS credits_used,
+       CAST(sum(1 + CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 2 ELSE 0 END
+             + CASE WHEN o_totalprice > 200000 THEN 3 ELSE 0 END) AS BIGINT) AS credits_used,
        count(*) AS n_jobs
 FROM orders GROUP BY 1
 """
@@ -856,7 +856,7 @@ def q_finalize_check(spark, sf_dir):
 SQL_FINALIZE_CHECK = """
 SELECT o_custkey, done, enqueued FROM (
   SELECT o_custkey, count(*) AS done,
-         sum(CASE WHEN o_orderstatus <> 'P' THEN 1 ELSE 0 END) AS enqueued
+         CAST(sum(CASE WHEN o_orderstatus <> 'P' THEN 1 ELSE 0 END) AS BIGINT) AS enqueued
   FROM orders GROUP BY 1)
 WHERE done >= 8 OR (enqueued > 0 AND done = enqueued)
 """
@@ -958,24 +958,31 @@ def q_crawl_round(spark, sf_dir):
     from anycrawl_spark.crawl.params import CrawlParams
     from anycrawl_spark.crawl.superstep import CrawlEngine
 
+    import atexit
+
     ensure_dist(spark)
     jobs = [dict(j, limit=20) for j in synth.seed_jobs(2)]
+    # The store outlives this call (the returned DataFrame reads its parquet
+    # lazily), so clean up at process exit rather than in a finally block —
+    # no .toPandas()/createDataFrame round-trip through the driver.
     wd = tempfile.mkdtemp(prefix="q_crawl_round_")
-    try:
-        eng = CrawlEngine(spark, wd, jobs, synth.robots_rules(),
-                          CrawlParams(max_rounds=20), num_buckets=8)
-        eng.init_state()
-        eng.run()
-        log = eng.store.read_appends("frontier_log")
-        out = log.select("job_id", "url", "depth", "discovery_seq", "status").toPandas()
-    finally:
-        shutil.rmtree(wd, ignore_errors=True)
-    return spark.createDataFrame(out)
+    atexit.register(shutil.rmtree, wd, ignore_errors=True)
+    eng = CrawlEngine(spark, wd, jobs, synth.robots_rules(),
+                      CrawlParams(max_rounds=20), num_buckets=8)
+    eng.init_state()
+    eng.run()
+    log = eng.store.read_appends("frontier_log")
+    return log.select("job_id", "url", "depth", "discovery_seq", "status")
 
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> fixed-width features
-    (deterministic fake decode; real decoder stubbed)."""
+    (deterministic fake decode; real decoder stubbed).
+
+    Contract surface is scalar columns only — the driver canonicalizes via
+    pandas sort, which cannot order an array<float> column — so the feature
+    vector is exploded to (media_ref, dim, value) rows; the array-valued API
+    (extract_features) stays available for pipeline use."""
     from anycrawl_spark.operators.multimodal import extract_features, materialize_media
 
     refs = (
@@ -984,7 +991,17 @@ def q_media_features(spark, sf_dir):
         .select(F.concat(F.lit("http://media.synth/img/"), F.col("doc_id")).alias("media_ref"))
     )
     media = materialize_media(refs)
-    return extract_features(media, dim=8)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_ref",
+        F.posexplode("feature").alias("dim", "value"),
+        "ok",
+    ).select(
+        "media_ref",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        "ok",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1048,10 +1065,12 @@ def verify_against_duckdb(spark, sf_dir: str, names=None) -> list[tuple[str, str
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
+        # Mirror the driver's value-hash semantics: every cell is stringified
+        # WITH its dtype-dependent repr, so an int64 4075 vs a float64/object
+        # 4075.0 (DuckDB HUGEINT round-trip) is a failure here too — the
+        # driver hashes exactly that difference.
         df = df.reindex(sorted(df.columns), axis=1)
-        for c in df.columns:
-            if df[c].dtype == object:
-                df[c] = df[c].astype(str)
+        df = df.astype(str)
         return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
     failures: list[tuple[str, str]] = []
@@ -1077,7 +1096,7 @@ def verify_against_duckdb(spark, sf_dir: str, names=None) -> list[tuple[str, str
             failures.append((name, f"rowcount {len(a)} != {len(b)}"))
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(a, b, check_exact=True)
         except AssertionError as e:
             failures.append((name, f"values: {str(e)[:200]}"))
     return failures
