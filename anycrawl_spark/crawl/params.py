@@ -54,6 +54,27 @@ def is_retryable(status: int) -> bool:
     return status in RETRYABLE_STATUSES or status >= 500
 
 
+def is_retryable_col(status_col):
+    """JVM column equivalent of :func:`is_retryable` — the engine and the
+    sequential simulator MUST share one retry predicate (a backend emitting
+    e.g. 501/599 must be retried by both)."""
+    from pyspark.sql import functions as F  # local import: params is UDF-shippable
+
+    return status_col.isin(list(RETRYABLE_STATUSES)) | (status_col >= 500)
+
+
+def robots_path(url: str) -> str:
+    """URL -> path for robots matching. urlsplit-based: a naive
+    ``url.split(host)`` returns ':8080/p' for port-bearing URLs, which would
+    silently mis-match every robots prefix."""
+    from urllib.parse import urlsplit
+
+    try:
+        return urlsplit(url).path or "/"
+    except ValueError:
+        return "/"
+
+
 def robots_decision(rules: list[tuple[str, str]], path: str) -> bool:
     """Longest-prefix-match allow/disallow; allowed by default.
 

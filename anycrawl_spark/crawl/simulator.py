@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from anycrawl_spark import synth
-from anycrawl_spark.crawl.params import CrawlParams, is_retryable, robots_decision
+from anycrawl_spark.crawl.params import CrawlParams, is_retryable, robots_decision, robots_path
 from anycrawl_spark.functions.patterns import compile_patterns, url_passes
 from anycrawl_spark.functions.urls import (
     canonicalize_url,
@@ -93,8 +93,7 @@ class ReferenceSimulator:
         rules = self.robots_by_host.get(host)
         if not rules:
             return True
-        path = url.split(host, 1)[1] if host and host in url else "/"
-        return robots_decision(rules, path)
+        return robots_decision(rules, robots_path(url))
 
     def run(self) -> None:
         for rnd in range(self.params.max_rounds):

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from anycrawl_spark import synth
-from anycrawl_spark.crawl.params import CrawlParams, RETRYABLE_STATUSES
+from anycrawl_spark.crawl.params import CrawlParams, is_retryable_col
 from anycrawl_spark.operators.gates import make_candidate_gate, tokens_expr
 from anycrawl_spark.operators.seen import filter_fresh
 from anycrawl_spark.operators.spans import fetch_extract
@@ -162,14 +162,13 @@ class CrawlEngine:
         self.store.commit_round(-1)
 
     def _robots_ok_driver(self, url: str) -> bool:
-        from anycrawl_spark.crawl.params import robots_decision
+        from anycrawl_spark.crawl.params import robots_decision, robots_path
 
         host = url_host(url)
         rules = self.robots_by_host.get(host)
         if not rules:
             return True
-        path = url.split(host, 1)[1] if host and host in url else "/"
-        return robots_decision(rules, path)
+        return robots_decision(rules, robots_path(url))
 
     # ---------------------------------------------------------------- resume
 
@@ -302,13 +301,13 @@ class CrawlEngine:
 
         ok = fetched.filter(F.col("status_code") == 200)
         retryable = fetched.filter(
-            F.col("status_code").isin(list(RETRYABLE_STATUSES))
+            is_retryable_col(F.col("status_code"))
             & (F.col("attempt") + 1 < self.params.max_attempts)
         )
         dead = fetched.filter(
             (F.col("status_code") != 200)
             & ~(
-                F.col("status_code").isin(list(RETRYABLE_STATUSES))
+                is_retryable_col(F.col("status_code"))
                 & (F.col("attempt") + 1 < self.params.max_attempts)
             )
         )
@@ -429,7 +428,7 @@ class CrawlEngine:
                 "k",
                 F.when(F.col("status_code") == 200, "ok")
                 .when(
-                    F.col("status_code").isin(list(RETRYABLE_STATUSES))
+                    is_retryable_col(F.col("status_code"))
                     & (F.col("attempt") + 1 < self.params.max_attempts),
                     "retry",
                 )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from anycrawl_spark.crawl.params import CrawlParams, robots_decision
+from anycrawl_spark.crawl.params import CrawlParams, robots_decision, robots_path
 from anycrawl_spark.functions.patterns import compile_patterns, url_passes
 from anycrawl_spark.functions.urls import (
     registrable_domain_udf,
@@ -143,8 +143,7 @@ def make_robots_filter(robots_rules_by_host: dict[str, list[tuple[str, str]]]):
             if not rs:
                 out.append(True)
                 continue
-            path = u.split(h, 1)[1] if (h and h in u) else "/"
-            out.append(robots_decision(rs, path))
+            out.append(robots_decision(rs, robots_path(u)))
         return pd.Series(out)
 
     return robots_allowed
@@ -269,8 +268,7 @@ def make_candidate_gate(jobs: list[dict], robots_rules_by_host: dict[str, list[t
             if ok:
                 rs = robots.get(h)
                 if rs:
-                    path = cu.split(h, 1)[1] if (h and h in cu) else "/"
-                    ok = robots_decision(rs, path)
+                    ok = robots_decision(rs, robots_path(cu))
             urls.append(cu); hosts.append(h); keeps.append(bool(ok))
         return pd.DataFrame({"url": urls, "host": hosts, "keep": keeps})
 

@@ -58,7 +58,11 @@ class SnapshotStore:
             {
                 "round": round_no,
                 "tables": dict(self.manifest["tables"]),
-                "appends": {t: list(ds) for t, ds in self.manifest["appends"].items()},
+                # drop reserved-but-failed append slots (see append())
+                "appends": {
+                    t: [d for d in ds if os.path.exists(d)]
+                    for t, ds in self.manifest["appends"].items()
+                },
             }
         )
         self._flush_manifest()
@@ -96,7 +100,13 @@ class SnapshotStore:
     def read(self, table: str, snap_id: int | None = None) -> DataFrame:
         if snap_id is None:
             snap_id = self.manifest["tables"][table]
-        return self.spark.read.parquet(self._snap_dir(table, snap_id))
+        d = self._snap_dir(table, snap_id)
+        if not os.path.exists(d):
+            raise KeyError(
+                f"snapshot expired: {table} snap-{snap_id:06d} was GC'd "
+                f"(write() keeps the last 4 snapshots per table)"
+            )
+        return self.spark.read.parquet(d)
 
     def exists(self, table: str) -> bool:
         return table in self.manifest["tables"]
@@ -111,9 +121,15 @@ class SnapshotStore:
         resume because the manifest still lists the old dir set.
         """
         with self._lock:
+            # Reserve the slot atomically: two concurrent appends to the SAME
+            # table must get distinct seq numbers, so the final path goes into
+            # the dir list inside this lock, before the (slow) parquet write.
+            # A failed write leaves a dangling entry; read_appends filters on
+            # os.path.exists and commit_round only persists what exists.
             dirs = self.manifest["appends"].setdefault(table, [])
             seq = len(dirs)
-        final = os.path.join(self.base, table, f"append-{seq:06d}")
+            final = os.path.join(self.base, table, f"append-{seq:06d}")
+            dirs.append(final)
         tmp = os.path.join(self.base, table, f"_tmp-append-{seq:06d}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
@@ -121,8 +137,6 @@ class SnapshotStore:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
-        with self._lock:
-            dirs.append(final)
 
     def read_appends(self, table: str) -> DataFrame | None:
         dirs = [d for d in self.manifest["appends"].get(table, []) if os.path.exists(d)]

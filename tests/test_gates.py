@@ -48,3 +48,59 @@ def test_budget_window(spark):
     # lowest (depth, seq) first: job-0 keeps its depth-0 rows
     kept = [r for r in out.collect() if r.job_id == "job-0"]
     assert all(r.depth == 0 for r in kept)
+
+
+def test_robots_path_port_bearing():
+    """urlsplit-based path extraction: a naive url.split(host) yields
+    ':8080/p' for port-bearing URLs and mis-matches every robots prefix."""
+    from anycrawl_spark.crawl.params import robots_decision, robots_path
+
+    assert robots_path("http://example.com:8080/private/x") == "/private/x"
+    assert robots_path("http://example.com/p/1") == "/p/1"
+    assert robots_path("http://example.com") == "/"
+    assert robots_path("http://example.com:8080") == "/"
+    rules = [("disallow", "/private")]
+    assert robots_decision(rules, robots_path("http://h.com:8080/private/x")) is False
+    assert robots_decision(rules, robots_path("http://h.com:8080/public")) is True
+
+
+def test_candidate_gate_robots_with_port(spark):
+    """Gate kernel must apply robots to the path, not ':port/path'."""
+    from anycrawl_spark.functions.urls import url_host
+    from anycrawl_spark.operators.gates import make_candidate_gate
+
+    jobs = [{
+        "job_id": "j", "seed_url": "http://site-0.synth:8080/p/0",
+        "strategy": "all", "max_depth": 5, "limit": 100,
+    }]
+    host = url_host("http://site-0.synth:8080/p/0")  # includes the port
+    robots = {host: [("disallow", "/private")]}
+    gate = make_candidate_gate(jobs, robots)
+    df = spark.createDataFrame(
+        [("j", "http://site-0.synth:8080/private/a"),
+         ("j", "http://site-0.synth:8080/p/1")],
+        "job_id string, url string",
+    )
+    out = df.select(gate(F.col("job_id"), F.col("url")).alias("g")).select("g.*")
+    keep = {r.url: r.keep for r in out.collect()}
+    blocked = [u for u, k in keep.items() if not k]
+    allowed = [u for u, k in keep.items() if k]
+    assert any("/private/" in u for u in blocked)
+    assert any("/p/1" in u for u in allowed)
+
+
+def test_retryable_predicate_parity(spark):
+    """Engine column predicate == simulator is_retryable for ALL statuses,
+    including the >=500 band outside RETRYABLE_STATUSES (501, 599, ...)."""
+    from anycrawl_spark.crawl.params import is_retryable, is_retryable_col
+
+    statuses = list(range(100, 600))
+    df = spark.createDataFrame([(s,) for s in statuses], "status_code int")
+    got = {
+        r.status_code: r.retry
+        for r in df.select(
+            "status_code", is_retryable_col(F.col("status_code")).alias("retry")
+        ).collect()
+    }
+    for s in statuses:
+        assert got[s] == is_retryable(s), f"status {s}"
