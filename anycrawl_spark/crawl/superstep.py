@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from anycrawl_spark import synth
 from anycrawl_spark.crawl.params import CrawlParams, is_retryable_col
 from anycrawl_spark.operators.gates import make_candidate_gate, tokens_expr
-from anycrawl_spark.operators.seen import filter_fresh
+from anycrawl_spark.operators.seen import filter_fresh, merge_bloom_shards, with_dedup_key
 from anycrawl_spark.operators.spans import fetch_extract
 from anycrawl_spark.functions.urls import canonicalize_url, url_host
 from anycrawl_spark.schemas import FRONTIER, JOBS, PROGRESS
@@ -64,6 +64,7 @@ class CrawlEngine:
         fetch_partitions: int | None = None,
         profile: bool = False,
         two_phase_politeness: bool = False,
+        shard_refresh_rounds: int = 8,
     ):
         self.spark = spark
         self.store = SnapshotStore(workdir, spark)
@@ -99,6 +100,12 @@ class CrawlEngine:
         self.pending: dict[str, int] = {}   # frontier pending-row count per job
         self.finalized: set[str] = set()
         self.round_stats: list[dict] = []
+        # incremental bloom-shard state: maintained across rounds (per-round
+        # cost is O(fresh keys + dirtied blobs), never O(|seen|) — see
+        # operators/seen.py merge_bloom_shards). Lineage is reset from a full
+        # parquet snapshot every shard_refresh_rounds to bound plan depth.
+        self._shards = None
+        self.shard_refresh_rounds = shard_refresh_rounds
 
     # ------------------------------------------------------------------ init
 
@@ -136,6 +143,13 @@ class CrawlEngine:
             "job_id", F.xxhash64("url").alias("url_hash"), F.lit(-1).alias("first_round")
         )
         self.store.append("seen", seen)
+        seed_keyed = with_dedup_key(seen, self.num_buckets)
+        seed_dirty = [
+            r.bucket for r in seed_keyed.select("bucket").distinct().collect()
+        ]
+        self._commit_shard_delta(
+            merge_bloom_shards(None, seed_keyed, dirty_buckets=seed_dirty), -1
+        )
         jobs_df = self.spark.createDataFrame(
             [tuple(j[f.name] for f in JOBS.fields) for j in self.jobs], JOBS
         )
@@ -169,6 +183,74 @@ class CrawlEngine:
         if not rules:
             return True
         return robots_decision(rules, robots_path(url))
+
+    # ----------------------------------------------------- shard maintenance
+
+    def _commit_shard_delta(self, merged, rnd: int) -> None:
+        """Swap in the round's new shard state; persist ONLY dirty generations.
+
+        ``merged`` is MERGED_SHARD_SCHEMA rows (full state + updated flag).
+        The append log gets just the updated rows (the Iceberg-MERGE analog:
+        per-round write cost is O(dirtied blobs), not O(all shards)); the
+        in-memory state is the cached full DataFrame. Every
+        ``shard_refresh_rounds`` the full state is rewritten as a snapshot and
+        reloaded so cross-round lineage depth stays bounded.
+        """
+        # localCheckpoint truncates lineage to a leaf plan: the merge
+        # references the previous state TWICE (dirty cogroup + clean
+        # pass-through), so without truncation the logical plan DOUBLES per
+        # round and Catalyst analysis goes exponential (measured: 2 s -> 220 s
+        # per round by round 6). Eager checkpoint = one materializing job;
+        # every later use (probe broadcast, next merge, the delta append)
+        # reads executor-local blocks. Production (Iceberg) reads the shard
+        # table fresh per round, which is the same leaf-plan property.
+        new_state = merged.localCheckpoint(eager=True)
+        self.store.append(
+            "bloom_shards",
+            new_state.filter(F.col("updated")).select(
+                "bucket", "gen", "n_keys", "bloom", F.lit(rnd).alias("round")
+            ),
+        )
+        if (rnd + 1) % self.shard_refresh_rounds == 0:
+            # periodic full snapshot: bounds resume replay (resume = snapshot
+            # + committed deltas after it), not needed for lineage anymore
+            self.store.write(
+                "bloom_shards_state",
+                new_state.select(
+                    "bucket", "gen", "n_keys", "bloom", F.lit(rnd).alias("round")
+                ),
+            )
+        self._shards = new_state.select("bucket", "gen", "n_keys", "bloom")
+
+    def _load_shard_state(self):
+        """Reconstruct shard state on resume: last full snapshot + replay of
+        committed per-round deltas after it (last-writer-wins per bucket/gen).
+        Returns None for stores that predate the shard log (callers fall back
+        to a one-time rebuild from the seen table)."""
+        cols = ["bucket", "gen", "n_keys", "bloom", "round"]
+        state_round = -2
+        parts = []
+        try:
+            snap = self.store.read("bloom_shards_state").select(*cols)
+            state_round = snap.select(F.max("round")).first()[0]
+            parts.append(snap)
+        except KeyError:
+            pass
+        log = self.store.read_appends("bloom_shards")
+        if log is not None:
+            parts.append(log.select(*cols).filter(F.col("round") > state_round))
+        if not parts:
+            return None
+        allrows = parts[0]
+        for d in parts[1:]:
+            allrows = allrows.unionByName(d)
+        w = Window.partitionBy("bucket", "gen").orderBy(F.col("round").desc())
+        return (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("bucket", "gen", "n_keys", "bloom")
+            .persist()
+        )
 
     # ---------------------------------------------------------------- resume
 
@@ -206,6 +288,7 @@ class CrawlEngine:
             self.store.read("frontier").groupBy("job_id").count().collect()
         ):
             self.pending[r.job_id] = r["count"]
+        self._shards = self._load_shard_state()
         return last + 1
 
     # ------------------------------------------------------------------ run
@@ -365,7 +448,13 @@ class CrawlEngine:
             F.col("_rn") == 1
         ).drop("_rn")
 
-        fresh = filter_fresh(cand, seen, self.num_buckets)
+        fresh = filter_fresh(
+            cand, seen, self.num_buckets,
+            shards=self._shards,
+            # |seen| == total enqueued across jobs; tracked driver-side so the
+            # auto strategy never fires an O(|seen|) count() action per round
+            seen_count=sum(self.enqueued.values()),
+        )
 
         # --- discovery_seq assignment (deterministic BFS ordinal) ----------
         base_seq_map = F.create_map(
@@ -534,6 +623,18 @@ class CrawlEngine:
                 )
             for f in futures:
                 f.result()
+        # incremental shard maintenance: merge this round's fresh keys into
+        # the persisted shard state (cost ~ O(fresh + dirtied blobs)); the
+        # dirty-bucket list is one tiny collect over the cached fresh set
+        fresh_keyed = with_dedup_key(
+            fresh.select("job_id", "url_hash"), self.num_buckets
+        )
+        dirty = [
+            r.bucket for r in fresh_keyed.select("bucket").distinct().collect()
+        ]
+        self._commit_shard_delta(
+            merge_bloom_shards(self._shards, fresh_keyed, dirty_buckets=dirty), rnd
+        )
         t_final = _time.time()
         self.store.commit_round(rnd)
         stats = {

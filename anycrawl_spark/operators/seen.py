@@ -19,10 +19,13 @@ filter"):
    bloom-positive (true dups + ~1% FP) => exact ``left_anti`` against seen.
 
 Net effect at scale: the expensive anti-join sees only (dup_rate + 1%) of
-candidates instead of all of them. Shards rebuild incrementally per round from
-the bucket's keys (at production scale: maintained as an Iceberg table of
-binary rows, merged per round — rebuild cost is proportional to bucket size,
-amortized by only rebuilding dirtied buckets).
+candidates instead of all of them. Shard state is maintained INCREMENTALLY
+across rounds (``merge_bloom_shards``): each bucket holds a list of bloom
+generations (scalable bloom filters, Almeida et al. 2007); per round, fresh
+keys OR-merge into the newest generation of dirtied buckets only — clean
+buckets never cross the Arrow boundary, and nothing rescans the lifetime seen
+set. At production scale the shard table is an Iceberg table of binary rows
+kept current by a per-round MERGE of exactly the dirty generations.
 """
 
 from __future__ import annotations
@@ -42,9 +45,16 @@ DEFAULT_BUCKETS = 32   # local test default; 4096 at 10^10 scale
 SHARD_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType()),
+        T.StructField("gen", T.IntegerType()),
         T.StructField("n_keys", T.LongType()),
         T.StructField("bloom", T.BinaryType()),
     ]
+)
+
+# merge output = SHARD_SCHEMA + a dirty flag so callers can persist ONLY the
+# generations this round touched (Iceberg MERGE analog)
+MERGED_SHARD_SCHEMA = T.StructType(
+    list(SHARD_SCHEMA.fields) + [T.StructField("updated", T.BooleanType())]
 )
 
 
@@ -82,6 +92,7 @@ def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "bucket": [int(pdf["bucket"].iloc[0])],
+            "gen": [0],
             "n_keys": [len(hashes)],
             "bloom": [bits.tobytes()],
         }
@@ -97,32 +108,140 @@ def build_bloom_shards(seen_keyed: DataFrame) -> DataFrame:
     )
 
 
+def _probe_blob(hs: np.ndarray, blob: bytes) -> np.ndarray:
+    bits = np.frombuffer(blob, dtype=np.uint8)
+    m_bits = len(bits) * 8
+    hit = np.ones(len(hs), dtype=bool)
+    for pos in _bit_positions(hs, m_bits):
+        hit &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    return hit
+
+
 def _probe_cogroup(keys: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
-    """Cogrouped probe: one bucket's candidate KEYS + its (single) bloom shard.
+    """Cogrouped probe: one bucket's candidate KEYS + its bloom generation(s).
 
     Two bandwidth decisions, both load-bearing at 10^10 keys:
-    - the shard blob crosses the wire ONCE per bucket (cogroup), never once
+    - the shard blobs cross the wire ONCE per bucket (cogroup), never once
       per candidate row;
     - only the 8-byte dedup_hash keys round-trip through Arrow — candidate
       payload columns never leave the JVM (the verdict is joined back on the
       hash). Measured locally this is the difference between a ~1.2 GB and a
       ~64 MB Python transfer per 8M candidates.
+
+    A bucket's shard is a LIST of bloom generations (scalable-bloom growth,
+    Almeida et al. 2007): a key may be in any generation, so hits OR across
+    generations.
     """
     if len(keys) == 0:
         return pd.DataFrame({"dedup_hash": [], "maybe_seen": []}).astype(
             {"dedup_hash": "int64", "maybe_seen": "bool"}
         )
     hs = keys["dedup_hash"].to_numpy()
-    if shard.empty:
-        return pd.DataFrame(
-            {"dedup_hash": hs, "maybe_seen": np.zeros(len(hs), dtype=bool)}
-        )
-    bits = np.frombuffer(shard["bloom"].iloc[0], dtype=np.uint8)
-    m_bits = len(bits) * 8
-    hit = np.ones(len(hs), dtype=bool)
-    for pos in _bit_positions(hs, m_bits):
-        hit &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    hit = np.zeros(len(hs), dtype=bool)
+    for blob in shard["bloom"]:
+        hit |= _probe_blob(hs, blob)
     return pd.DataFrame({"dedup_hash": hs, "maybe_seen": hit})
+
+
+# -- incremental shard maintenance (scalable-bloom generations) -------------
+#
+# Per-round maintenance must cost O(fresh keys + dirtied blobs), never
+# O(|seen|): rebuilding every shard from the full seen set each round is a
+# full-table scan + rehash of 10^10 keys (the exact failure mode docs/SCALE.md
+# rules out). Instead each bucket holds a list of bloom GENERATIONS
+# (scalable bloom filters, Almeida et al. 2007, public): fresh keys are
+# OR-merged into the newest generation while it has capacity; when it fills, a
+# new generation sized for growth is opened. Untouched buckets pass through
+# without their blobs being copied or rewritten.
+
+GEN_GROWTH = 2  # each new generation doubles the previous capacity
+
+
+def _merge_shard_kernel(fresh: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+    """One bucket: existing generations + this round's fresh keys ->
+    new generation list, with ``updated`` flagging rows that changed."""
+    gens = shard.sort_values("gen") if not shard.empty else shard
+    if len(fresh) == 0:
+        out = gens.copy()
+        out["updated"] = False
+        return out[["bucket", "gen", "n_keys", "bloom", "updated"]]
+    bucket = int(fresh["bucket"].iloc[0])
+    hs = fresh["dedup_hash"].to_numpy()
+    rows = []
+    if not gens.empty:
+        for r in gens.iloc[:-1].itertuples(index=False):
+            rows.append((bucket, int(r.gen), int(r.n_keys), r.bloom, False))
+        last = gens.iloc[-1]
+        m_bits = len(last["bloom"]) * 8
+        cap = m_bits // BITS_PER_KEY
+        if int(last["n_keys"]) + len(hs) <= cap:
+            bits = np.frombuffer(last["bloom"], dtype=np.uint8).copy()
+            for pos in _bit_positions(hs, m_bits):
+                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+            rows.append(
+                (bucket, int(last["gen"]), int(last["n_keys"]) + len(hs),
+                 bits.tobytes(), True)
+            )
+            return pd.DataFrame(
+                rows, columns=["bucket", "gen", "n_keys", "bloom", "updated"]
+            )
+        # newest generation is full: keep it read-only, open a bigger one
+        rows.append((bucket, int(last["gen"]), int(last["n_keys"]), last["bloom"], False))
+        next_gen = int(last["gen"]) + 1
+        grow_bits = m_bits * GEN_GROWTH
+    else:
+        next_gen = 0
+        grow_bits = 0
+    m_bits = max(_bloom_params(len(hs)), grow_bits)
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for pos in _bit_positions(hs, m_bits):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    rows.append((bucket, next_gen, len(hs), bits.tobytes(), True))
+    return pd.DataFrame(rows, columns=["bucket", "gen", "n_keys", "bloom", "updated"])
+
+
+def merge_bloom_shards(
+    shards: DataFrame | None,
+    fresh_keyed: DataFrame,
+    dirty_buckets: list[int] | None = None,
+) -> DataFrame:
+    """OR-merge one round's fresh keys into the persisted shard state.
+
+    ``shards``: current state (SHARD_SCHEMA rows; None on first round).
+    ``fresh_keyed``: this round's fresh keys with dedup_hash+bucket attached.
+    Returns MERGED_SHARD_SCHEMA rows — the FULL new state; rows with
+    ``updated`` are the only ones that need persisting (Iceberg MERGE writes
+    exactly these). Cogrouped on the bucket key, so each dirty bucket's blob
+    crosses the wire once and clean buckets' blobs aren't copied at all.
+    """
+    fresh_keys = fresh_keyed.select("bucket", "dedup_hash")
+    if shards is None:
+        shards = fresh_keys.sparkSession.createDataFrame([], SHARD_SCHEMA)
+    # Dirty/clean split: buckets with no fresh keys this round pass through
+    # without their blobs ever crossing the Arrow boundary — late-crawl rounds
+    # touch few buckets, and at 4096 buckets this is most of the state.
+    # Callers that already know the dirty-bucket list (the crawl driver
+    # collects it from the cached fresh set — <= num_buckets ints) pass it in,
+    # turning the split into two scan filters; otherwise a broadcast
+    # semi/anti join derives it without any driver action.
+    if dirty_buckets is not None:
+        dirty = shards.filter(F.col("bucket").isin(dirty_buckets))
+        clean = shards.filter(~F.col("bucket").isin(dirty_buckets))
+    else:
+        fresh_buckets = fresh_keys.select("bucket").distinct()
+        dirty = shards.join(F.broadcast(fresh_buckets), "bucket", "semi")
+        clean = shards.join(F.broadcast(fresh_buckets), "bucket", "anti")
+    clean = clean.withColumn("updated", F.lit(False)).select(
+        [f.name for f in MERGED_SHARD_SCHEMA.fields]
+    )
+    merged_dirty = (
+        fresh_keys.groupBy("bucket")
+        .cogroup(dirty.groupBy("bucket"))
+        .applyInPandas(
+            lambda f, sh: _merge_shard_kernel(f, sh), schema=MERGED_SHARD_SCHEMA
+        )
+    )
+    return merged_dirty.unionByName(clean)
 
 
 # shard sets up to this many bytes ride an sc.broadcast; above it, the
@@ -132,9 +251,13 @@ BROADCAST_SHARDS_MAX_BYTES = 256 * 1024 * 1024
 
 
 def broadcast_shards(shards: DataFrame):
-    """Collect + broadcast the shard map once (reusable across rounds)."""
+    """Collect + broadcast the shard map once (reusable across rounds).
+
+    Map value is the list of bloom generations for the bucket."""
     spark = shards.sparkSession
-    shard_map = {r.bucket: r.bloom for r in shards.collect()}
+    shard_map: dict[int, list[bytes]] = {}
+    for r in shards.collect():
+        shard_map.setdefault(r.bucket, []).append(r.bloom)
     return spark.sparkContext.broadcast(shard_map)
 
 
@@ -158,15 +281,13 @@ def _broadcast_probe(cand: DataFrame, shards: DataFrame, bc=None) -> DataFrame:
         bk = bucket.to_numpy()
         keys = dedup_hash.to_numpy()
         for b in np.unique(bk):
-            blob = shards_local.get(int(b))
-            if blob is None:
+            blobs = shards_local.get(int(b))
+            if not blobs:
                 continue  # bucket never seen anything => stays False
             idxs = np.nonzero(bk == b)[0]
-            bits = np.frombuffer(blob, dtype=np.uint8)
-            m_bits = len(bits) * 8
-            hit = np.ones(len(idxs), dtype=bool)
-            for pos in _bit_positions(keys[idxs], m_bits):
-                hit &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+            hit = np.zeros(len(idxs), dtype=bool)
+            for blob in blobs:
+                hit |= _probe_blob(keys[idxs], blob)
             out[idxs] = hit
         return pd.Series(out)
 
@@ -196,6 +317,7 @@ def filter_fresh(
     use_bloom: bool = True,
     strategy: str = "auto",
     shards: DataFrame | None = None,
+    seen_count: int | None = None,
 ) -> DataFrame:
     """Return candidate rows whose (job_id, url_hash) is NOT in ``seen``.
 
@@ -215,7 +337,11 @@ def filter_fresh(
         seen_keyed = with_dedup_key(seen.select("job_id", "url_hash"), num_buckets)
         shards = build_bloom_shards(seen_keyed)
     if strategy == "auto":
-        est_bytes = seen.count() * BITS_PER_KEY // 8
+        # callers that track the seen count (the crawl driver does) pass it in
+        # — firing a count() action over the full seen table per round is an
+        # O(|seen|) scan the incremental design exists to avoid
+        n_seen = seen_count if seen_count is not None else seen.count()
+        est_bytes = n_seen * BITS_PER_KEY // 8
         strategy = "broadcast" if est_bytes <= BROADCAST_SHARDS_MAX_BYTES else "cogroup"
     if strategy == "broadcast":
         probed = _broadcast_probe(cand, shards)

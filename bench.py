@@ -72,7 +72,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def bench_default() -> dict:
     from anycrawl_spark.bench_workloads import (
-        crawl_e2e, frontier_kernel, warm_python_workers,
+        crawl_e2e, frontier_kernel, shard_maintenance_bench, warm_python_workers,
     )
     from anycrawl_spark.session import get_spark
 
@@ -81,6 +81,7 @@ def bench_default() -> dict:
     t0 = time.time()
     queries = run_queries(spark, SF_DIR)
     frontier = frontier_kernel(spark, **KERNEL)
+    shards = shard_maintenance_bench(spark)
     wd = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         crawl = crawl_e2e(spark, wd)
@@ -99,6 +100,7 @@ def bench_default() -> dict:
         "cpus": CPUS,
         "frontier": frontier,
         "crawl": crawl,
+        "shard_maintenance": shards,
     }
 
 

@@ -51,3 +51,69 @@ def test_job_scoping(spark):
     cand = _mk(spark, [("j2", "http://h/x"), ("j1", "http://h/x")])
     fresh = {(r.job_id, r.url) for r in filter_fresh(cand, seen, 4).collect()}
     assert fresh == {("j2", "http://h/x")}
+
+
+def test_incremental_merge_semantic_equality(spark):
+    """K rounds of incremental merge == from-scratch build, semantically:
+    zero false negatives on every seen key, and the same filter_fresh result
+    as the exact anti-join. Also: only dirtied buckets are flagged updated."""
+    import numpy as np
+
+    from anycrawl_spark.operators.seen import merge_bloom_shards
+
+    num_buckets = 8
+    shards = None
+    all_rows = []
+    for rnd in range(5):
+        batch = [("j", f"http://h/{rnd}/{i}") for i in range(200 + 100 * rnd)]
+        all_rows.extend(batch)
+        keyed = with_dedup_key(_mk(spark, batch), num_buckets)
+        merged = merge_bloom_shards(shards, keyed).persist()
+        # dirty-flag sanity: every bucket with fresh keys has an updated gen
+        dirty = {r.bucket for r in merged.filter("updated").select("bucket").distinct().collect()}
+        fresh_buckets = {r.bucket for r in keyed.select("bucket").distinct().collect()}
+        assert dirty == fresh_buckets
+        if shards is not None:
+            shards.unpersist()
+        shards = merged.select("bucket", "gen", "n_keys", "bloom")
+
+    seen = _mk(spark, all_rows)
+    # no false negatives: probing the full seen set via the incremental
+    # shards yields zero fresh rows
+    fresh = filter_fresh(seen, seen, num_buckets, shards=shards, strategy="broadcast")
+    assert fresh.count() == 0
+    # exact agreement with the naive anti-join on a mixed candidate set
+    cand = _mk(
+        spark,
+        [("j", f"http://h/1/{i}") for i in range(150, 400)]
+        + [("j", f"http://new/{i}") for i in range(300)],
+    )
+    a = {r.url for r in filter_fresh(cand, seen, num_buckets, shards=shards).collect()}
+    b = {r.url for r in filter_fresh(cand, seen, num_buckets, use_bloom=False).collect()}
+    assert a == b
+    # bounded false-positive rate on never-seen keys (scalable-bloom gens)
+    probe = _mk(spark, [("j", f"http://unseen/{i}") for i in range(4000)])
+    n_fresh = filter_fresh(probe, seen, num_buckets, shards=shards).count()
+    fp_rate = 1.0 - n_fresh / 4000
+    assert fp_rate <= 0.05, fp_rate
+
+
+def test_merge_untouched_buckets_pass_through(spark):
+    """A round whose fresh keys hit one bucket must leave every other
+    bucket's blob byte-identical and flagged not-updated."""
+    from anycrawl_spark.operators.seen import merge_bloom_shards
+
+    num_buckets = 8
+    base = with_dedup_key(_mk(spark, [("j", f"http://h/{i}") for i in range(500)]), num_buckets)
+    state0 = merge_bloom_shards(None, base).select("bucket", "gen", "n_keys", "bloom")
+    # pick fresh keys landing in exactly one bucket
+    one = with_dedup_key(_mk(spark, [("j", f"http://x/{i}") for i in range(200)]), num_buckets)
+    target = one.select("bucket").first().bucket
+    one = one.filter(F.col("bucket") == target)
+    merged = merge_bloom_shards(state0, one)
+    before = {(r.bucket, r.gen): r.bloom for r in state0.collect()}
+    for r in merged.collect():
+        if r.bucket != target:
+            assert not r.updated
+            assert r.bloom == before[(r.bucket, r.gen)]
+    assert any(r.updated for r in merged.collect() if r.bucket == target)
