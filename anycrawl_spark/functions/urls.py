@@ -29,14 +29,6 @@ from pyspark.sql import types as T
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
-# Minimal embedded public-suffix sample (full list is a data-file drop-in; the
-# strategy filter F3 only needs consistent behavior, not the live PSL).
-_MULTI_LABEL_SUFFIXES = {
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
-    "co.kr", "com.tw", "com.sg", "co.za", "com.ar",
-}
-
 
 def fix_malformed(url: str) -> str:
     """Repair ``http:/host`` -> ``http://host`` like the reference does."""
@@ -121,15 +113,13 @@ def url_origin(url: str) -> str | None:
 
 
 def registrable_domain(host: str | None) -> str | None:
-    """eTLD+1 via the embedded suffix sample — the ``same-domain`` scope key."""
-    if not host:
-        return None
-    labels = host.split(".")
-    if len(labels) <= 2:
-        return host
-    if ".".join(labels[-2:]) in _MULTI_LABEL_SUFFIXES:
-        return ".".join(labels[-3:])
-    return ".".join(labels[-2:])
+    """eTLD+1 via the real public-suffix list (data/public_suffixes.py,
+    publicsuffix.org semantics: longest match, wildcards, exceptions) — the
+    ``same-domain`` scope key. The reference gets this from Crawlee/tldts,
+    which embeds the same list."""
+    from anycrawl_spark.data.public_suffixes import registrable_domain_psl
+
+    return registrable_domain_psl(host)
 
 
 # --- pandas UDFs (Arrow-vectorized Spark surface) --------------------------

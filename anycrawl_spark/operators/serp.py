@@ -38,28 +38,54 @@ SKIP_COUNTRIES = [
     "ME", "MK", "MM", "MN", "MV", "MY", "NP", "TJ", "TM", "UZ",
 ]
 
-# Compact locale dims (X15): lang -> lr restrict, lang -> default country,
-# country -> google domain. The reference ships 590-line tables
-# (packages/libs/src/data/Google.ts); these are representative broadcast dims
-# with the same lookup semantics — swap in the full tables as data files.
-LANG_RESTRICT = {
-    "en": "lang_en", "de": "lang_de", "fr": "lang_fr", "es": "lang_es",
-    "pt": "lang_pt", "ja": "lang_ja", "zh": "lang_zh-CN", "it": "lang_it",
-}
-LANG_DEFAULT_COUNTRY = {
-    "en": "US", "de": "DE", "fr": "FR", "es": "ES",
-    "pt": "BR", "ja": "JP", "zh": "CN", "it": "IT",
-}
-GOOGLE_DOMAINS = {
-    "US": "www.google.com", "GB": "www.google.co.uk", "DE": "www.google.de",
-    "FR": "www.google.fr", "ES": "www.google.es", "BR": "www.google.com.br",
-    "JP": "www.google.co.jp", "CN": "www.google.com.hk", "IT": "www.google.it",
-}
+# Full locale dims (X15): the reference's 590-line tables shipped as a data
+# module (anycrawl_spark/data/google_locales.py, values verbatim from
+# packages/libs/src/data/Google.ts) and exposed as broadcast literal maps.
+from anycrawl_spark.data.google_locales import (
+    LANGUAGES as LANG_RESTRICT_FULL,
+    REGIONS,
+    SUPPORTED_DOMAINS,
+)
+
+# language -> fallback country: the FIRST regions entry for the language whose
+# country is not skip-listed (Google.ts engine :88-97 takes Object.entries
+# order, which the data module preserves)
+LANG_FALLBACK_COUNTRY: dict[str, str] = {}
+for _k, _v in REGIONS.items():
+    _lang = _k.split("-", 1)[0]
+    if _lang not in LANG_FALLBACK_COUNTRY and _v.upper() not in SKIP_COUNTRIES:
+        LANG_FALLBACK_COUNTRY[_lang] = _v
+
 SAFE_SEARCH = {0: "off", 1: "medium", 2: "high"}
 
 
 def _lit_map(d: dict) -> F.Column:
     return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+
+def resolve_google_locale(lang: str | None, country: str | None) -> tuple[str, str, str, str]:
+    """Pure-python locale resolution (Google.ts engine :81-112 semantics):
+    returns (lang_code, eng_lang, country, domain).
+
+    - eng_lang = languages[lang] or 'en'; lang_code = part after '_' (or the
+      whole value when there is no underscore);
+    - country: regions[f'{lang}-{country}'] when given and not skip-listed,
+      else the first regions entry for the language with a non-skip country,
+      else 'US';
+    - domain = supported_domains[country] or www.google.com.
+    """
+    eng_lang = LANG_RESTRICT_FULL.get(lang or "", "en")
+    parts = eng_lang.split("_")
+    lang_code = parts[1] if len(parts) > 1 and parts[1] else eng_lang
+    resolved = None
+    if lang and country and country.upper() not in SKIP_COUNTRIES:
+        resolved = REGIONS.get(f"{lang}-{country.upper()}")
+    if not resolved and lang:
+        resolved = LANG_FALLBACK_COUNTRY.get(lang)
+    if not resolved:
+        resolved = "US"
+    domain = SUPPORTED_DOMAINS.get(resolved.upper(), "www.google.com")
+    return lang_code, eng_lang, resolved, domain
 
 
 def build_locale_serp_url(
@@ -70,24 +96,31 @@ def build_locale_serp_url(
     limit: F.Column,
     safe_search: F.Column,
 ) -> F.Column:
-    """X15 locale-aware Google URL building as pure column math
-    (Google.ts:72-169 semantics): country resolution (explicit country unless
-    skip-listed, else the language's default, else US), per-country google
-    domain, hl/lr/cr params, num capped at 100, safe mapping, and a seeded
-    deterministic arc_id replacing the reference's random async param."""
+    """X15 locale-aware Google URL building as pure column math over the FULL
+    locale tables (Google.ts:72-169 semantics): regions-keyed country
+    resolution with skip-list + first-region fallback, per-country google
+    domain, hl from the lr value's language code, num capped at 100, safe
+    mapping, and a seeded deterministic arc_id replacing the reference's
+    random async param."""
     skip = F.array(*[F.lit(c) for c in SKIP_COUNTRIES])
+    eng_lang = F.coalesce(_lit_map(LANG_RESTRICT_FULL)[lang], F.lit("en"))
+    lang_code = F.when(
+        eng_lang.contains("_"), F.substring_index(eng_lang, "_", -1)
+    ).otherwise(eng_lang)
     resolved_country = F.coalesce(
-        F.when(~F.array_contains(skip, F.upper(country)), F.upper(country)),
-        _lit_map(LANG_DEFAULT_COUNTRY)[lang],
+        F.when(
+            lang.isNotNull() & country.isNotNull()
+            & ~F.array_contains(skip, F.upper(country)),
+            _lit_map(REGIONS)[F.concat(lang, F.lit("-"), F.upper(country))],
+        ),
+        F.when(lang.isNotNull(), _lit_map(LANG_FALLBACK_COUNTRY)[lang]),
         F.lit("US"),
     )
-    domain = F.coalesce(_lit_map(GOOGLE_DOMAINS)[resolved_country], F.lit("www.google.com"))
-    lr = F.coalesce(_lit_map(LANG_RESTRICT)[lang], F.lit("lang_en"))
-    hl = F.concat(F.coalesce(lang, F.lit("en")), F.lit("-"), resolved_country)
-    num = F.least(F.greatest(limit, F.lit(1)), F.lit(100))
-    safe = F.coalesce(
-        _lit_map(SAFE_SEARCH)[safe_search], F.lit("medium")
+    domain = F.coalesce(
+        _lit_map(SUPPORTED_DOMAINS)[F.upper(resolved_country)], F.lit("www.google.com")
     )
+    num = F.least(F.greatest(limit, F.lit(1)), F.lit(100))
+    safe = F.coalesce(_lit_map(SAFE_SEARCH)[safe_search], F.lit("medium"))
     arc_id = F.concat(
         F.lit("arc_id:srp_"),
         F.substring(F.md5(F.concat(query, F.lit("|"), start.cast("string"))), 1, 10),
@@ -96,8 +129,8 @@ def build_locale_serp_url(
         F.lit("https://"), domain, F.lit("/search?q="),
         F.regexp_replace(query, r"\s+", "+"),
         F.lit("&start="), start.cast("string"),
-        F.lit("&hl="), hl,
-        F.lit("&lr="), lr,
+        F.lit("&hl="), lang_code, F.lit("-"), resolved_country,
+        F.lit("&lr="), eng_lang,
         F.lit("&cr=country"), resolved_country,
         F.lit("&ie=utf8&oe=utf8&filter=0&asearch=arc&async="), arc_id,
         F.lit("&num="), num.cast("string"),
@@ -175,6 +208,10 @@ def parse_serp_html(html: str) -> list[dict]:
     return out
 
 
+# One nullable-field union schema for web|images|news results — the Spark
+# rendering of the reference's discriminated union (types.ts:6-57): web rows
+# leave the image/news fields null, image rows fill imageUrl/width/height/
+# thumbnail/format/filesize, news rows fill snippet/date/imageUrl.
 _PARSED = T.StructType(
     [
         T.StructField("query_id", T.StringType()),
@@ -185,8 +222,24 @@ _PARSED = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("description", T.StringType()),
         T.StructField("source", T.StringType()),
+        # images (ImageSearchResult, types.ts:25-33)
+        T.StructField("image_url", T.StringType()),
+        T.StructField("image_width", T.IntegerType()),
+        T.StructField("image_height", T.IntegerType()),
+        T.StructField("thumbnail_src", T.StringType()),
+        T.StructField("img_format", T.StringType()),
+        T.StructField("filesize", T.StringType()),
+        # news (NewsSearchResult, types.ts:38-43)
+        T.StructField("snippet", T.StringType()),
+        T.StructField("date", T.StringType()),
     ]
 )
+
+_UNION_NULLS = {
+    "image_url": None, "image_width": None, "image_height": None,
+    "thumbnail_src": None, "img_format": None, "filesize": None,
+    "snippet": None, "date": None,
+}
 
 
 def fetch_and_parse(serp_requests: DataFrame) -> DataFrame:
@@ -204,6 +257,7 @@ def fetch_and_parse(serp_requests: DataFrame) -> DataFrame:
                             "page": r.page,
                             "position": r.page * RESULTS_PER_PAGE + res["position"],
                             **{k: res[k] for k in ("category", "title", "url", "description", "source")},
+                            **_UNION_NULLS,
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in _PARSED.fields])
@@ -236,3 +290,303 @@ def enrich_with_documents(serp: DataFrame, documents: DataFrame) -> DataFrame:
         F.col("url"), F.col("title").alias("doc_title"), F.col("markdown")
     )
     return serp.join(docs, "url", "left")
+
+
+# ---------------------------------------------------------------------------
+# SearXNG engine (S12/X15/X16 parity with Searxng.ts)
+# ---------------------------------------------------------------------------
+
+import json
+import re
+
+_RESOLUTION_RE = re.compile(r"(\d+)\s*[×x]\s*(\d+)")  # Searxng.ts:121
+
+# sources -> SearXNG category param (Searxng.ts:51-58)
+SEARXNG_CATEGORY = {"web": "general", "images": "images", "news": "news"}
+
+
+def searxng_build_url(
+    query: F.Column,
+    page: F.Column,
+    lang: F.Column | None = None,
+    sources: F.Column | None = None,
+    time_range: F.Column | None = None,
+    safe_search: F.Column | None = None,
+    base_url: str = "http://searxng.synth",
+) -> F.Column:
+    """SearXNG search-URL building as column math (Searxng.ts:38-72):
+    q + format=json + 1-based pageno, optional language / categories
+    (sources-mapped) / time_range / safesearch params."""
+    url = F.concat(
+        F.lit(base_url.rstrip("/")), F.lit("/search?q="),
+        F.regexp_replace(query, r"\s+", "+"),
+        F.lit("&format=json&pageno="), page.cast("string"),
+    )
+    if lang is not None:
+        url = F.concat(url, F.when(lang.isNotNull(), F.concat(F.lit("&language="), lang)).otherwise(F.lit("")))
+    if sources is not None:
+        cat = _lit_map(SEARXNG_CATEGORY)[sources]
+        url = F.concat(url, F.when(cat.isNotNull(), F.concat(F.lit("&categories="), cat)).otherwise(F.lit("")))
+    if time_range is not None:
+        url = F.concat(url, F.when(time_range.isNotNull(), F.concat(F.lit("&time_range="), time_range)).otherwise(F.lit("")))
+    if safe_search is not None:
+        url = F.concat(url, F.when(safe_search.isNotNull(), F.concat(F.lit("&safesearch="), safe_search.cast("string"))).otherwise(F.lit("")))
+    return url
+
+
+def searxng_json(query: str, page: int, category: str = "web", n_hosts: int = 50) -> str:
+    """Deterministic synthetic SearXNG JSON response (the fixture analog of
+    ``serp_html``): emits the upstream field names (url/title/content/engine/
+    category, plus resolution/img_src/thumbnail_src/img_format/filesize/
+    positions for images and publishedDate/thumbnail for news) so the parser
+    exercises the real mapping."""
+    items = []
+    for i in range(RESULTS_PER_PAGE):
+        rank = (page - 1) * RESULTS_PER_PAGE + i
+        d = _digest("searxng", query, category, rank)
+        host = host_name(d % n_hosts)
+        item = {
+            "url": f"http://{host}/p/{d % 37}",
+            "title": f"Result {rank} for {query}",
+            "content": f"Content {rank} about {query} on {host}",
+            "engine": ["duckduckgo", "brave", "qwant"][d % 3],
+            "category": {"web": "general"}.get(category, category),
+        }
+        if category == "images":
+            item["category"] = "images"
+            item["resolution"] = f"{640 + d % 1280}×{480 + (d >> 8) % 720}"
+            item["img_src"] = f"http://{host}/img/{d % 97}.jpg"
+            item["thumbnail_src"] = f"http://{host}/thumb/{d % 97}.jpg"
+            item["img_format"] = ["jpeg", "png", "webp"][d % 3]
+            item["filesize"] = f"{(d % 900) + 100}.{d % 100:02d} KB"
+            item["positions"] = [rank + 1]
+        elif category == "news":
+            item["category"] = "news"
+            item["publishedDate"] = f"2026-{1 + d % 12:02d}-{1 + d % 28:02d}"
+            item["thumbnail"] = f"http://{host}/news-thumb/{d % 97}.jpg"
+        items.append(item)
+    # one no-url suggestion item the parser must skip (Searxng.ts:113-115)
+    items.append({"title": f"suggestion for {query}", "content": "no url here"})
+    return json.dumps({"query": query, "results": items})
+
+
+def parse_searxng_results(response: str | dict) -> list[dict]:
+    """SearXNG JSON -> union rows (field mapping parity, Searxng.ts:103-181):
+    content|snippet coalesce, 'SearXNG (<engine>)' source, resolution parsed
+    to width/height, positions[0], publishedDate|pubdate, category fallback
+    to web; items without url are skipped."""
+    data = json.loads(response) if isinstance(response, str) else response
+    results = []
+    items = data.get("results")
+    if not isinstance(items, list):
+        return results
+    for item in items:
+        if not item.get("url"):
+            continue
+        category = item.get("category") or "web"
+        base = {
+            "title": item.get("title") or "",
+            "url": item.get("url") or "",
+            "description": item.get("content") or item.get("snippet") or "",
+            "source": f"SearXNG ({item.get('engine') or 'unknown'})",
+            **_UNION_NULLS,
+        }
+        if category == "images":
+            w = h = None
+            if item.get("resolution"):
+                m = _RESOLUTION_RE.search(item["resolution"])
+                if m:
+                    w, h = int(m.group(1)), int(m.group(2))
+            pos = item.get("positions")
+            results.append({
+                **base, "category": "images",
+                "image_url": item.get("img_src"),
+                "image_width": w, "image_height": h,
+                "position": pos[0] if isinstance(pos, list) and pos else None,
+                "thumbnail_src": item.get("thumbnail_src"),
+                "img_format": item.get("img_format"),
+                "filesize": item.get("filesize"),
+            })
+        elif category == "news":
+            results.append({
+                **base, "category": "news",
+                "snippet": item.get("content") or item.get("snippet") or "",
+                "date": item.get("publishedDate") or item.get("pubdate"),
+                "image_url": item.get("thumbnail") or None,
+                "position": None,
+            })
+        else:
+            results.append({**base, "category": "web", "position": None})
+    return results
+
+
+# ---------------------------------------------------------------------------
+# AC-Engine (direct-limit JSON API, ACEngine.ts:23-118)
+# ---------------------------------------------------------------------------
+
+def ac_build_url(
+    query: F.Column,
+    limit: F.Column | None = None,
+    page: F.Column | None = None,
+    offset: F.Column | None = None,
+    lang: F.Column | None = None,
+    country: F.Column | None = None,
+    base_url: str = "http://ac-engine.synth",
+) -> F.Column:
+    """AC-Engine URL building (ACEngine.ts:24-46): q + start + limit (falling
+    back to page*10 when only page is given) + lang/country passthrough."""
+    eff_limit = None
+    if limit is not None and page is not None:
+        eff_limit = F.coalesce(limit, page * F.lit(RESULTS_PER_PAGE))
+    elif limit is not None:
+        eff_limit = limit
+    elif page is not None:
+        eff_limit = page * F.lit(RESULTS_PER_PAGE)
+    url = F.concat(
+        F.lit(base_url.rstrip("/")), F.lit("/search?q="),
+        F.regexp_replace(query, r"\s+", "+"),
+    )
+    if offset is not None:
+        url = F.concat(url, F.lit("&start="), offset.cast("string"))
+    if eff_limit is not None:
+        url = F.concat(url, F.when(eff_limit.isNotNull(), F.concat(F.lit("&limit="), eff_limit.cast("string"))).otherwise(F.lit("")))
+    if lang is not None:
+        url = F.concat(url, F.when(lang.isNotNull(), F.concat(F.lit("&lang="), lang)).otherwise(F.lit("")))
+    if country is not None:
+        url = F.concat(url, F.when(country.isNotNull(), F.concat(F.lit("&country="), country)).otherwise(F.lit("")))
+    return url
+
+
+def ac_json(query: str, limit: int, category: str = "web", n_hosts: int = 50) -> str:
+    """Deterministic synthetic AC-Engine JSON (direct-limit: all results in
+    one response)."""
+    items = []
+    for rank in range(limit):
+        d = _digest("ac", query, category, rank)
+        host = host_name(d % n_hosts)
+        item = {
+            "url": f"http://{host}/p/{d % 37}",
+            "title": f"Result {rank} for {query}",
+            "description": f"Description {rank} about {query}",
+            "source": "AC-Engine",
+            "category": category,
+        }
+        if category == "images":
+            item.update(imageUrl=f"http://{host}/img/{d % 97}.jpg",
+                        imageWidth=640 + d % 1280, imageHeight=480 + (d >> 8) % 720,
+                        position=rank + 1,
+                        thumbnail_src=f"http://{host}/thumb/{d % 97}.jpg",
+                        img_format=["jpeg", "png", "webp"][d % 3],
+                        filesize=f"{(d % 900) + 100} KB")
+        elif category == "news":
+            item.update(snippet=f"Snippet {rank} about {query}",
+                        date=f"2026-{1 + d % 12:02d}-{1 + d % 28:02d}",
+                        imageUrl=f"http://{host}/news-thumb/{d % 97}.jpg")
+        items.append(item)
+    return json.dumps({"results": items})
+
+
+def parse_ac_results(response: str | dict) -> list[dict]:
+    """AC-Engine JSON -> union rows (ACEngine.ts:63-114): direct field names,
+    description|snippet coalesce, source fallback 'AC-Engine', no-url skip,
+    category fallback to web."""
+    data = json.loads(response) if isinstance(response, str) else response
+    items = data.get("results") if isinstance(data.get("results"), list) else []
+    results = []
+    for item in items:
+        if not item.get("url"):
+            continue
+        category = item.get("category") or "web"
+        base = {
+            "title": item.get("title") or "",
+            "url": item.get("url") or "",
+            "description": item.get("description") or item.get("snippet") or "",
+            "source": item.get("source") or "AC-Engine",
+            **_UNION_NULLS,
+        }
+        if category == "images":
+            results.append({
+                **base, "category": "images",
+                "image_url": item.get("imageUrl"),
+                "image_width": item.get("imageWidth"),
+                "image_height": item.get("imageHeight"),
+                "position": item.get("position"),
+                "thumbnail_src": item.get("thumbnail_src"),
+                "img_format": item.get("img_format"),
+                "filesize": item.get("filesize"),
+            })
+        elif category == "news":
+            results.append({
+                **base, "category": "news",
+                "snippet": item.get("snippet"),
+                "date": item.get("date"),
+                "image_url": item.get("imageUrl"),
+                "position": None,
+            })
+        else:
+            results.append({**base, "category": "web", "position": None})
+    return results
+
+
+# engine registry: name -> (supports_direct_limit, fixture fn, parse fn)
+# (SearchService.ts:210-219: direct-limit engines fetch ONE page; others
+# fetch ceil(limit/10) pages)
+ENGINES = {
+    "google": {"supports_direct_limit": False},
+    "searxng": {"supports_direct_limit": False},
+    "ac": {"supports_direct_limit": True},
+}
+
+
+def fetch_and_parse_json(serp_requests: DataFrame, engine: str, sources: str = "web") -> DataFrame:
+    """(query_id, query, page[, limit]) -> union SERP rows via the JSON-API
+    engines (SearXNG page-wise; AC-Engine direct-limit)."""
+    direct = ENGINES[engine]["supports_direct_limit"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if engine == "searxng":
+                    # SearXNG pageno is 1-based (Searxng.ts:41)
+                    payload = searxng_json(r.query, r.page + 1, sources)
+                    parsed = parse_searxng_results(payload)
+                else:
+                    payload = ac_json(r.query, int(r.limit), sources)
+                    parsed = parse_ac_results(payload)
+                for i, res in enumerate(parsed):
+                    rows.append({
+                        "query_id": r.query_id,
+                        "page": r.page,
+                        "position": (0 if direct else r.page * RESULTS_PER_PAGE) + i,
+                        **res,
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in _PARSED.fields])
+
+    cols = ["query_id", "query", "page"] + (["limit"] if direct else [])
+    return serp_requests.select(*cols).mapInPandas(batches, schema=_PARSED)
+
+
+def serp_search_engine(queries: DataFrame, engine: str = "google", sources: str = "web") -> DataFrame:
+    """Engine-dispatching SERP flow (SearchService.ts:196-245): effectivePages
+    = 1 for direct-limit engines else ceil(limit/10); union-schema output;
+    final (page, position) slice to limit."""
+    from pyspark.sql import Window
+
+    if engine == "google":
+        return serp_search(queries)
+    if ENGINES[engine]["supports_direct_limit"]:
+        reqs = queries.withColumn("page", F.lit(0))
+        results = fetch_and_parse_json(reqs, engine, sources)
+    else:
+        pages = F.ceil(F.col("limit") / F.lit(RESULTS_PER_PAGE)).cast("int")
+        reqs = queries.withColumn("page", F.explode(F.sequence(F.lit(0), pages - 1)))
+        results = fetch_and_parse_json(reqs, engine, sources)
+    w = Window.partitionBy("query_id").orderBy("page", "position")
+    limits = F.broadcast(queries.select("query_id", F.col("limit").alias("_limit")))
+    return (
+        results.withColumn("rank", F.row_number().over(w))
+        .join(limits, "query_id")
+        .filter(F.col("rank") <= F.col("_limit"))
+        .drop("_limit")
+    )

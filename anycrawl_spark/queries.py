@@ -763,18 +763,19 @@ GROUP BY 1, 2
 
 
 def q_serp_urls(spark, sf_dir):
-    """X15 locale-aware SERP URL building over a locale mix synthesized from
-    orders (pure column math, oracle-exact incl. the seeded arc_id)."""
+    """X15 locale-aware SERP URL building over a 12x13 locale mix synthesized
+    from orders — full reference tables (google_locales.py), oracle-exact
+    including the regions/fallback/domain joins and the seeded arc_id."""
     from anycrawl_spark.operators.serp import build_locale_serp_url
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     langs = F.element_at(
-        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("ja"), F.lit("zh")),
-        (F.pmod("o_custkey", 5) + 1).cast("int"),
+        F.array(*[F.lit(x) for x in _SERP_URL_LANGS]),
+        (F.pmod("o_custkey", len(_SERP_URL_LANGS)) + 1).cast("int"),
     )
     countries = F.element_at(
-        F.array(F.lit("US"), F.lit("GB"), F.lit("MY"), F.lit("BR"), F.lit(None)),
-        (F.pmod("o_custkey", 5) + 1).cast("int"),
+        F.array(*[F.lit(x) for x in _SERP_URL_COUNTRIES]),
+        (F.pmod("o_orderkey", len(_SERP_URL_COUNTRIES)) + 1).cast("int"),
     )
     q = F.concat(F.lit("query "), F.pmod("o_orderkey", 17).cast("string"))
     return o.select(
@@ -786,51 +787,71 @@ def q_serp_urls(spark, sf_dir):
     )
 
 
+# 12 languages x 13 countries (incl. skip-listed MY/UZ and NULL) => >=30
+# distinct resolved locales through the full tables
+_SERP_URL_LANGS = ["en", "de", "fr", "ja", "zh", "pt", "es", "it", "ru", "ar", "ko", "nl"]
+_SERP_URL_COUNTRIES = ["US", "GB", "MY", "BR", None, "DE", "JP", "IN", "CH", "SA", "KR", "NL", "UZ"]
+
+
 def _sql_serp_urls() -> str:
-    # mirrors build_locale_serp_url + the literal dims, in DuckDB SQL
-    return r"""
-WITH base AS (
+    """Oracle mirror of build_locale_serp_url, generated from the SAME data
+    module (google_locales.py) so the locale tables cannot drift; the
+    transform logic (skip-list, regions lookup, first-region fallback, domain
+    join, hl/lr/cr/num/safe assembly) is re-expressed independently in SQL."""
+    from anycrawl_spark.data.google_locales import (
+        LANGUAGES, REGIONS, SUPPORTED_DOMAINS,
+    )
+    from anycrawl_spark.operators.serp import LANG_FALLBACK_COUNTRY, SKIP_COUNTRIES
+
+    def values(d: dict) -> str:
+        return ", ".join(f"('{k}', '{v}')" for k, v in d.items())
+
+    langs_arr = ", ".join(f"'{x}'" for x in _SERP_URL_LANGS)
+    countries_arr = ", ".join("NULL" if x is None else f"'{x}'" for x in _SERP_URL_COUNTRIES)
+    skip_arr = ", ".join(f"'{c}'" for c in SKIP_COUNTRIES)
+    return f"""
+WITH langs_map(k, v) AS (VALUES {values(LANGUAGES)}),
+regions_map(k, v) AS (VALUES {values(REGIONS)}),
+domains_map(k, v) AS (VALUES {values(SUPPORTED_DOMAINS)}),
+fallback_map(k, v) AS (VALUES {values(LANG_FALLBACK_COUNTRY)}),
+base AS (
   SELECT o_orderkey,
-         ['en','de','fr','ja','zh'][(o_custkey % 5) + 1] AS lang,
-         ['US','GB','MY','BR',NULL][(o_custkey % 5) + 1] AS country,
+         [{langs_arr}][(o_custkey % {len(_SERP_URL_LANGS)}) + 1] AS lang,
+         [{countries_arr}][(o_orderkey % {len(_SERP_URL_COUNTRIES)}) + 1] AS country,
          'query ' || (o_orderkey % 17) AS q,
          (o_orderkey % 3) * 10 AS start,
          CAST(o_custkey % 120 AS INT) AS lim,
          CAST(o_orderkey % 4 AS INT) AS safe_in
-  FROM orders WHERE o_orderkey < 400),
-r AS (
-  SELECT *,
-    coalesce(
-      CASE WHEN upper(country) IS NOT NULL AND NOT list_contains(
-        ['AL','AZ','BD','BN','BT','ET','GE','GL','KH','LA','LK','ME','MK','MM','MN','MV','MY','NP','TJ','TM','UZ'],
-        upper(country)) THEN upper(country) END,
-      CASE lang WHEN 'en' THEN 'US' WHEN 'de' THEN 'DE' WHEN 'fr' THEN 'FR'
-                WHEN 'es' THEN 'ES' WHEN 'pt' THEN 'BR' WHEN 'ja' THEN 'JP'
-                WHEN 'zh' THEN 'CN' WHEN 'it' THEN 'IT' END,
-      'US') AS rc
-  FROM base)
+  FROM orders WHERE o_orderkey < 2000),
+r1 AS (
+  SELECT base.*, coalesce(lm.v, 'en') AS eng_lang
+  FROM base LEFT JOIN langs_map lm ON lm.k = base.lang),
+r2 AS (
+  SELECT r1.*,
+         CASE WHEN strpos(eng_lang, '_') > 0 THEN split_part(eng_lang, '_', 2)
+              ELSE eng_lang END AS lang_code,
+         coalesce(
+           CASE WHEN lang IS NOT NULL AND country IS NOT NULL
+                 AND NOT list_contains([{skip_arr}], upper(country))
+                THEN rm.v END,
+           CASE WHEN lang IS NOT NULL THEN fm.v END,
+           'US') AS rc
+  FROM r1
+  LEFT JOIN regions_map rm ON rm.k = r1.lang || '-' || upper(r1.country)
+  LEFT JOIN fallback_map fm ON fm.k = r1.lang)
 SELECT o_orderkey,
-  'https://' ||
-  coalesce(CASE rc WHEN 'US' THEN 'www.google.com' WHEN 'GB' THEN 'www.google.co.uk'
-                   WHEN 'DE' THEN 'www.google.de' WHEN 'FR' THEN 'www.google.fr'
-                   WHEN 'ES' THEN 'www.google.es' WHEN 'BR' THEN 'www.google.com.br'
-                   WHEN 'JP' THEN 'www.google.co.jp' WHEN 'CN' THEN 'www.google.com.hk'
-                   WHEN 'IT' THEN 'www.google.it' END, 'www.google.com') ||
-  '/search?q=' || regexp_replace(q, '\s+', '+', 'g') ||
+  'https://' || coalesce(dm.v, 'www.google.com') ||
+  '/search?q=' || regexp_replace(q, '\\s+', '+', 'g') ||
   '&start=' || start ||
-  '&hl=' || coalesce(lang, 'en') || '-' || rc ||
-  '&lr=' || coalesce(CASE lang WHEN 'en' THEN 'lang_en' WHEN 'de' THEN 'lang_de'
-                               WHEN 'fr' THEN 'lang_fr' WHEN 'es' THEN 'lang_es'
-                               WHEN 'pt' THEN 'lang_pt' WHEN 'ja' THEN 'lang_ja'
-                               WHEN 'zh' THEN 'lang_zh-CN' WHEN 'it' THEN 'lang_it' END,
-                     'lang_en') ||
+  '&hl=' || lang_code || '-' || rc ||
+  '&lr=' || eng_lang ||
   '&cr=country' || rc ||
   '&ie=utf8&oe=utf8&filter=0&asearch=arc&async=arc_id:srp_' ||
   substring(md5(q || '|' || start), 1, 10) ||
   '&num=' || least(greatest(lim, 1), 100) ||
   '&safe=' || coalesce(CASE safe_in WHEN 0 THEN 'off' WHEN 1 THEN 'medium' WHEN 2 THEN 'high' END, 'medium')
   AS serp_url
-FROM r
+FROM r2 LEFT JOIN domains_map dm ON dm.k = upper(r2.rc)
 """
 
 
@@ -946,6 +967,43 @@ def q_serp_enrich(spark, sf_dir):
     return enrich_with_documents(serp, docs)
 
 
+def q_serp_searxng(spark, sf_dir):
+    """S12 SearXNG engine: JSON-API page-wise search with the web|images|news
+    union schema (Searxng.ts:38-181 parity; fixture-backed, not
+    SQL-expressible)."""
+    from anycrawl_spark.operators.serp import serp_search_engine
+
+    ensure_dist(spark)
+    qdf = spark.createDataFrame(
+        [("q0", "spark crawl engine", 15, "web"),
+         ("q1", "frontier dedup bloom", 7, "images"),
+         ("q2", "markdown extraction", 5, "news")],
+        "query_id string, query string, limit int, sources string",
+    )
+    parts = [
+        serp_search_engine(qdf.filter(F.col("sources") == src).drop("sources"),
+                           engine="searxng", sources=src)
+        for src in ("web", "images", "news")
+    ]
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def q_serp_ac(spark, sf_dir):
+    """S3 AC-Engine: direct-limit JSON API (ACEngine.ts:23-118 parity) — one
+    request per query regardless of limit."""
+    from anycrawl_spark.operators.serp import serp_search_engine
+
+    ensure_dist(spark)
+    qdf = spark.createDataFrame(
+        [("q0", "spark crawl engine", 25), ("q1", "frontier dedup bloom", 7)],
+        "query_id string, query string, limit int",
+    )
+    return serp_search_engine(qdf, engine="ac", sources="web")
+
+
 def q_crawl_round(spark, sf_dir):
     """The crawl loop itself through the contract: a 2-job bounded BFS on the
     synthetic web; returns the terminal frontier log (url, depth,
@@ -1043,6 +1101,8 @@ QUERIES = {
     # rows-only (no oracle)
     "q_serp_search": q_serp_search,
     "q_serp_enrich": q_serp_enrich,
+    "q_serp_searxng": q_serp_searxng,
+    "q_serp_ac": q_serp_ac,
     "q_crawl_round": q_crawl_round,
     "q_simhash": q_simhash,
     "q_near_duplicates": q_near_duplicates,

@@ -98,3 +98,27 @@ def test_robots_gating(parity_run):
             if rules:
                 path = url.split(host, 1)[1]
                 assert robots_decision(rules, path), f"robots violation: {url}"
+
+
+def test_same_domain_github_io_parity(spark, tmp_path):
+    """E2E same-domain crawl seeded on a private-suffix (*.github.io) host:
+    engine == simulator, and nothing outside the seed's registrable domain
+    (i.e. no sibling *.github.io site, no cross-host example.* link) is
+    admitted. Guards the PSL-backed scope key (urls.registrable_domain)."""
+    from anycrawl_spark.functions.urls import registrable_domain, url_host
+
+    jobs = [dict(
+        synth.seed_jobs(1)[0],
+        job_id="gh", seed_url="http://host0003.github.io/p/0",
+        strategy="same-domain", max_depth=3, limit=15,
+    )]
+    params = CrawlParams(max_rounds=12)
+    sim = ReferenceSimulator(jobs, [], params)
+    sim.run()
+    eng = CrawlEngine(spark, str(tmp_path / "gh"), jobs, [], params, num_buckets=4)
+    eng.init_state()
+    eng.run()
+    assert eng.seen_sets()["gh"] == sim.seen_sets()["gh"]
+    assert len(sim.seen_sets()["gh"]) > 5
+    for url in eng.seen_sets()["gh"]:
+        assert registrable_domain(url_host(url)) == "host0003.github.io"

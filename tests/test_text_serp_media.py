@@ -79,7 +79,7 @@ def test_serp_pipeline(spark):
     docs = spark.createDataFrame(
         [(res[0].url, "Doc title", "md body")], "url string, title string, markdown string"
     )
-    enr = enrich_with_documents(spark.createDataFrame(res), docs).collect()
+    enr = enrich_with_documents(serp_search(q), docs).collect()
     hit = [r for r in enr if r.url == res[0].url]
     assert hit and hit[0].doc_title == "Doc title"
     assert all(r.doc_title is None for r in enr if r.url != res[0].url)
@@ -146,3 +146,110 @@ def test_media_refs_from_documents(spark):
     )
     refs = [r.media_ref for r in media_refs_from_documents(docs).collect()]
     assert refs == ["http://m/a.png"]
+
+
+def test_searxng_parse_mapping_semantics():
+    """Field-mapping parity with Searxng.ts:103-181 on hand-built payloads."""
+    from anycrawl_spark.operators.serp import parse_searxng_results
+
+    payload = {
+        "results": [
+            {"title": "suggestion", "content": "no url"},          # skipped
+            {"url": "http://a/1", "title": "t", "content": "c", "engine": "brave"},
+            {"url": "http://a/2", "snippet": "snip only"},         # content fallback
+            {"url": "http://img/1", "category": "images", "title": "i",
+             "resolution": "1000×1500", "img_src": "http://img/1.jpg",
+             "positions": [3, 9], "thumbnail_src": "http://t/1.jpg",
+             "img_format": "png", "filesize": "245.76 KB", "engine": "qwant"},
+            {"url": "http://img/2", "category": "images", "resolution": "800 x 600"},
+            {"url": "http://n/1", "category": "news", "content": "news body",
+             "publishedDate": "2026-01-02", "thumbnail": "http://n/t.jpg"},
+            {"url": "http://n/2", "category": "news", "pubdate": "2026-02-03"},
+        ]
+    }
+    out = parse_searxng_results(payload)
+    assert len(out) == 6  # no-url item skipped
+    web = out[0]
+    assert web["category"] == "web" and web["source"] == "SearXNG (brave)"
+    assert out[1]["description"] == "snip only"
+    assert out[1]["source"] == "SearXNG (unknown)"
+    img = out[2]
+    assert img["category"] == "images"
+    assert (img["image_width"], img["image_height"]) == (1000, 1500)
+    assert img["position"] == 3  # positions[0]
+    assert img["img_format"] == "png" and img["filesize"] == "245.76 KB"
+    assert out[3]["image_width"] == 800 and out[3]["image_height"] == 600
+    news = out[4]
+    assert news["category"] == "news" and news["date"] == "2026-01-02"
+    assert news["snippet"] == "news body" and news["image_url"] == "http://n/t.jpg"
+    assert out[5]["date"] == "2026-02-03"
+
+
+def test_ac_parse_mapping_semantics():
+    from anycrawl_spark.operators.serp import parse_ac_results
+
+    payload = {
+        "results": [
+            {"title": "no url"},
+            {"url": "http://a/1", "title": "t", "snippet": "s"},
+            {"url": "http://i/1", "category": "images", "imageUrl": "http://i/x.jpg",
+             "imageWidth": 10, "imageHeight": 20, "position": 2},
+            {"url": "http://n/1", "category": "news", "snippet": "sn",
+             "date": "2026-03-04", "imageUrl": "http://n/x.jpg"},
+        ]
+    }
+    out = parse_ac_results(payload)
+    assert len(out) == 3
+    assert out[0]["description"] == "s" and out[0]["source"] == "AC-Engine"
+    assert out[1]["image_width"] == 10 and out[1]["position"] == 2
+    assert out[2]["date"] == "2026-03-04" and out[2]["image_url"] == "http://n/x.jpg"
+
+
+def test_serp_engine_dispatch(spark):
+    """SearchService.ts:210-219: page-wise engines fetch ceil(limit/10)
+    pages; direct-limit engines fetch once. Union schema on all paths."""
+    from anycrawl_spark.operators.serp import serp_search_engine
+
+    q = spark.createDataFrame(
+        [("q0", "alpha beta", 15), ("q1", "gamma", 7)],
+        "query_id string, query string, limit int",
+    )
+    for engine in ("searxng", "ac"):
+        rows = serp_search_engine(q, engine=engine).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert len(by_q["q0"]) == 15 and len(by_q["q1"]) == 7
+        for r in rows:
+            assert r.category == "web" and r.url.startswith("http://host")
+        if engine == "ac":
+            assert {r.page for r in rows} == {0}       # one direct-limit request
+        else:
+            assert {r.page for r in by_q["q0"]} == {0, 1}  # ceil(15/10) pages
+            assert all("SearXNG (" in r.source for r in rows)
+    # images category fills the image fields, leaves news fields null
+    img = serp_search_engine(q, engine="searxng", sources="images").collect()
+    assert all(r.category == "images" and r.image_url and r.image_width for r in img)
+    assert all(r.snippet is None and r.date is None for r in img)
+    news = serp_search_engine(q, engine="ac", sources="news").collect()
+    assert all(r.category == "news" and r.date for r in news)
+
+
+def test_searxng_url_building(spark):
+    from anycrawl_spark.operators.serp import ac_build_url, searxng_build_url
+
+    df = spark.createDataFrame(
+        [("spark crawl", 1, "de", "images", "week", 1)],
+        "query string, page int, lang string, sources string, tr string, ss int",
+    )
+    url = df.select(
+        searxng_build_url(F.col("query"), F.col("page"), F.col("lang"),
+                          F.col("sources"), F.col("tr"), F.col("ss")).alias("u")
+    ).first().u
+    assert url == ("http://searxng.synth/search?q=spark+crawl&format=json&pageno=1"
+                   "&language=de&categories=images&time_range=week&safesearch=1")
+    acu = df.select(
+        ac_build_url(F.col("query"), limit=F.lit(25), offset=F.lit(0),
+                     lang=F.col("lang")).alias("u")
+    ).first().u
+    assert acu == "http://ac-engine.synth/search?q=spark+crawl&start=0&limit=25&lang=de"

@@ -94,3 +94,60 @@ def test_with_url_key_uses_jvm_hash(spark):
     assert out.url == "http://e.com/a"
     assert out.url_hash == expect
     assert out.host == "e.com"
+
+
+def test_public_suffix_list_semantics():
+    """PSL algorithm (publicsuffix.org): longest match, wildcards,
+    exceptions, implicit default rule, private platform suffixes."""
+    from anycrawl_spark.data.public_suffixes import public_suffix, registrable_domain_psl
+
+    assert public_suffix("www.bbc.co.uk") == "co.uk"
+    assert registrable_domain_psl("www.bbc.co.uk") == "bbc.co.uk"
+    # private suffix: every *.github.io site is its own registrable domain
+    assert public_suffix("foo.github.io") == "github.io"
+    assert registrable_domain_psl("foo.github.io") == "foo.github.io"
+    assert registrable_domain_psl("deep.sub.foo.github.io") == "foo.github.io"
+    assert registrable_domain_psl("a.github.io") != registrable_domain_psl("b.github.io")
+    # multi-label ccTLD families the round-1 sample missed
+    assert registrable_domain_psl("shop.example.co.nz") == "example.co.nz"
+    assert registrable_domain_psl("x.example.com.tr") == "example.com.tr"
+    # wildcard rule *.ck with exception !www.ck
+    assert public_suffix("a.something.ck") == "something.ck"
+    assert registrable_domain_psl("b.a.something.ck") == "a.something.ck"
+    assert registrable_domain_psl("sub.www.ck") == "www.ck"
+    # Japanese city wildcards + exceptions
+    assert registrable_domain_psl("x.y.kawasaki.jp") == "x.y.kawasaki.jp"
+    assert registrable_domain_psl("x.city.kawasaki.jp") == "city.kawasaki.jp"
+    # unknown TLD: implicit '*' default
+    assert registrable_domain_psl("a.b.veryunknown") == "b.veryunknown"
+    # degenerate inputs
+    assert registrable_domain_psl(None) is None
+    assert registrable_domain_psl("localhost") == "localhost"
+
+
+def test_same_domain_scope_github_io(spark):
+    """F3 same-domain on a private-suffix seed: sibling *.github.io sites are
+    OUT of scope (the round-1 suffix sample admitted them), subdomains of the
+    seed site stay IN scope."""
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.operators.gates import make_candidate_gate
+
+    jobs = [{
+        "job_id": "j", "seed_url": "http://host0001.github.io/p/0",
+        "strategy": "same-domain", "max_depth": 5, "limit": 100,
+    }]
+    gate = make_candidate_gate(jobs, {})
+    df = spark.createDataFrame(
+        [("j", "http://host0001.github.io/p/1"),
+         ("j", "http://sub.host0001.github.io/p/2"),
+         ("j", "http://host0002.github.io/p/3"),
+         ("j", "http://github.io/p/4")],
+        "job_id string, url string",
+    )
+    out = df.select(gate(F.col("job_id"), F.col("url")).alias("g")).select("g.*")
+    keep = {r.url: r.keep for r in out.collect()}
+    assert keep["http://host0001.github.io/p/1"] is True
+    assert keep["http://sub.host0001.github.io/p/2"] is True
+    assert keep["http://host0002.github.io/p/3"] is False
+    assert keep["http://github.io/p/4"] is False
