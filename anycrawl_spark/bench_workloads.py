@@ -265,7 +265,11 @@ def crawl_e2e(
             }
         )
     params = CrawlParams(default_host_tokens=200, max_rounds=12)
-    eng = CrawlEngine(spark, workdir, jobs, synth.robots_rules(web), params, web=web)
+    # two-phase politeness is the default bench path: the salted pre-cap
+    # bounds any mega-host's window partition (equivalence proven in
+    # tests/test_gates.py; skew speedup measured in politeness_skew_bench)
+    eng = CrawlEngine(spark, workdir, jobs, synth.robots_rules(web), params, web=web,
+                      two_phase_politeness=True)
     t0 = time.time()
     eng.init_state()
     eng.run()
@@ -348,3 +352,60 @@ def shard_maintenance_bench(
             }
         )
     return {"num_buckets": num_buckets, "points": rows}
+
+
+def politeness_skew_bench(
+    spark: SparkSession,
+    n_rows: int = 8_000_000,
+    mega_frac: int = 50,   # percent of rows on the single mega host
+    runs: int = 3,
+) -> dict:
+    """Mega-host skew: exact window vs two-phase (salted pre-cap) politeness
+    at EQUAL output (§4.2 skew bound). One host carries ``mega_frac``% of all
+    pending rows — the exact (job, host) window serializes that partition;
+    the two-phase variant pre-caps inside 16 salt buckets first.
+    """
+    from anycrawl_spark.operators.gates import (
+        apply_politeness, apply_politeness_two_phase,
+    )
+
+    params = CrawlParams(default_host_tokens=100)
+    pending = (
+        spark.range(n_rows)
+        .select(
+            F.concat(F.lit("job-"), F.pmod("id", 4).cast("string")).alias("job_id"),
+            F.when(F.pmod("id", 100) < mega_frac, F.lit("mega.host"))
+            .otherwise(F.concat(F.lit("host"), F.pmod("id", 2000).cast("string")))
+            .alias("host"),
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+            F.pmod("id", 6).cast("int").alias("depth"),
+            F.col("id").alias("discovery_seq"),
+        )
+        .persist()
+    )
+    pending.count()
+
+    def timed(fn):
+        walls = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn(pending, {}, params).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        walls.sort()
+        return walls[len(walls) // 2]
+
+    t_exact = timed(apply_politeness)
+    t_two = timed(lambda p, d, pa: apply_politeness_two_phase(p, d, pa, salt_buckets=16))
+    # equal output check (the invariant the salted pre-cap must preserve)
+    a = apply_politeness(pending, {}, params).groupBy("job_id", "host").count()
+    b = apply_politeness_two_phase(pending, {}, params, 16).groupBy("job_id", "host").count()
+    mismatch = a.join(b, ["job_id", "host", "count"], "left_anti").count()
+    pending.unpersist()
+    return {
+        "n_rows": n_rows,
+        "mega_host_pct": mega_frac,
+        "t_exact_window_sec": round(t_exact, 2),
+        "t_two_phase_sec": round(t_two, 2),
+        "speedup": round(t_exact / t_two, 2),
+        "output_mismatch_groups": mismatch,
+    }

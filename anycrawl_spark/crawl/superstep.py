@@ -65,6 +65,8 @@ class CrawlEngine:
         profile: bool = False,
         two_phase_politeness: bool = False,
         shard_refresh_rounds: int = 8,
+        tiered_proxies: list[list[str]] | None = None,
+        proxy_rules: list | None = None,
     ):
         self.spark = spark
         self.store = SnapshotStore(workdir, spark)
@@ -106,6 +108,9 @@ class CrawlEngine:
         # parquet snapshot every shard_refresh_rounds to bound plan depth.
         self._shards = None
         self.shard_refresh_rounds = shard_refresh_rounds
+        # S3/F12 retry ladder: attempt-indexed proxy tier stepping
+        self.tiered_proxies = tiered_proxies or []
+        self.proxy_rules = proxy_rules or []
 
     # ------------------------------------------------------------------ init
 
@@ -380,6 +385,20 @@ class CrawlEngine:
         sched = sched.repartition(
             self.fetch_partitions, F.pmod(F.col("url_hash"), F.lit(self.fetch_partitions))
         )
+        if self.tiered_proxies:
+            # retry ladder: attempt-indexed tier stepping + rule short-circuit
+            # (columns only; the synthetic fetch ignores them, the proxy log
+            # below is the observable surface)
+            from anycrawl_spark.operators.rules import with_proxy_tier
+
+            assigned = with_proxy_tier(sched, self.tiered_proxies, self.proxy_rules)
+            self.store.append(
+                "proxy_log",
+                assigned.select(
+                    "job_id", "url_hash", "attempt", "proxy_tier", "proxy_url",
+                    F.lit(rnd).alias("round"),
+                ),
+            )
         fetched = fetch_extract(sched, self.web).persist()
 
         ok = fetched.filter(F.col("status_code") == 200)

@@ -67,6 +67,8 @@ def canonicalize_url(url: str) -> str | None:
     if not host:
         return None
     host = host.lower().rstrip(".")
+    if not host:  # e.g. 'http://.' — dot-only hostname strips to empty
+        return None
     port = None
     try:
         port = parts.port

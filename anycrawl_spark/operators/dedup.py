@@ -173,3 +173,40 @@ def simhash_buckets(docs: DataFrame, prefix_bits: int = 16, **kw) -> DataFrame:
     return sh.withColumn(
         "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
     )
+
+
+def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash with an md5 token hash — the ORACLE-CHECKABLE variant.
+
+    Token hash = the first 15 hex digits of md5(token) read as a base-16
+    integer (< 2^60, so the arithmetic never overflows BIGINT under ANSI
+    mode); simhash bit i is the majority vote of bit i over token hashes.
+    Both md5 and the digit arithmetic are bit-identical in DuckDB, so the
+    whole pipeline is value-hash verifiable (the xxhash64 variant in
+    :func:`simhash` stays as the fast JVM path — same shape, same shuffle
+    profile: one groupBy-free aggregate per doc).
+    """
+    from anycrawl_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("tk")
+    ).filter(F.size("tk") > 0)
+    th = F.expr(
+        "transform(tk, t -> aggregate("
+        "  transform(sequence(1, 15),"
+        "            d -> bigint(instr('0123456789abcdef', substr(md5(t), d, 1)) - 1)),"
+        "  0L, (acc, x) -> acc * 16 + x))"
+    )
+    sim = F.expr(
+        "aggregate("
+        "  zip_with("
+        "    transform(sequence(0, 59),"
+        "              i -> aggregate(th60, 0, (acc, h) -> acc + int(shiftright(h, i) & 1))),"
+        "    sequence(0, 59),"
+        "    (cnt, i) -> IF(cnt * 2 >= size(th60), shiftleft(1L, i), 0L)),"
+        "  0L, (acc, x) -> acc | x)"
+    )
+    return (
+        toks.withColumn("th60", th)
+        .select(F.col(id_col), sim.alias("simhash60"), F.size("th60").alias("n_tokens"))
+    )

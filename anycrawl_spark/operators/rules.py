@@ -93,3 +93,66 @@ def match_proxy(rules: list[ProxyRule], url: Column, host: Column) -> Column:
     for t in tiers[1:]:
         out = F.coalesce(out, t)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Attempt-indexed proxy tier stepping (HttpClient.ts:59-123, Proxy.ts:274-328)
+# ---------------------------------------------------------------------------
+
+def with_proxy_tier(
+    df,
+    tiered_proxy_urls: list[list[str]],
+    rules: list[ProxyRule] | None = None,
+    attempt_col: str = "attempt",
+    url_col: str = "url",
+    host_col: str = "host",
+):
+    """Attach ``proxy_tier`` + ``proxy_url`` columns: the retry ladder.
+
+    Semantics (HttpClient.ts:62-78 + Proxy.ts:274-328):
+    - tier = attempt index (0-based), clamped to the last configured tier —
+      the batch analog of the reference's "fallback to auto selection" when
+      the explicit tier is invalid;
+    - a URL matching a proxy RULE short-circuits tier stepping: the proxy
+      pool becomes [matched_rule_proxy, ...all tier urls] (Proxy.ts:280-292)
+      and proxy_tier is NULL;
+    - rotation inside a pool: the reference advances a mutable counter per
+      request (nextCustomUrlIndex++); the deterministic batch analog indexes
+      the pool with pmod(xxhash64(url) + attempt, len(pool)) — same
+      round-robin coverage, reproducible under retry/resume.
+
+    Everything is literal-map column math: no shuffle, no UDF.
+    """
+    n_tiers = len(tiered_proxy_urls)
+    if n_tiers == 0:
+        return df.withColumn("proxy_tier", F.lit(None).cast("int")).withColumn(
+            "proxy_url", F.lit(None).cast("string")
+        )
+    attempt = F.col(attempt_col)
+    tier = F.least(attempt, F.lit(n_tiers - 1)).cast("int")
+    rotor = F.xxhash64(F.col(url_col)) + attempt
+
+    def pick(pool: list[str]) -> Column:
+        idx = F.pmod(rotor, F.lit(len(pool))).cast("int")
+        return F.element_at(F.array(*[F.lit(p) for p in pool]), idx + 1)
+
+    tier_choice = None
+    for t in range(n_tiers - 1, -1, -1):
+        sel = pick(tiered_proxy_urls[t]) if tiered_proxy_urls[t] else F.lit(None).cast("string")
+        tier_choice = sel if tier_choice is None else F.when(tier == t, sel).otherwise(tier_choice)
+
+    matched = match_proxy(rules or [], F.col(url_col), F.col(host_col))
+    all_urls = [u for pool in tiered_proxy_urls for u in pool if u]
+    merged_pool_idx = F.pmod(rotor, F.lit(1 + len(all_urls))).cast("int")
+    merged_choice = F.when(merged_pool_idx == 0, matched).otherwise(
+        F.element_at(F.array(*[F.lit(u) for u in all_urls]), merged_pool_idx)
+        if all_urls
+        else matched
+    )
+    return (
+        df.withColumn(
+            "proxy_tier", F.when(matched.isNull(), tier).cast("int")
+        ).withColumn(
+            "proxy_url", F.when(matched.isNotNull(), merged_choice).otherwise(tier_choice)
+        )
+    )

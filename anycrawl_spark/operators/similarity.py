@@ -106,17 +106,30 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine only within the query's LSH bucket.
+    """Approximate top-k: exact cosine only within the query's probe buckets.
 
     Scale: the bucket join replaces the cross join — candidates per query
-    shrink ~2^bits-fold; recall measured in tests vs cosine_topk.
+    shrink ~2^bits/(1+probes)-fold; recall measured in tests vs cosine_topk.
+
+    ``multiprobe``: 0 probes only the query's own bucket; 1 additionally
+    probes every Hamming-1 neighbor bucket (one hyperplane sign flipped —
+    the standard multiprobe-LSH recall lift: near-boundary neighbors land one
+    bit away). Vectors live in exactly one bucket, so probes never duplicate
+    candidates. Probing fans out the (tiny, broadcast) QUERY side only.
     """
     v = with_lsh_bucket(vectors, dim, bits, vec_col)
+    qb = with_lsh_bucket(queries, dim, bits, vec_col)
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(bits)],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
     q = F.broadcast(
-        with_lsh_bucket(queries, dim, bits, vec_col)
-        .select(F.col(query_id_col), F.col(vec_col).alias("_qvec"), "bucket",
-                _norm(F.col(vec_col)).alias("_qnorm"))
+        qb.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"), "bucket",
+                  _norm(F.col(vec_col)).alias("_qnorm"))
     )
     scored = (
         v.join(q, "bucket")

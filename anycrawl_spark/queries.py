@@ -923,7 +923,80 @@ def q_near_duplicates(spark, sf_dir):
             " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
         ).alias("text"),
     )
-    return near_duplicates(d.unionByName(mutated), threshold=0.5)
+    # bands=num_seeds (1 row/band) = max-recall banding: a pair is a
+    # candidate if ANY minhash agrees; the Jaccard verify then filters.
+    # Recall for j>=0.5 pairs is 1-(1-j)^12 > 0.9997 per pair -- and the
+    # hashes are deterministic, so the outcome is stable, letting the exact
+    # all-pairs oracle (SQL_NEAR_DUPLICATES) value-check this end to end.
+    return near_duplicates(d.unionByName(mutated), threshold=0.5, bands=12)
+
+
+def q_simhash_md5(spark, sf_dir):
+    """Oracle-checkable 60-bit SimHash (md5 token hash; bit-majority vote).
+    The xxhash64 variant (q_simhash) stays as the fast JVM path."""
+    from anycrawl_spark.operators.dedup import simhash_md5
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return simhash_md5(d)
+
+
+def _sql_simhash_md5() -> str:
+    # token hash = first 15 md5 hex digits as base-16 int (matches the Spark
+    # instr/substr arithmetic digit-for-digit); majority vote per bit
+    tok60 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(tok), {d}, 1)) - 1) * {16 ** (15 - d)}"
+        for d in range(1, 16)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 120),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\\s+')) AS tok FROM base),
+th AS (
+  SELECT doc_id, CAST({tok60} AS BIGINT) AS h FROM tok WHERE tok <> ''),
+bits AS (
+  SELECT doc_id, g.i AS i,
+         sum(CAST((h >> g.i) & 1 AS BIGINT)) AS cnt, count(*) AS n
+  FROM th CROSS JOIN generate_series(0, 59) AS g(i)
+  GROUP BY doc_id, g.i)
+SELECT doc_id,
+       CAST(sum(CASE WHEN cnt * 2 >= n THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash60,
+       CAST(max(n) AS INT) AS n_tokens
+FROM bits GROUP BY doc_id
+"""
+
+
+SQL_SIMHASH_MD5 = _sql_simhash_md5()
+
+
+SQL_NEAR_DUPLICATES = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 30),
+tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM base),
+mutated AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(tk[1:greatest(len(tk) - 3, 1)], ' ') AS text
+  FROM tokd),
+alldocs AS (
+  SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM mutated),
+sh AS (  -- word 3-shingles, distinct; whole text when < 3 tokens
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+                                 FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)])
+         END AS sh
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM alldocs)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1103,6 +1176,7 @@ QUERIES = {
     "q_serp_enrich": q_serp_enrich,
     "q_serp_searxng": q_serp_searxng,
     "q_serp_ac": q_serp_ac,
+    "q_simhash_md5": q_simhash_md5,
     "q_crawl_round": q_crawl_round,
     "q_simhash": q_simhash,
     "q_near_duplicates": q_near_duplicates,
@@ -1196,4 +1270,6 @@ ORACLES = {
     "q_text_chunks": SQL_TEXT_CHUNKS,
     "q_embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "q_serp_urls": SQL_SERP_URLS,
+    "q_simhash_md5": SQL_SIMHASH_MD5,
+    "q_near_duplicates": SQL_NEAR_DUPLICATES,
 }

@@ -43,7 +43,9 @@ HEADLINE = [
     "q_embedding_topk",
     "q_near_duplicates",
     "q_simhash",
+    "q_simhash_md5",
     "q_serp_search",
+    "q_serp_searxng",
 ]
 
 # frontier-kernel scale for bench + scaling runs (identical input both levels)
@@ -72,7 +74,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def bench_default() -> dict:
     from anycrawl_spark.bench_workloads import (
-        crawl_e2e, frontier_kernel, shard_maintenance_bench, warm_python_workers,
+        crawl_e2e, frontier_kernel, politeness_skew_bench,
+        shard_maintenance_bench, warm_python_workers,
     )
     from anycrawl_spark.session import get_spark
 
@@ -82,6 +85,7 @@ def bench_default() -> dict:
     queries = run_queries(spark, SF_DIR)
     frontier = frontier_kernel(spark, **KERNEL)
     shards = shard_maintenance_bench(spark)
+    skew = politeness_skew_bench(spark)
     wd = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         crawl = crawl_e2e(spark, wd)
@@ -101,6 +105,7 @@ def bench_default() -> dict:
         "frontier": frontier,
         "crawl": crawl,
         "shard_maintenance": shards,
+        "politeness_skew": skew,
     }
 
 

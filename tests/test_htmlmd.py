@@ -187,3 +187,25 @@ def test_synth_link_order_parity():
             doc = extract_document(synth.page_html(url), url)
             expected = [resolve_url(url, h) for h in synth.page_hrefs(url)]
             assert doc["links"] == expected, url
+
+
+def test_lxml_backend_parity_when_available():
+    """When lxml is installed, the fast kernel must produce byte-identical
+    markdown on the golden set; sandbox without lxml exercises the forced-
+    backend error path instead."""
+    import pytest
+
+    from anycrawl_spark.functions import htmlmd
+    from anycrawl_spark.functions.htmlmd import parse_html, to_markdown
+
+    html = ('<html><body><h1>Title</h1><p>Some <strong>bold</strong> and '
+            '<em>em</em> text.</p><ul><li>a</li><li>b</li></ul>'
+            '<a href="http://x/y">link</a><img src="http://i/z.png" alt="z">'
+            '</body></html>')
+    if htmlmd._lxml_etree is None:
+        with pytest.raises(RuntimeError, match="lxml backend requested"):
+            parse_html(html, backend="lxml")
+        return
+    md_std = to_markdown(parse_html(html, backend="stdlib"))
+    md_lx = to_markdown(parse_html(html, backend="lxml"))
+    assert md_std == md_lx

@@ -47,3 +47,75 @@ def test_proxy_match_priority(spark):
     assert out["http://www.b.com/q"] == "p-sub"
     assert out["http://b.com/q"] == "p-sub"
     assert out["http://c.com/q"] is None
+
+
+def test_proxy_tier_ladder(spark):
+    """Retry ladder (HttpClient.ts:62-78): attempt i uses proxy tier i,
+    clamped to the last tier; rule-matched URLs short-circuit tier stepping
+    into the merged [rule_proxy, ...tiers] pool (Proxy.ts:280-292)."""
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.operators.rules import ProxyRule, with_proxy_tier
+
+    tiers = [
+        ["http://t0a:8080", "http://t0b:8080"],   # tier 0: datacenter
+        ["http://t1a:8080"],                      # tier 1: residential
+        ["http://t2a:8080", "http://t2b:8080"],   # tier 2: premium
+    ]
+    rules = [ProxyRule(proxy="http://rule:9999", domain="special.com")]
+
+    rows = [("u%d" % a, "http://site.com/p/1", "site.com", a) for a in range(6)]
+    rows += [("r0", "http://special.com/x", "special.com", 0)]
+    df = spark.createDataFrame(rows, "rid string, url string, host string, attempt int")
+    out = {r.rid: r for r in with_proxy_tier(df, tiers, rules).collect()}
+
+    # reference trace: attempt->tier is 0,1,2 then clamped at the last tier
+    expected_tiers = [0, 1, 2, 2, 2, 2]
+    for a in range(6):
+        r = out["u%d" % a]
+        assert r.proxy_tier == expected_tiers[a], (a, r.proxy_tier)
+        assert r.proxy_url in tiers[expected_tiers[a]]
+    # same attempt+url -> deterministic choice; successive attempts rotate
+    again = {r.rid: r for r in with_proxy_tier(df, tiers, rules).collect()}
+    for k in out:
+        assert out[k].proxy_url == again[k].proxy_url
+    # rule match: tier is NULL, proxy drawn from merged rule+fallback pool
+    r = out["r0"]
+    assert r.proxy_tier is None
+    assert r.proxy_url in (["http://rule:9999"] + [u for pool in tiers for u in pool])
+
+
+def test_proxy_ladder_in_crawl_engine(spark, tmp_path):
+    """The engine logs (attempt, proxy_tier) per scheduled fetch; a URL that
+    retries must step 0 -> 1 -> 2 across rounds."""
+    import shutil
+
+    from anycrawl_spark import synth
+    from anycrawl_spark.crawl.params import CrawlParams
+    from anycrawl_spark.crawl.superstep import CrawlEngine
+
+    # host0033 has 5 retryable (>=500/403) pages in its first 40 — guarantees
+    # the ladder is exercised; no robots (=> no crawl-delay token caps), wide
+    # host tokens, enough rounds for the 2^attempt backoff to elapse
+    jobs = [dict(synth.seed_jobs(1)[0],
+                 seed_url="http://host0033.example.org/p/0",
+                 strategy="same-hostname", limit=60)]
+    tiers = [["http://t0:1"], ["http://t1:1"], ["http://t2:1"]]
+    wd = str(tmp_path / "px")
+    eng = CrawlEngine(spark, wd, jobs, [],
+                      CrawlParams(max_rounds=16, default_host_tokens=50),
+                      num_buckets=4, tiered_proxies=tiers)
+    eng.init_state()
+    eng.run()
+    log = eng.store.read_appends("proxy_log")
+    assert log is not None
+    rows = log.collect()
+    assert rows
+    for r in rows:
+        assert r.proxy_tier == min(r.attempt, 2)
+        assert r.proxy_url == tiers[r.proxy_tier][0]
+    # at least one retried URL stepped the ladder
+    stepped = (
+        log.groupBy("url_hash").agg(F.collect_set("proxy_tier").alias("ts")).collect()
+    )
+    assert any(len(r.ts) > 1 for r in stepped), "no URL exercised tier stepping"

@@ -40,7 +40,7 @@ def test_ann_lsh_recall(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = cosine_topk(df, q, k=5).collect()
-    approx = ann_topk_lsh(df, q, dim=16, k=5, bits=4).collect()
+    approx = ann_topk_lsh(df, q, dim=16, k=5, bits=4, multiprobe=0).collect()
     ex = {(r.query_id, r.vec_id) for r in exact}
     ap = {(r.query_id, r.vec_id) for r in approx}
     recall = len(ex & ap) / len(ex)
@@ -59,3 +59,34 @@ def test_ivf_assign(spark):
     out = {r.vec_id: r.ivf_list for r in ivf_assign(df, centroids).collect()}
     # the centroid vectors themselves map to their own list
     assert out[0] == 0 and out[1] == 1 and out[2] == 2
+
+
+def test_ann_lsh_multiprobe_recall(spark):
+    """Planted-neighbor fixture: each query has 4 true near neighbors (small
+    perturbations, cosine ~0.99). Hamming-1 multiprobe must reach recall
+    >=0.9 at bits=8 and never fall below single-probe recall."""
+    from anycrawl_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    rng = np.random.default_rng(11)
+    dim, n_q, per = 16, 10, 4
+    base = rng.normal(size=(n_q, dim))
+    rows = []
+    vid = 0
+    for qi in range(n_q):
+        rows.append((vid, base[qi].tolist())); vid += 1
+        for _ in range(per):  # planted neighbors: tiny angular perturbation
+            rows.append((vid, (base[qi] + 0.05 * rng.normal(size=dim)).tolist())); vid += 1
+    # background noise vectors
+    for _ in range(300):
+        rows.append((vid, rng.normal(size=dim).tolist())); vid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = df.filter(F.col("vec_id") % (per + 1) == 0).filter(F.col("vec_id") < n_q * (per + 1))           .select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(df, q, k=per + 1).collect()}
+    single = {(r.query_id, r.vec_id)
+              for r in ann_topk_lsh(df, q, dim=dim, k=per + 1, bits=8, multiprobe=0).collect()}
+    multi = {(r.query_id, r.vec_id)
+             for r in ann_topk_lsh(df, q, dim=dim, k=per + 1, bits=8, multiprobe=1).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.9, (r_single, r_multi)
