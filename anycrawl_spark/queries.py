@@ -883,6 +883,123 @@ WHERE done >= 8 OR (enqueued > 0 AND done = enqueued)
 """
 
 
+_WEBHOOK_TICKS = 5
+
+
+def q_webhook_deliveries(spark, sf_dir):
+    """S11 webhook delivery/retry state machine (Webhook.ts:136-409) run for
+    5 deterministic ticks over orders-synthesized events: pending ->
+    delivered | retrying(backoff 2^attempt rounds) -> pending -> failed at
+    max_attempts. Outcomes are md5-derived (first hex digit <= '7' ~ 50%
+    success), so the full lifecycle is oracle-exact."""
+    from anycrawl_spark.operators.webhooks import (
+        advance_deliveries, create_deliveries, release_due_retries,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    events = o.select(
+        F.concat(F.lit("job-"), F.pmod("o_custkey", 20).cast("string")).alias("job_id"),
+        F.element_at(
+            F.array(F.lit("crawl.completed"), F.lit("crawl.failed"), F.lit("page.scraped")),
+            (F.pmod("o_orderkey", 3) + 1).cast("int"),
+        ).alias("event"),
+        F.pmod("o_orderkey", 2).cast("int").alias("round"),
+    ).distinct()
+    subs = spark.createDataFrame(
+        _webhook_subs(), "sub_id string, job_id string, event string, url string, "
+        "active boolean, max_attempts int",
+    )
+    st = create_deliveries(events, subs)
+    for t in range(1, _WEBHOOK_TICKS + 1):
+        st = release_due_retries(st, now_round=t)
+        outcomes = st.filter(F.col("status") == "pending").select(
+            "delivery_id",
+            (F.substring(F.md5(F.concat_ws("#", "delivery_id", F.lit(str(t)))), 1, 1)
+             <= F.lit("7")).alias("ok"),
+            F.when(
+                F.substring(F.md5(F.concat_ws("#", "delivery_id", F.lit(str(t)))), 1, 1)
+                <= F.lit("7"), F.lit(200)
+            ).otherwise(F.lit(503)).alias("response_status"),
+        )
+        st = advance_deliveries(st, outcomes, now_round=t)
+    return st.select(
+        "delivery_id", "status",
+        F.col("attempt_number").cast("int").alias("attempt_number"),
+        F.col("next_retry_round").cast("int").alias("next_retry_round"),
+        F.col("response_status").cast("int").alias("response_status"),
+    )
+
+
+def _webhook_subs() -> list[tuple]:
+    """Deterministic subscription dim shared by the Spark query and the
+    generated oracle SQL: 20 jobs x 2 event subscriptions; every 5th job
+    inactive; alternating max_attempts 2/3."""
+    rows = []
+    for j in range(20):
+        for i, ev in enumerate(("crawl.completed", "page.scraped")):
+            rows.append(
+                (f"sub-{j}-{i}", f"job-{j}", ev, f"http://hooks.example/{j}/{i}",
+                 j % 5 != 4, 2 if (j + i) % 2 == 0 else 3)
+            )
+    return rows
+
+
+def _sql_webhook_deliveries() -> str:
+    subs_values = ", ".join(
+        f"('{sid}', '{jid}', '{ev}', '{url}', {str(act).upper()}, {ma})"
+        for sid, jid, ev, url, act, ma in _webhook_subs()
+    )
+    parts = [f"""
+WITH subs(sub_id, job_id, event, url, active, max_attempts) AS (VALUES {subs_values}),
+events AS (
+  SELECT DISTINCT
+    'job-' || (o_custkey % 20) AS job_id,
+    ['crawl.completed','crawl.failed','page.scraped'][(o_orderkey % 3) + 1] AS event,
+    CAST(o_orderkey % 2 AS INT) AS round
+  FROM orders WHERE o_orderkey < 300),
+s0 AS (
+  SELECT e.job_id || '|' || e.event || '|' || e.round || '|' || s.sub_id AS delivery_id,
+         'pending' AS status, 1 AS attempt_number, s.max_attempts,
+         CAST(NULL AS INT) AS next_retry_round, CAST(NULL AS INT) AS response_status
+  FROM events e JOIN subs s ON s.active AND s.job_id = e.job_id AND s.event = e.event)"""]
+    prev = "s0"
+    for t in range(1, _WEBHOOK_TICKS + 1):
+        parts.append(f""",
+r{t} AS (  -- release due retries at tick {t}
+  SELECT delivery_id,
+         CASE WHEN status = 'retrying' AND next_retry_round <= {t}
+              THEN 'pending' ELSE status END AS status,
+         attempt_number, max_attempts, next_retry_round, response_status
+  FROM {prev}),
+s{t} AS (  -- attempt outcome + transition at tick {t}
+  SELECT delivery_id,
+    CASE WHEN status <> 'pending' THEN status
+         WHEN ok THEN 'delivered'
+         WHEN attempt_number < max_attempts THEN 'retrying'
+         ELSE 'failed' END AS status,
+    CASE WHEN status = 'pending' AND NOT ok AND attempt_number < max_attempts
+         THEN attempt_number + 1 ELSE attempt_number END AS attempt_number,
+    max_attempts,
+    CASE WHEN status = 'pending' AND NOT ok AND attempt_number < max_attempts
+         THEN {t} + CAST(power(2, attempt_number) AS INT)
+         ELSE next_retry_round END AS next_retry_round,
+    CASE WHEN status = 'pending' THEN new_status ELSE response_status END AS response_status
+  FROM (SELECT *,
+               substring(md5(delivery_id || '#' || '{t}'), 1, 1) <= '7' AS ok,
+               CASE WHEN substring(md5(delivery_id || '#' || '{t}'), 1, 1) <= '7'
+                    THEN 200 ELSE 503 END AS new_status
+        FROM r{t}))""")
+        prev = f"s{t}"
+    parts.append(f"""
+SELECT delivery_id, status, CAST(attempt_number AS INT) AS attempt_number,
+       next_retry_round, response_status
+FROM {prev}""")
+    return "".join(parts)
+
+
+SQL_WEBHOOK_DELIVERIES = _sql_webhook_deliveries()
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible ops: rows-only driver check; full checks in tests/
 # ---------------------------------------------------------------------------
@@ -1177,6 +1294,7 @@ QUERIES = {
     "q_serp_searxng": q_serp_searxng,
     "q_serp_ac": q_serp_ac,
     "q_simhash_md5": q_simhash_md5,
+    "q_webhook_deliveries": q_webhook_deliveries,
     "q_crawl_round": q_crawl_round,
     "q_simhash": q_simhash,
     "q_near_duplicates": q_near_duplicates,
@@ -1271,5 +1389,6 @@ ORACLES = {
     "q_embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "q_serp_urls": SQL_SERP_URLS,
     "q_simhash_md5": SQL_SIMHASH_MD5,
+    "q_webhook_deliveries": SQL_WEBHOOK_DELIVERIES,
     "q_near_duplicates": SQL_NEAR_DUPLICATES,
 }
