@@ -265,11 +265,12 @@ def crawl_e2e(
             }
         )
     params = CrawlParams(default_host_tokens=200, max_rounds=12)
-    # two-phase politeness is the default bench path: the salted pre-cap
-    # bounds any mega-host's window partition (equivalence proven in
-    # tests/test_gates.py; skew speedup measured in politeness_skew_bench)
-    eng = CrawlEngine(spark, workdir, jobs, synth.robots_rules(web), params, web=web,
-                      two_phase_politeness=True)
+    # Exact-window politeness is the default: measured on this web (no
+    # dominant host) the two-phase salted pre-cap costs ~30% extra wall
+    # (two windows instead of one) with zero benefit. Two-phase is the
+    # mega-host-skew path — its crossover is measured explicitly in
+    # politeness_skew_bench and its equivalence proven in tests/test_gates.py.
+    eng = CrawlEngine(spark, workdir, jobs, synth.robots_rules(web), params, web=web)
     t0 = time.time()
     eng.init_state()
     eng.run()
@@ -356,14 +357,23 @@ def shard_maintenance_bench(
 
 def politeness_skew_bench(
     spark: SparkSession,
-    n_rows: int = 8_000_000,
-    mega_frac: int = 50,   # percent of rows on the single mega host
+    n_rows: int = 48_000_000,
+    mega_frac: int = 90,   # percent of rows on the single mega host
     runs: int = 3,
 ) -> dict:
     """Mega-host skew: exact window vs two-phase (salted pre-cap) politeness
-    at EQUAL output (§4.2 skew bound). One host carries ``mega_frac``% of all
-    pending rows — the exact (job, host) window serializes that partition;
-    the two-phase variant pre-caps inside 16 salt buckets first.
+    at EQUAL output (§4.2 skew bound). ONE job, one host carrying
+    ``mega_frac``% of all pending rows — the exact (job, host) window
+    serializes a ~43M-row sort into a single task; the two-phase variant
+    pre-caps inside 16 salt buckets first, so no task ever sorts more than
+    the bucket slice. This is the 10^10-frontier shape where a viral host
+    dominates a job's pending set.
+
+    Measured crossover on this VM: a single-task Tungsten sort runs ~10M
+    rows/s, so exact wins below ~10M rows per (job, host) partition (one
+    shuffle instead of two) and loses steeply above it — 17.6s vs 3.7s at
+    43M mega-host rows. The engine flag (CrawlEngine two_phase_politeness)
+    picks the path; the default is exact.
     """
     from anycrawl_spark.operators.gates import (
         apply_politeness, apply_politeness_two_phase,
@@ -373,7 +383,7 @@ def politeness_skew_bench(
     pending = (
         spark.range(n_rows)
         .select(
-            F.concat(F.lit("job-"), F.pmod("id", 4).cast("string")).alias("job_id"),
+            F.lit("job-0").alias("job_id"),
             F.when(F.pmod("id", 100) < mega_frac, F.lit("mega.host"))
             .otherwise(F.concat(F.lit("host"), F.pmod("id", 2000).cast("string")))
             .alias("host"),

