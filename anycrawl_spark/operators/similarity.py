@@ -97,6 +97,17 @@ def with_lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+def _probe_masks(bits: int, radius: int) -> list[int]:
+    """XOR masks for all buckets within Hamming distance <= radius (excluding
+    0 distance): radius 1 -> ``bits`` masks, radius 2 adds C(bits, 2)."""
+    masks = [1 << b for b in range(bits)]
+    if radius >= 2:
+        for i in range(bits):
+            for j in range(i + 1, bits):
+                masks.append((1 << i) | (1 << j))
+    return masks
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,
@@ -124,7 +135,8 @@ def ann_topk_lsh(
     if multiprobe >= 1:
         probes = F.array(
             F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(bits)],
+            *[F.col("bucket").bitwiseXOR(F.lit(m).cast("long"))
+              for m in _probe_masks(bits, multiprobe)],
         )
         qb = qb.withColumn("bucket", F.explode(probes))
     q = F.broadcast(
@@ -174,3 +186,53 @@ def ivf_assign(
         best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
         best_d = F.when(better, d).otherwise(best_d)
     return vectors.withColumn("ivf_list", best_idx)
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cosine >= t).
+
+    The dedup-family member over vectors: hyperplane-LSH bucket self-join
+    replaces the all-pairs cross join (candidates ~ pairs sharing a bucket;
+    with ``multiprobe`` >= 1 one side also probes Hamming-1 buckets so
+    near-boundary duplicates are not lost), then the exact cosine verifies.
+    Scale: the join key is the bucket id; vectors shuffle once; nothing is
+    O(n^2) — the verified-pair output is ~O(true duplicates).
+    """
+    v = with_lsh_bucket(vectors, dim, bits, vec_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(m).cast("long"))
+              for m in _probe_masks(bits, multiprobe)],
+        )
+        a = a.withColumn("bucket", F.explode(probes))
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+    )
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb"))
+        / F.greatest(_norm(F.col("_va")) * _norm(F.col("_vb")), F.lit(1e-12)),
+        4,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -886,6 +886,49 @@ WHERE done >= 8 OR (enqueued > 0 AND done = enqueued)
 _WEBHOOK_TICKS = 5
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over a planted block: vectors 0..49
+    get a perturbed copy (x*1.001 + 0.01, double math) at vec_id+10000; the
+    LSH-bucketed pair join + exact cosine must recover every pair >= 0.99.
+    Deterministic hashes + multiprobe => stable output; the oracle is the
+    exact all-pairs cosine over the same 100-vector block."""
+    from anycrawl_spark.operators.similarity import embedding_near_duplicates
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    planted = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001) + F.lit(0.01)).alias("embedding"),
+    )
+    # Hamming-2 multiprobe: a 0.1%-scale perturbation can flip two of the
+    # eight hyperplane signs, so radius 1 deterministically missed one pair
+    return embedding_near_duplicates(
+        e.unionByName(planted), dim=64, threshold=0.99, bits=8, multiprobe=2
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = r"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 50),
+planted AS (
+  SELECT vec_id + 10000 AS vec_id, [x * 1.001 + 0.01 FOR x IN v] AS v FROM base),
+allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / greatest(sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)), 1e-12), 4) AS cosine
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / greatest(sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v)), 1e-12), 4) >= 0.99
+"""
+
+
 def q_webhook_deliveries(spark, sf_dir):
     """S11 webhook delivery/retry state machine (Webhook.ts:136-409) run for
     5 deterministic ticks over orders-synthesized events: pending ->
@@ -1295,6 +1338,7 @@ QUERIES = {
     "q_serp_ac": q_serp_ac,
     "q_simhash_md5": q_simhash_md5,
     "q_webhook_deliveries": q_webhook_deliveries,
+    "q_embedding_near_dup": q_embedding_near_dup,
     "q_crawl_round": q_crawl_round,
     "q_simhash": q_simhash,
     "q_near_duplicates": q_near_duplicates,
@@ -1390,5 +1434,6 @@ ORACLES = {
     "q_serp_urls": SQL_SERP_URLS,
     "q_simhash_md5": SQL_SIMHASH_MD5,
     "q_webhook_deliveries": SQL_WEBHOOK_DELIVERIES,
+    "q_embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "q_near_duplicates": SQL_NEAR_DUPLICATES,
 }

@@ -90,3 +90,32 @@ def test_ann_lsh_multiprobe_recall(spark):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.9, (r_single, r_multi)
+
+
+def test_embedding_near_duplicates(spark):
+    """Dedup-family member over vectors: planted perturbed copies must be
+    recovered as pairs; no false pairs among background noise; equals the
+    exact all-pairs result on this block."""
+    from anycrawl_spark.operators.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(5)
+    dim = 32
+    base = rng.normal(size=(30, dim))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    rows += [(i + 1000, (base[i] * 1.001 + 0.01).tolist()) for i in range(30)]
+    rows += [(i + 5000, rng.normal(size=dim).tolist()) for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    got = embedding_near_duplicates(df, dim=dim, threshold=0.99, bits=8, multiprobe=2)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    # exact ground truth via numpy
+    all_rows = sorted(rows)
+    import itertools
+    vecs = {i: np.array(v) for i, v in all_rows}
+    exact = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        c = round(float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-12)), 4)
+        if c >= 0.99:
+            exact.add((a, b))
+    assert pairs == exact
+    assert all((i, i + 1000) in pairs for i in range(30))
