@@ -16,11 +16,53 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Small embedded stopword samples per language (heuristic lang-id only).
+# Function-word lists per language (top closed-class words; the standard
+# n-gram/stopword language-ID signal). Expanded in round 2 from 10-word toys
+# to ~40 words x 8 languages — still a heuristic, not fasttext (which is the
+# documented production swap via a pandas UDF), but enough separation that
+# real mixed-language corpora classify sensibly. The DuckDB oracles are
+# GENERATED from these lists, so they cannot drift.
 STOPWORDS = {
-    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "with"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
-    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
-    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"],
+    "en": ["the", "a", "an", "and", "of", "to", "in", "is", "that", "for",
+           "with", "as", "on", "at", "by", "it", "this", "be", "are", "was",
+           "were", "from", "or", "not", "but", "have", "has", "had", "they",
+           "their", "which", "will", "would", "can", "could", "there", "what",
+           "when", "who", "all"],
+    "es": ["el", "la", "los", "las", "de", "del", "que", "y", "en", "un",
+           "una", "por", "con", "para", "es", "son", "se", "su", "sus", "al",
+           "lo", "como", "mas", "pero", "sus", "le", "ya", "o", "este",
+           "esta", "cuando", "muy", "sin", "sobre", "tambien", "me", "hasta",
+           "hay", "donde", "quien"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine",
+           "zu", "den", "dem", "des", "im", "in", "auf", "fur", "an", "als",
+           "auch", "es", "sich", "nicht", "werden", "aus", "er", "hat",
+           "dass", "sie", "nach", "wird", "bei", "einer", "um", "am", "sind",
+           "noch", "wie", "einem", "uber"],
+    "fr": ["le", "la", "les", "de", "des", "du", "et", "est", "un", "une",
+           "dans", "que", "pour", "qui", "sur", "se", "pas", "plus", "par",
+           "avec", "au", "aux", "ce", "il", "elle", "sont", "mais", "ou",
+           "comme", "dont", "nous", "vous", "leur", "si", "tout", "être",
+           "fait", "son", "ses", "cette"],
+    "it": ["il", "lo", "la", "i", "gli", "le", "di", "che", "e", "un", "una",
+           "per", "con", "del", "della", "dei", "delle", "in", "da", "su",
+           "al", "alla", "sono", "si", "non", "come", "ma", "anche", "piu",
+           "questo", "questa", "quando", "nel", "nella", "ha", "hanno",
+           "essere", "stato", "tra", "molto"],
+    "pt": ["o", "a", "os", "as", "de", "do", "da", "dos", "das", "que", "e",
+           "em", "um", "uma", "para", "com", "por", "no", "na", "nos",
+           "nas", "se", "mais", "como", "mas", "ou", "ao", "sua", "seu",
+           "foi", "ser", "tem", "quando", "muito", "sem", "sobre", "entre",
+           "isso", "ele", "ela"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "die", "voor", "met", "zijn", "aan", "niet", "ook", "als", "er",
+           "maar", "om", "door", "naar", "bij", "uit", "dan", "worden",
+           "wordt", "heeft", "nog", "wat", "meer", "deze", "over", "of",
+           "tot", "ze", "hij", "was", "kan"],
+    "sv": ["och", "att", "det", "som", "en", "ett", "av", "for", "med",
+           "den", "till", "om", "har", "inte", "pa", "ar", "han", "hon",
+           "de", "vi", "du", "sig", "men", "ett", "fran", "var", "vid",
+           "kan", "ska", "nar", "efter", "upp", "ut", "under", "over",
+           "mot", "alla", "sin", "hur", "da"],
 }
 
 ENGLISH_STOPWORDS = STOPWORDS["en"]

@@ -538,23 +538,29 @@ def _sql_lang_hits(lang: str) -> str:
     )
 
 
-SQL_LANG_ID = f"""
+def _sql_lang_id() -> str:
+    # generated from TX.STOPWORDS so the language set / word lists can't
+    # drift between engine and oracle
+    langs = sorted(TX.STOPWORDS)
+    hit_cols = ",\n         ".join(f"{_sql_lang_hits(lg)} AS h_{lg}" for lg in langs)
+    gr = f"greatest({', '.join('h_' + lg for lg in langs)})"
+    case = f"CASE WHEN {gr} = 0 THEN 'und'\n"
+    for lg in langs[:-1]:
+        case += f"            WHEN h_{lg} = {gr} THEN '{lg}'\n"
+    case += f"            ELSE '{langs[-1]}' END AS pred_lang"
+    return f"""
 WITH h AS (
   SELECT lang,
-         {_sql_lang_hits('de')} AS h_de,
-         {_sql_lang_hits('en')} AS h_en,
-         {_sql_lang_hits('es')} AS h_es,
-         {_sql_lang_hits('fr')} AS h_fr
+         {hit_cols}
   FROM documents)
 SELECT lang,
-       CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
-            WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
-            WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
-            WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
-            ELSE 'fr' END AS pred_lang,
+       {case},
        count(*) AS n
 FROM h GROUP BY 1, 2
 """
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 def q_quality_score(spark, sf_dir):
