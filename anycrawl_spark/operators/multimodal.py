@@ -134,3 +134,88 @@ def media_refs_from_documents(documents: DataFrame) -> DataFrame:
         .filter(F.col("media_ref").isNotNull())
         .distinct()
     )
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for image resize: re-digest keyed by target
+    size (real path: PIL thumbnail — stubbed, sandbox has no imaging libs)."""
+    h = hashlib.blake2b(payload + f"|{width}x{height}".encode(), digest_size=32)
+    return h.digest() * 4
+
+
+def resize_images(
+    media: DataFrame, width: int = 256, height: int = 256, use_real: bool = False
+) -> DataFrame:
+    """payload -> resized payload (mapInPandas; bytes stay in the narrow map,
+    never shuffled). The real decoder is stubbed exactly like
+    ``extract_features``; the Spark plumbing (schema, batching, partition
+    preservation) is real and tested."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    if use_real:
+                        _try_real_decode(r.payload)
+                    rows.append({
+                        "media_ref": r.media_ref,
+                        "payload": fake_resize(r.payload, width, height),
+                        "width": width, "height": height, "ok": True,
+                    })
+                except AnyCrawlDecodeUnavailable:
+                    rows.append({
+                        "media_ref": r.media_ref, "payload": None,
+                        "width": None, "height": None, "ok": False,
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED.fields])
+
+    return media.select("media_ref", "payload").mapInPandas(gen, schema=RESIZED)
+
+
+FRAMES = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, use_real: bool = False) -> DataFrame:
+    """video payload -> one row per sampled frame at ``every_ms`` intervals
+    (mapInPandas fan-out; frame bytes are derived deterministically from the
+    payload + timestamp — the ffmpeg decode is the stubbed kernel). Row
+    explosion happens INSIDE the python stage, so upstream partitioning is
+    preserved and no shuffle touches the bytes."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                duration = (r.meta or {}).get("duration_ms") or 0
+                n = max(1, duration // every_ms) if duration else 1
+                for i in range(int(n)):
+                    ts = i * every_ms
+                    frame = hashlib.blake2b(
+                        r.payload + f"|frame@{ts}".encode(), digest_size=32
+                    ).digest()
+                    rows.append({
+                        "media_ref": r.media_ref, "frame_idx": i,
+                        "ts_ms": ts, "frame": frame,
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])
+
+    return media.select("media_ref", "payload", "meta").mapInPandas(gen, schema=FRAMES)

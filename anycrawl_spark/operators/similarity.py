@@ -236,3 +236,63 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only inside the query's ``nprobe``
+    nearest inverted lists.
+
+    The scale shape of FAISS-style IVF: vectors partition once by nearest
+    centroid (``ivf_assign`` — at 100 TB this is the Iceberg partition key),
+    queries (broadcast, tiny) fan out to their nprobe closest lists, and the
+    join key is the list id — candidates shrink by ~len(centroids)/nprobe,
+    no cross join anywhere. Centroids come from a sampled k-means in
+    production; here they are literal arrays.
+    """
+    v = ivf_assign(vectors, centroids, id_col, vec_col)
+
+    # per-query distance to every centroid -> array of list ids sorted by
+    # distance -> slice nprobe -> explode (all JVM column math)
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), F.array(*[F.lit(x) for x in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda s, val: s + val,
+            ).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    q = (
+        queries.withColumn("_lists", F.slice(F.array_sort(dists), 1, nprobe))
+        .withColumn("_l", F.explode("_lists"))
+        .select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+            F.col("_l.i").alias("ivf_list"),
+            _norm(F.col(vec_col)).alias("_qnorm"),
+        )
+    )
+    scored = v.join(F.broadcast(q), "ivf_list").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col(vec_col), F.col("_qvec"))
+            / F.greatest(_norm(F.col(vec_col)) * F.col("_qnorm"), F.lit(1e-12)),
+            6,
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -935,6 +935,77 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+_IVF_CENTROIDS = [
+    [(((i * 31 + d * 7) % 17) - 8) / 8.0 for d in range(64)] for i in range(4)
+]
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (FAISS shape): vectors partition by nearest of 4
+    literal centroids; 5 queries probe their nprobe=2 closest lists; exact
+    cosine + rank inside the probed lists only. Deterministic, so the full
+    SQL mirror (assignment, probe selection, ranked slice) value-checks it."""
+    from anycrawl_spark.operators.similarity import ivf_topk
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, _IVF_CENTROIDS, k=5, nprobe=2)
+
+
+def _sql_ivf_topk() -> str:
+    cents = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(f"{x}" for x in c) + "])"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    # squared euclidean via explicit dot expansion keeps the metric identical
+    # to the Spark fold: d2(v,c) = dot(v,v) - 2 dot(v,c) + dot(c,c)? NO —
+    # different float rounding. Instead sum the squared diffs with the same
+    # left-to-right order via list_sum(list_transform(...)).
+    d2 = "list_sum([ (v.v[k+1] - c.c[k+1]) * (v.v[k+1] - c.c[k+1]) FOR k IN range(64) ])"
+    d2q = d2.replace("v.v", "q.v")
+    return f"""
+WITH cents(i, c) AS (VALUES {cents}),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400),
+assign0 AS (
+  SELECT vec_id, v.v AS v, c.i AS ivf_list,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {d2}, c.i) AS rn
+  FROM v CROSS JOIN cents c),
+assign AS (SELECT vec_id, v, ivf_list FROM assign0 WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, q.v AS qv, c.i AS ivf_list,
+         row_number() OVER (PARTITION BY query_id ORDER BY {d2q}, c.i) AS pr
+  FROM q CROSS JOIN cents c),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.v, p.qv
+  FROM probes p JOIN assign a ON a.ivf_list = p.ivf_list
+  WHERE p.pr <= 2),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(v, qv)
+               / greatest(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)),
+                          1e-12), 6) AS cosine
+  FROM cand),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_IVF_TOPK = _sql_ivf_topk()
+
+
 def q_webhook_deliveries(spark, sf_dir):
     """S11 webhook delivery/retry state machine (Webhook.ts:136-409) run for
     5 deterministic ticks over orders-synthesized events: pending ->
@@ -1337,14 +1408,15 @@ QUERIES = {
     "q_text_chunks": q_text_chunks,
     "q_embedding_centroids": q_embedding_centroids,
     "q_serp_urls": q_serp_urls,
+    "q_simhash_md5": q_simhash_md5,
+    "q_webhook_deliveries": q_webhook_deliveries,
+    "q_embedding_near_dup": q_embedding_near_dup,
+    "q_ivf_topk": q_ivf_topk,
     # rows-only (no oracle)
     "q_serp_search": q_serp_search,
     "q_serp_enrich": q_serp_enrich,
     "q_serp_searxng": q_serp_searxng,
     "q_serp_ac": q_serp_ac,
-    "q_simhash_md5": q_simhash_md5,
-    "q_webhook_deliveries": q_webhook_deliveries,
-    "q_embedding_near_dup": q_embedding_near_dup,
     "q_crawl_round": q_crawl_round,
     "q_simhash": q_simhash,
     "q_near_duplicates": q_near_duplicates,
@@ -1441,5 +1513,6 @@ ORACLES = {
     "q_simhash_md5": SQL_SIMHASH_MD5,
     "q_webhook_deliveries": SQL_WEBHOOK_DELIVERIES,
     "q_embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "q_ivf_topk": SQL_IVF_TOPK,
     "q_near_duplicates": SQL_NEAR_DUPLICATES,
 }

@@ -119,3 +119,31 @@ def test_embedding_near_duplicates(spark):
             exact.add((a, b))
     assert pairs == exact
     assert all((i, i + 1000) in pairs for i in range(30))
+
+
+def test_ivf_topk_recall(spark):
+    """IVF search: clustered fixture (queries near centroid of their own
+    cluster); nprobe=2 over 4 lists must find >=0.9 of true top-k, and
+    nprobe=len(centroids) must equal exact."""
+    from anycrawl_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    dim, n_clusters = 16, 4
+    centers = rng.normal(size=(n_clusters, dim)) * 3
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(100):
+            rows.append((vid, (centers[c] + rng.normal(size=dim)).tolist())); vid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = df.filter(F.col("vec_id").isin([0, 100, 200, 300])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [c.tolist() for c in centers]
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(df, q, k=5).collect()}
+    probed = {(r.query_id, r.vec_id)
+              for r in ivf_topk(df, q, cents, k=5, nprobe=2).collect()}
+    full = {(r.query_id, r.vec_id)
+            for r in ivf_topk(df, q, cents, k=5, nprobe=len(cents)).collect()}
+    assert len(exact & probed) / len(exact) >= 0.9
+    assert full == exact  # probing every list degenerates to exact

@@ -253,3 +253,40 @@ def test_searxng_url_building(spark):
                      lang=F.col("lang")).alias("u")
     ).first().u
     assert acu == "http://ac-engine.synth/search?q=spark+crawl&start=0&limit=25&lang=de"
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize + frame-sample plumbing: schemas, determinism, per-duration
+    frame counts; decode kernels stubbed (no imaging libs in sandbox)."""
+    from anycrawl_spark.operators.multimodal import (
+        materialize_media, resize_images, sample_frames,
+    )
+
+    refs = spark.createDataFrame(
+        [(f"http://media.synth/v/{i}",) for i in range(8)], "media_ref string"
+    )
+    media = materialize_media(refs)
+    rs = resize_images(media, 128, 128).collect()
+    assert len(rs) == 8
+    assert all(r.ok and r.width == 128 and len(r.payload) == 128 for r in rs)
+    # deterministic: same input -> same resized bytes
+    rs2 = {r.media_ref: r.payload for r in resize_images(media, 128, 128).collect()}
+    assert all(rs2[r.media_ref] == r.payload for r in rs)
+
+    # frame sampling: synthetic images carry duration_ms=None -> 1 frame each
+    fr = sample_frames(media, every_ms=500).collect()
+    assert len(fr) == 8 and all(f.frame_idx == 0 and f.ts_ms == 0 for f in fr)
+    # fake a video with a duration: patch meta through a select
+    vid = media.withColumn(
+        "meta", F.named_struct(
+            F.lit("media_type"), F.lit("video"), F.lit("format"), F.lit("mp4"),
+            F.lit("width"), F.lit(640), F.lit("height"), F.lit(480),
+            F.lit("duration_ms"), F.lit(3200), F.lit("size_bytes"), F.lit(1024).cast("long"),
+        )
+    )
+    frames = sample_frames(vid, every_ms=1000).collect()
+    # 3200ms at 1000ms interval -> 3 frames per video
+    per = {}
+    for f in frames:
+        per.setdefault(f.media_ref, []).append(f.ts_ms)
+    assert all(sorted(v) == [0, 1000, 2000] for v in per.values())
