@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from anycrawl_spark import synth
 from anycrawl_spark.operators.spans import fetch_extract
@@ -175,3 +176,91 @@ def run_scrape_stream_once(spark: SparkSession, rows_per_second: int = 200) -> l
     finally:
         q.stop()
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming job progress (A1-A3 as a stream)
+# ---------------------------------------------------------------------------
+
+PROGRESS_UPDATE = T.StructType(
+    [
+        T.StructField("job_id", T.StringType()),
+        T.StructField("done", T.LongType()),
+        T.StructField("succeeded", T.LongType()),
+        T.StructField("failed", T.LongType()),
+        T.StructField("finalized", T.BooleanType()),
+    ]
+)
+
+_PROGRESS_STATE = T.StructType(
+    [
+        T.StructField("done", T.LongType()),
+        T.StructField("succeeded", T.LongType()),
+        T.StructField("failed", T.LongType()),
+        T.StructField("finalized", T.BooleanType()),
+    ]
+)
+
+
+def job_progress_stream(events: DataFrame, limit: int = 50) -> DataFrame:
+    """Per-job crawl progress as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``) — the streaming rendering of the reference's
+    Redis progress counters + atomic finalize policy (Progress.ts:279-298:
+    finalize once done >= limit).
+
+    Unlike the batch superstep (which externalizes this state into the
+    progress snapshot table), a long-lived scrape stream needs the counters
+    INSIDE the stream: state per job_id survives across micro-batches, each
+    batch emits the updated counters, and the finalize transition emits
+    exactly once (state flips to finalized and stops counting).
+
+    ``events``: streaming rows (job_id, status_code, ts).
+    """
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    def update(key, pdfs, state):
+        (job_id,) = key
+        if state.exists:
+            done, succeeded, failed, finalized = state.get
+        else:
+            done, succeeded, failed, finalized = 0, 0, 0, False
+        for pdf in pdfs:
+            if finalized:
+                break
+            ok = int((pdf["status_code"] == 200).sum())
+            bad = int((pdf["status_code"] != 200).sum())
+            done += ok + bad
+            succeeded += ok
+            failed += bad
+            if done >= limit:
+                finalized = True
+        state.update((done, succeeded, failed, finalized))
+        yield pd.DataFrame(
+            [{"job_id": job_id, "done": done, "succeeded": succeeded,
+              "failed": failed, "finalized": finalized}]
+        )
+
+    return (
+        events.groupBy("job_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=PROGRESS_UPDATE,
+            stateStructType=_PROGRESS_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def fetch_events_stream(spark: SparkSession, rows_per_second: int = 100, n_jobs: int = 4) -> DataFrame:
+    """Synthetic fetch-result event stream (rate source -> job/status cols)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.concat(F.lit("job-"), F.pmod("value", n_jobs).cast("string")).alias("job_id"),
+            F.when(F.pmod(F.xxhash64("value"), 10) < 8, 200).otherwise(500).alias("status_code"),
+            F.col("timestamp").alias("ts"),
+        )
+    )

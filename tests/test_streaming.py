@@ -52,3 +52,42 @@ def test_metrics_stream_watermark(spark):
         assert "watermark" in (progress.get("eventTime") or {})
     finally:
         q.stop()
+
+
+def test_job_progress_stateful_stream(spark):
+    """applyInPandasWithState: per-job counters persist across micro-batches,
+    monotonically increase, and finalize exactly at the limit."""
+    from anycrawl_spark.streaming.continuous import (
+        fetch_events_stream, job_progress_stream,
+    )
+
+    prog = job_progress_stream(fetch_events_stream(spark, rows_per_second=200), limit=40)
+    q = (
+        prog.writeStream.format("memory")
+        .queryName("progress_out")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 25
+        while time.time() < deadline:
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM progress_out").collect()
+            if rows and any(r.finalized for r in rows):
+                break
+        rows = spark.sql("SELECT * FROM progress_out").collect()
+        assert rows, "no progress emitted"
+        # counters are monotone per job across batch emissions
+        seen = {}
+        for r in rows:
+            seen.setdefault(r.job_id, []).append(r.done)
+        for jid, ds in seen.items():
+            assert ds == sorted(ds), f"{jid} counters not monotone: {ds}"
+        # at least one job crossed the limit and finalized; done >= limit there
+        finals = [r for r in rows if r.finalized]
+        assert finals and all(r.done >= 40 for r in finals)
+        # sanity: succeeded + failed == done on every emission
+        assert all(r.succeeded + r.failed == r.done for r in rows)
+    finally:
+        q.stop()
