@@ -1006,6 +1006,97 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 SQL_IVF_TOPK = _sql_ivf_topk()
 
 
+_SCHED_TEMPLATES = [
+    ("tpl-0", "scrape", "playwright"),
+    ("tpl-1", "crawl", None),
+    ("tpl-2", "search", "cheerio"),
+]
+
+
+def q_scheduled_tasks(spark, sf_dir):
+    """J4 + A4 in one pipeline (Scheduler.ts:241-262, 346-409): resolve
+    template-typed tasks through the template dim (actual type / engine
+    fallback chain / queue name), then apply the daily execution gate."""
+    from anycrawl_spark.operators.scheduler import (
+        daily_execution_gate, resolve_task_templates,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    tasks = o.select(
+        F.concat(F.lit("task-"), F.col("o_orderkey").cast("string")).alias("task_id"),
+        F.element_at(
+            F.array(F.lit("scrape"), F.lit("crawl"), F.lit("template"), F.lit("template")),
+            (F.pmod("o_orderkey", 4) + 1).cast("int"),
+        ).alias("task_type"),
+        F.when(F.pmod("o_custkey", 3) == 0, F.lit("playwright")).alias("payload_engine"),
+        F.when(
+            F.pmod("o_orderkey", 4) >= 2,
+            F.concat(F.lit("tpl-"), F.pmod("o_orderkey", 3).cast("string")),
+        ).alias("payload_template_id"),
+        F.when(F.pmod("o_custkey", 4) != 0, F.pmod("o_custkey", 5).cast("int"))
+        .alias("max_executions_per_day"),
+    )
+    templates = spark.createDataFrame(
+        _SCHED_TEMPLATES, "template_id string, template_type string, template_engine string"
+    )
+    executions = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400).select(
+        F.concat(F.lit("task-"), F.col("l_orderkey").cast("string")).alias("task_id"),
+        F.when(F.pmod("l_linenumber", 2) == 0, F.lit("2026-08-17"))
+        .otherwise(F.lit("2026-08-16")).alias("exec_day"),
+    )
+    resolved = resolve_task_templates(tasks, templates)
+    gated = daily_execution_gate(resolved, executions, "2026-08-17")
+    return gated.select(
+        "task_id", "task_type", "actual_type", "engine", "queue_name",
+        F.col("executions_today").cast("int").alias("executions_today"),
+        "max_executions_per_day", "eligible",
+    )
+
+
+def _sql_scheduled_tasks() -> str:
+    tpl_values = ", ".join(
+        f"('{t}', '{ty}', " + ("NULL" if e is None else f"'{e}'") + ")"
+        for t, ty, e in _SCHED_TEMPLATES
+    )
+    return f"""
+WITH templates(template_id, template_type, template_engine) AS (VALUES {tpl_values}),
+tasks AS (
+  SELECT 'task-' || o_orderkey AS task_id,
+         ['scrape','crawl','template','template'][(o_orderkey % 4) + 1] AS task_type,
+         CASE WHEN o_custkey % 3 = 0 THEN 'playwright' END AS payload_engine,
+         CASE WHEN o_orderkey % 4 >= 2 THEN 'tpl-' || (o_orderkey % 3) END AS payload_template_id,
+         CASE WHEN o_custkey % 4 <> 0 THEN CAST(o_custkey % 5 AS INT) END AS max_executions_per_day
+  FROM orders WHERE o_orderkey < 400),
+execs AS (
+  SELECT 'task-' || l_orderkey AS task_id,
+         CASE WHEN l_linenumber % 2 = 0 THEN '2026-08-17' ELSE '2026-08-16' END AS exec_day
+  FROM lineitem WHERE l_orderkey < 400),
+resolved AS (
+  SELECT t.*,
+         CASE WHEN t.task_type = 'template' THEN tpl.template_type
+              ELSE t.task_type END AS actual_type,
+         coalesce(t.payload_engine,
+                  CASE WHEN t.task_type = 'template' THEN tpl.template_engine END,
+                  'cheerio') AS engine
+  FROM tasks t LEFT JOIN templates tpl
+    ON t.task_type = 'template' AND t.payload_template_id = tpl.template_id),
+counts AS (
+  SELECT task_id, count(*) AS executions_today FROM execs
+  WHERE exec_day = '2026-08-17' GROUP BY 1)
+SELECT r.task_id, r.task_type, r.actual_type, r.engine,
+       concat_ws('-', r.actual_type, r.engine) AS queue_name,
+       CAST(coalesce(c.executions_today, 0) AS INT) AS executions_today,
+       r.max_executions_per_day,
+       CASE WHEN r.max_executions_per_day IS NOT NULL AND r.max_executions_per_day > 0
+            THEN coalesce(c.executions_today, 0) < r.max_executions_per_day
+            ELSE TRUE END AS eligible
+FROM resolved r LEFT JOIN counts c ON c.task_id = r.task_id
+"""
+
+
+SQL_SCHEDULED_TASKS = _sql_scheduled_tasks()
+
+
 def q_webhook_deliveries(spark, sf_dir):
     """S11 webhook delivery/retry state machine (Webhook.ts:136-409) run for
     5 deterministic ticks over orders-synthesized events: pending ->
@@ -1412,6 +1503,7 @@ QUERIES = {
     "q_webhook_deliveries": q_webhook_deliveries,
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_ivf_topk": q_ivf_topk,
+    "q_scheduled_tasks": q_scheduled_tasks,
     # rows-only (no oracle)
     "q_serp_search": q_serp_search,
     "q_serp_enrich": q_serp_enrich,
@@ -1514,5 +1606,6 @@ ORACLES = {
     "q_webhook_deliveries": SQL_WEBHOOK_DELIVERIES,
     "q_embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "q_ivf_topk": SQL_IVF_TOPK,
+    "q_scheduled_tasks": SQL_SCHEDULED_TASKS,
     "q_near_duplicates": SQL_NEAR_DUPLICATES,
 }
