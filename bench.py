@@ -83,14 +83,17 @@ def bench_default() -> dict:
     warm_python_workers(spark, CPUS)
     t0 = time.time()
     queries = run_queries(spark, SF_DIR)
-    frontier = frontier_kernel(spark, **KERNEL)
-    shards = shard_maintenance_bench(spark)
-    skew = politeness_skew_bench(spark)
+    # crawl first: the 48M-row skew / 32M-key shard stages leave the JVM heap
+    # fragmented and inflate the crawl's per-round wall by ~25% if run before
     wd = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         crawl = crawl_e2e(spark, wd)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+    spark.catalog.clearCache()
+    frontier = frontier_kernel(spark, **KERNEL)
+    shards = shard_maintenance_bench(spark)
+    skew = politeness_skew_bench(spark)
     total = round(time.time() - t0, 2)
     spark.stop()
     queries["frontier_kernel"] = frontier["wall_sec"]

@@ -151,3 +151,21 @@ def test_same_domain_scope_github_io(spark):
     assert keep["http://sub.host0001.github.io/p/2"] is True
     assert keep["http://host0002.github.io/p/3"] is False
     assert keep["http://github.io/p/4"] is False
+
+
+def test_registrable_domain_fixpoint_property():
+    """registrable_domain is a fixpoint: applying it twice equals once (the
+    eTLD+1 of an eTLD+1 is itself) — over a varied host corpus."""
+    from anycrawl_spark.data.public_suffixes import registrable_domain_psl
+
+    hosts = [
+        "a.b.c.example.com", "x.github.io", "a.x.github.io", "www.bbc.co.uk",
+        "deep.www.bbc.co.uk", "e.co.nz", "f.e.co.nz", "g.com.tr",
+        "a.something.ck", "b.a.something.ck", "sub.www.ck",
+        "x.city.kawasaki.jp", "a.b.kawasaki.jp", "localhost",
+        "a.veryunknown", "b.a.veryunknown", "s3.amazonaws.com",
+        "bucket.s3.amazonaws.com", "x.blogspot.com", "www.x.blogspot.com",
+    ]
+    for h in hosts:
+        once = registrable_domain_psl(h)
+        assert registrable_domain_psl(once) == once, h
