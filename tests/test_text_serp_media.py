@@ -290,3 +290,30 @@ def test_multimodal_resize_and_frames(spark):
     for f in frames:
         per.setdefault(f.media_ref, []).append(f.ts_ms)
     assert all(sorted(v) == [0, 1000, 2000] for v in per.values())
+
+
+def test_google_locale_resolution_table_parity():
+    """resolve_google_locale over the FULL tables: regions lookup, skip-list
+    fallback to the first non-skip region, domain join, hl from lr value."""
+    from anycrawl_spark.operators.serp import resolve_google_locale
+
+    # explicit region match
+    assert resolve_google_locale("de", "DE") == ("de", "lang_de", "DE", "www.google.de")
+    # reference quirk reproduced faithfully: regions maps en-GB -> 'GB' but
+    # supported_domains only has the 'UK' key, so the domain falls back to
+    # www.google.com (Google.ts:107-113 + data tables)
+    assert resolve_google_locale("en", "GB") == ("en", "lang_en", "GB", "www.google.com")
+    # skip-listed country -> language's first non-skip region (insertion order)
+    assert resolve_google_locale("en", "MY")[2] == "AG"
+    assert resolve_google_locale("en", "UZ")[2] == "AG"
+    # language with underscore lr value: hl language code comes from it
+    lang_code, eng_lang, c, d = resolve_google_locale("zh", "HK")
+    assert (lang_code, eng_lang, c, d) == ("zh-CN", "lang_zh-CN", "HK", "www.google.com.hk")
+    # pt maps to lang_pt-BR (reference table) and falls back to AO
+    assert resolve_google_locale("pt", None)[:3] == ("pt-BR", "lang_pt-BR", "AO")
+    # unknown language -> eng_lang 'en' (no lang_ prefix), US, google.com
+    assert resolve_google_locale("xx", None) == ("en", "en", "US", "www.google.com")
+    # no lang, no country -> US default
+    assert resolve_google_locale(None, None)[2:] == ("US", "www.google.com")
+    # lang-country pair missing from regions -> falls to lang fallback
+    assert resolve_google_locale("de", "JP")[2] == "AT"  # first de-* region
