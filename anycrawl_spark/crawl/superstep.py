@@ -607,8 +607,22 @@ class CrawlEngine:
             )
 
         # final writes: independent tables in parallel (fresh/next_frontier
-        # are already materialized in caches by the summary collect)
+        # are already materialized in caches by the summary collect). The
+        # shard merge (checkpoint + dirty-gen append) rides the same pool —
+        # it reads only the cached fresh set and the previous shard state,
+        # and SnapshotStore.append reserves slots under its lock.
+        fresh_keyed = with_dedup_key(
+            fresh.select("job_id", "url_hash"), self.num_buckets
+        )
+        dirty = [
+            r.bucket for r in fresh_keyed.select("bucket").distinct().collect()
+        ]
         with ThreadPoolExecutor(max_workers=4) as pool:
+            f_shards = pool.submit(
+                self._commit_shard_delta,
+                merge_bloom_shards(self._shards, fresh_keyed, dirty_buckets=dirty),
+                rnd,
+            )
             futures = [
                 pool.submit(
                     self.store.append,
@@ -642,18 +656,7 @@ class CrawlEngine:
                 )
             for f in futures:
                 f.result()
-        # incremental shard maintenance: merge this round's fresh keys into
-        # the persisted shard state (cost ~ O(fresh + dirtied blobs)); the
-        # dirty-bucket list is one tiny collect over the cached fresh set
-        fresh_keyed = with_dedup_key(
-            fresh.select("job_id", "url_hash"), self.num_buckets
-        )
-        dirty = [
-            r.bucket for r in fresh_keyed.select("bucket").distinct().collect()
-        ]
-        self._commit_shard_delta(
-            merge_bloom_shards(self._shards, fresh_keyed, dirty_buckets=dirty), rnd
-        )
+            f_shards.result()
         t_final = _time.time()
         self.store.commit_round(rnd)
         stats = {
