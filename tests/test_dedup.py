@@ -73,3 +73,31 @@ def test_simhash_buckets(spark):
     d = _docs(spark)
     b = {r.doc_id: r.bucket for r in simhash_buckets(d, prefix_bits=8).collect()}
     assert b[0] == b[1] == b[4]
+
+
+def test_simhash_hamming_locality(spark):
+    """SimHash property: near-identical docs land at small Hamming distance,
+    unrelated docs far — for BOTH the xxhash64 and the md5 (oracle) variant."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.operators.dedup import simhash, simhash_md5
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find some food for the day")
+    near = base.replace("lazy", "sleepy")               # 1-token change
+    far = ("completely unrelated text about spark sql window functions "
+           "catalyst optimizer exchange partitioning codegen stages tasks")
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, far]})
+    )
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for fn, col in ((simhash, "simhash"), (simhash_md5, "simhash60")):
+        out = {r.doc_id: getattr(r, col) for r in fn(df).collect()}
+        d_near = hamming(out[0], out[1])
+        d_far = hamming(out[0], out[2])
+        assert d_near < d_far, (fn.__name__, d_near, d_far)
+        assert d_near <= 12, (fn.__name__, d_near)
