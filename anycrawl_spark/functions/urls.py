@@ -47,28 +47,29 @@ def resolve_url(base: str, rel: str) -> str:
         return rel
 
 
-def canonicalize_url(url: str) -> str | None:
-    """C1: deterministic canonical form used as the dedup key basis.
+def canonicalize_url_host(url: str) -> tuple[str | None, str | None]:
+    """C1 canonical form + the canonical HOST from a single urlsplit.
 
-    Returns None for unsupported/unusable URLs (non-http(s), empty,
-    javascript:, mailto:, fragment-only).
+    The candidate gate needs both for every link; sharing the split saves a
+    second full URL parse per candidate (urlsplit is the gate kernel's
+    hottest call). Returns (None, None) for unusable URLs.
     """
     if not url:
-        return None
+        return None, None
     url = fix_malformed(url.strip())
     try:
         parts = urlsplit(url)
     except ValueError:
-        return None
+        return None, None
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
-        return None
+        return None, None
     host = parts.hostname
     if not host:
-        return None
+        return None, None
     host = host.lower().rstrip(".")
     if not host:  # e.g. 'http://.' — dot-only hostname strips to empty
-        return None
+        return None, None
     port = None
     try:
         port = parts.port
@@ -85,7 +86,16 @@ def canonicalize_url(url: str) -> str | None:
     ]
     qs.sort()
     query = urlencode(qs)
-    return urlunsplit((scheme, netloc, path, query, ""))
+    return urlunsplit((scheme, netloc, path, query, "")), host
+
+
+def canonicalize_url(url: str) -> str | None:
+    """C1: deterministic canonical form used as the dedup key basis.
+
+    Returns None for unsupported/unusable URLs (non-http(s), empty,
+    javascript:, mailto:, fragment-only).
+    """
+    return canonicalize_url_host(url)[0]
 
 
 def url_host(url: str) -> str | None:

@@ -243,9 +243,13 @@ def make_candidate_gate(jobs: list[dict], robots_rules_by_host: dict[str, list[t
 
     @F.pandas_udf(out_type)
     def gate(job_id: pd.Series, url: pd.Series) -> pd.DataFrame:
+        from anycrawl_spark.functions.urls import canonicalize_url_host
+
         urls, hosts, keeps = [], [], []
         for jid, u in zip(job_id, url):
-            cu = canonicalize_url(u) if u is not None else None
+            # one urlsplit yields both the canonical form and the host —
+            # urlsplit is this kernel's hottest call (profiled ~45% of gate)
+            cu, h = canonicalize_url_host(u) if u is not None else (None, None)
             if cu is None:
                 urls.append(None); hosts.append(None); keeps.append(False)
                 continue
@@ -253,7 +257,6 @@ def make_candidate_gate(jobs: list[dict], robots_rules_by_host: dict[str, list[t
             if m is None:
                 urls.append(cu); hosts.append(None); keeps.append(False)
                 continue
-            h = url_host(cu)
             s = m["strategy"]
             if s == "same-hostname":
                 ok = h == m["seed_host"]
