@@ -194,5 +194,22 @@ class ReferenceSimulator:
         """job_id -> {url: (depth, discovery_seq)}"""
         return {jid: dict(st.seen) for jid, st in self.states.items()}
 
+    def frontier_log(self) -> list[tuple]:
+        """(job_id, url, depth, discovery_seq, status) — the engine's
+        append-only frontier_log mirror: one row per URL that reached a
+        terminal state ('fetched'/'failed'), plus each finalized job's
+        leftover pending rows as 'skipped' (the engine logs those the round
+        the job finalizes; non-finalized jobs' pending rows stay in the live
+        frontier and are logged by neither side)."""
+        rows = []
+        for jid, st in self.states.items():
+            for url, status in st.status.items():
+                d, s = st.seen[url]
+                rows.append((jid, url, d, s, status))
+            if st.finalized:
+                for url, depth, seq, _attempt, _elig in st.pending:
+                    rows.append((jid, url, depth, seq, "skipped"))
+        return rows
+
     def terminal_status(self) -> dict[str, dict]:
         return {jid: dict(st.status) for jid, st in self.states.items()}

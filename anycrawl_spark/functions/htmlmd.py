@@ -145,16 +145,58 @@ def _lxml_to_node(el, parent: Node) -> None:
             node.append(Node(None, text=child.tail))
 
 
+# 'auto' only switches to lxml after a golden-parity self-check: lxml wraps
+# fragments in implied <html>/<body> and diverges from the stdlib builder on
+# malformed markup/entities, and extraction output feeds dedup keys and crawl
+# scope — silent divergence between environments is worse than losing the
+# fast path. The check parses adversarial fragments with both backends and
+# compares the serialized trees; any mismatch pins 'auto' to stdlib.
+_PARITY_FRAGMENTS = (
+    "<p>a<b>b</p>c",                       # unclosed inline at block close
+    "<div>x &amp; y &lt;z&gt; &#169;</div>",  # entities
+    "<ul><li>1<li>2</ul>",                 # implied </li>
+    "<table><tr><td>t</table>",            # implied tbody handling
+    "plain text, no tags",
+    "<a href='u'>l</a> tail <br> more",
+)
+_auto_lxml_ok: "bool | None" = None
+
+
+def _serialize(node: Node) -> str:
+    if node.is_text:
+        return "T(%s)" % node.text
+    kids = ",".join(_serialize(c) for c in node.children)
+    return "%s%s[%s]" % (node.tag, sorted((node.attrs or {}).items()), kids)
+
+
+def _lxml_parity_check() -> bool:
+    global _auto_lxml_ok
+    if _auto_lxml_ok is None:
+        try:
+            _auto_lxml_ok = all(
+                _serialize(parse_html(f, backend="lxml"))
+                == _serialize(parse_html(f, backend="stdlib"))
+                for f in _PARITY_FRAGMENTS
+            )
+        except Exception:
+            _auto_lxml_ok = False
+    return _auto_lxml_ok
+
+
 def parse_html(html: str, backend: str = "auto") -> Node:
     """Forgiving HTML -> Node tree.
 
-    ``backend``: 'auto' uses lxml when importable else the stdlib parser;
-    'stdlib' / 'lxml' force a specific kernel (tests exercise both).
+    ``backend``: 'auto' uses lxml only when importable AND it passes the
+    embedded golden-parity self-check against the stdlib builder (otherwise
+    stdlib); 'stdlib' / 'lxml' force a specific kernel (tests exercise both).
     """
     # Whitespace pre-normalization (html-to-markdown.ts:4-8).
     html = re.sub(r">\s+<", "><", html)
     html = re.sub(r"\s+", " ", html).strip()
-    use_lxml = _lxml_etree is not None if backend == "auto" else backend == "lxml"
+    if backend == "auto":
+        use_lxml = _lxml_etree is not None and _lxml_parity_check()
+    else:
+        use_lxml = backend == "lxml"
     if use_lxml:
         if _lxml_etree is None:
             raise RuntimeError("lxml backend requested but lxml is not installed")

@@ -30,9 +30,9 @@ STOPWORDS = {
            "when", "who", "all"],
     "es": ["el", "la", "los", "las", "de", "del", "que", "y", "en", "un",
            "una", "por", "con", "para", "es", "son", "se", "su", "sus", "al",
-           "lo", "como", "mas", "pero", "sus", "le", "ya", "o", "este",
-           "esta", "cuando", "muy", "sin", "sobre", "tambien", "me", "hasta",
-           "hay", "donde", "quien"],
+           "lo", "como", "mas", "pero", "le", "ya", "o", "este", "esta",
+           "cuando", "muy", "sin", "sobre", "tambien", "me", "hasta", "hay",
+           "donde", "quien", "ni"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine",
            "zu", "den", "dem", "des", "im", "in", "auf", "fur", "an", "als",
            "auch", "es", "sich", "nicht", "werden", "aus", "er", "hat",
@@ -41,7 +41,7 @@ STOPWORDS = {
     "fr": ["le", "la", "les", "de", "des", "du", "et", "est", "un", "une",
            "dans", "que", "pour", "qui", "sur", "se", "pas", "plus", "par",
            "avec", "au", "aux", "ce", "il", "elle", "sont", "mais", "ou",
-           "comme", "dont", "nous", "vous", "leur", "si", "tout", "être",
+           "comme", "dont", "nous", "vous", "leur", "si", "tout", "etre",
            "fait", "son", "ses", "cette"],
     "it": ["il", "lo", "la", "i", "gli", "le", "di", "che", "e", "un", "una",
            "per", "con", "del", "della", "dei", "delle", "in", "da", "su",
@@ -60,9 +60,9 @@ STOPWORDS = {
            "tot", "ze", "hij", "was", "kan"],
     "sv": ["och", "att", "det", "som", "en", "ett", "av", "for", "med",
            "den", "till", "om", "har", "inte", "pa", "ar", "han", "hon",
-           "de", "vi", "du", "sig", "men", "ett", "fran", "var", "vid",
-           "kan", "ska", "nar", "efter", "upp", "ut", "under", "over",
-           "mot", "alla", "sin", "hur", "da"],
+           "de", "vi", "du", "sig", "men", "fran", "var", "vid", "kan",
+           "ska", "nar", "efter", "upp", "ut", "under", "over", "mot",
+           "alla", "sin", "hur", "da", "vad"],
 }
 
 ENGLISH_STOPWORDS = STOPWORDS["en"]
@@ -113,16 +113,53 @@ def lang_hits(text: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
 
 
+def _word_mask_entries() -> list[tuple[str, int]]:
+    """word -> bitmask of languages whose function-word list contains it
+    (one bit per language, alphabetical order)."""
+    masks: dict[str, int] = {}
+    for i, lg in enumerate(sorted(STOPWORDS)):
+        for w in STOPWORDS[lg]:
+            masks[w] = masks.get(w, 0) | (1 << i)
+    return sorted(masks.items())
+
+
 def lang_id(text: Column) -> Column:
     """argmax over per-language stopword hits; 'und' (undetermined) when all
-    zero. Deterministic tie-break: alphabetical language order wins."""
-    hits = {lg: lang_hits(text, lg) for lg in sorted(STOPWORDS)}
-    best = F.greatest(*hits.values())
-    expr = F.lit("und")
-    # build reversed so earlier (alphabetical) langs take precedence
-    for lg in sorted(STOPWORDS, reverse=True):
-        expr = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(expr)
-    return expr
+    zero. Deterministic tie-break: alphabetical language order wins.
+
+    Shape (the fast way — the naive 8x ``lang_hits(text, lg)`` expression
+    re-splits the text and re-runs a 40-literal string InSet per language,
+    which round 2 measured at +58% query wall): tokenize ONCE, one map
+    lookup per token against a word->language-bitmask literal map, keep only
+    stopword tokens (a short int array), then derive the 8 per-language
+    occurrence counts with cheap bitmask filters. The token/mask arrays are
+    bound as higher-order-function lambda variables (``transform`` over a
+    1-element array) so each is evaluated exactly once per row regardless of
+    how many times the argmax expression references it.
+    """
+    langs = sorted(STOPWORDS)
+    word_mask = F.create_map(
+        *[F.lit(x) for w, m in _word_mask_entries() for x in (w, m)]
+    )
+    toks = tokens(F.lower(text))
+    masks = F.filter(
+        F.transform(toks, lambda t: F.coalesce(word_mask[t], F.lit(0))),
+        lambda m: m != 0,
+    )
+
+    def argmax(ms: Column) -> Column:
+        hits = {
+            lg: F.size(F.filter(ms, lambda m: m.bitwiseAND(F.lit(1 << i)) != 0))
+            for i, lg in enumerate(langs)
+        }
+        best = F.greatest(*hits.values())
+        expr = F.lit("und")
+        # build reversed so earlier (alphabetical) langs take precedence
+        for lg in reversed(langs):
+            expr = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(expr)
+        return expr
+
+    return F.get(F.transform(F.array(masks), argmax), 0)
 
 
 def fingerprint(text: Column) -> Column:

@@ -53,10 +53,19 @@ def resolve_task_templates(tasks: DataFrame, templates: DataFrame) -> DataFrame:
         F.when(is_template, F.col("_tpl_engine")),
         F.lit(DEFAULT_ENGINE),
     )
+    # A template task whose template_id matches no template row would get a
+    # NULL actual_type, and concat_ws silently drops nulls — degrading the
+    # queue_name to just the engine and routing to a bogus queue. Surface it
+    # instead: unresolved=true, queue_name=NULL (downstream filters on it).
+    unresolved = is_template & F.col("_tpl_id").isNull()
     return (
         joined.withColumn("actual_type", actual_type)
         .withColumn("engine", engine)
-        .withColumn("queue_name", F.concat_ws("-", "actual_type", "engine"))
+        .withColumn("unresolved", unresolved)
+        .withColumn(
+            "queue_name",
+            F.when(~unresolved, F.concat_ws("-", "actual_type", "engine")),
+        )
         .drop("_tpl_id", "_tpl_type", "_tpl_engine")
     )
 

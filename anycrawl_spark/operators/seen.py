@@ -39,8 +39,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BLOOM_K = 7            # hash probes per key (optimal for ~10 bits/key)
-BITS_PER_KEY = 10      # ~1% fpp
+BITS_PER_KEY = 10      # generation-0 design load, ~0.8% fpp at k=7
 DEFAULT_BUCKETS = 32   # local test default; 4096 at 10^10 scale
+
+# Scalable-bloom fpp tightening (Almeida et al. 2007 §3): probes OR across
+# generations, so the union fpp is the SUM of per-generation fpps — sized at a
+# flat 10 bits/key that sum grows ~n_gens x 0.8%. Bounding it requires each
+# new generation's fpp to shrink geometrically; with k fixed at 7, fpp(b bits/
+# key) = (1 - e^(-7/b))^7, and +2 bits/key multiplies it by ~0.45 per step
+# (10->0.82%, 12->0.37%, 14->0.17%, ...). Geometric ratio r~0.45 bounds the
+# union at fpp0/(1-r) ~ 1.5% no matter how many generations accumulate.
+GEN_TIGHTEN_BITS = 2
+
+
+def _gen_bits_per_key(gen: int) -> int:
+    return BITS_PER_KEY + GEN_TIGHTEN_BITS * gen
 
 SHARD_SCHEMA = T.StructType(
     [
@@ -69,8 +82,8 @@ def with_dedup_key(df: DataFrame, num_buckets: int = DEFAULT_BUCKETS) -> DataFra
     )
 
 
-def _bloom_params(n_keys: int) -> int:
-    m_bits = max(1024, n_keys * BITS_PER_KEY)
+def _bloom_params(n_keys: int, bits_per_key: int = BITS_PER_KEY) -> int:
+    m_bits = max(1024, n_keys * bits_per_key)
     return (m_bits + 63) // 64 * 64
 
 
@@ -173,7 +186,7 @@ def _merge_shard_kernel(fresh: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFram
             rows.append((bucket, int(r.gen), int(r.n_keys), r.bloom, False))
         last = gens.iloc[-1]
         m_bits = len(last["bloom"]) * 8
-        cap = m_bits // BITS_PER_KEY
+        cap = m_bits // _gen_bits_per_key(int(last["gen"]))
         if int(last["n_keys"]) + len(hs) <= cap:
             bits = np.frombuffer(last["bloom"], dtype=np.uint8).copy()
             for pos in _bit_positions(hs, m_bits):
@@ -185,14 +198,16 @@ def _merge_shard_kernel(fresh: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFram
             return pd.DataFrame(
                 rows, columns=["bucket", "gen", "n_keys", "bloom", "updated"]
             )
-        # newest generation is full: keep it read-only, open a bigger one
+        # newest generation is full: keep it read-only, open a bigger one —
+        # capacity grows GEN_GROWTH x AND the per-key density tightens by
+        # GEN_TIGHTEN_BITS so the union fpp stays geometrically bounded
         rows.append((bucket, int(last["gen"]), int(last["n_keys"]), last["bloom"], False))
         next_gen = int(last["gen"]) + 1
-        grow_bits = m_bits * GEN_GROWTH
+        grow_bits = (cap * GEN_GROWTH * _gen_bits_per_key(next_gen) + 63) // 64 * 64
     else:
         next_gen = 0
         grow_bits = 0
-    m_bits = max(_bloom_params(len(hs)), grow_bits)
+    m_bits = max(_bloom_params(len(hs), _gen_bits_per_key(next_gen)), grow_bits)
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
     for pos in _bit_positions(hs, m_bits):
         np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
@@ -261,6 +276,63 @@ def broadcast_shards(shards: DataFrame):
     return spark.sparkContext.broadcast(shard_map)
 
 
+class ShardBroadcast:
+    """Driver-cached shard map + its live sc.broadcast, refreshed from
+    per-round DIRTY-generation deltas only.
+
+    ``broadcast_shards`` re-collects the FULL shard state (all generations of
+    all buckets) on every call — O(shard bytes) of driver traffic per round
+    even when one bucket changed, and the superseded broadcast variables are
+    never unpersisted, so executor memory grows with crawl length. This class
+    is the cross-round fix: the driver keeps ``{bucket: {gen: blob}}``,
+    ``apply_delta`` patches only the generations a round's merge flagged
+    ``updated`` (collect cost O(dirty blobs)), re-broadcasts the patched map
+    (Spark broadcasts are immutable, so a new variable per round is the floor),
+    and retires the predecessor: unpersist immediately, destroy one round
+    later (never while a straggler task from the previous round might still
+    deserialize it). ``nbytes`` tracks blob bytes incrementally so the caller
+    can drop to the cogroup regime past the broadcast cap without a scan.
+    """
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._map: dict[int, dict[int, bytes]] = {}
+        self._bc = None
+        self._retiring = None  # unpersisted last round; destroyed next round
+        self.nbytes = 0
+
+    def apply_delta(self, delta_rows) -> None:
+        """Patch (bucket, gen, bloom) rows into the map and re-broadcast."""
+        for r in delta_rows:
+            gens = self._map.setdefault(r.bucket, {})
+            old = gens.get(r.gen)
+            if old is not None:
+                self.nbytes -= len(old)
+            gens[r.gen] = r.bloom
+            self.nbytes += len(r.bloom)
+        if self._retiring is not None:
+            self._retiring.destroy(blocking=False)
+        self._retiring = self._bc
+        if self._retiring is not None:
+            self._retiring.unpersist(blocking=False)
+        self._bc = self._spark.sparkContext.broadcast(
+            {b: list(gens.values()) for b, gens in self._map.items()}
+        )
+
+    @property
+    def bc(self):
+        return self._bc
+
+    def close(self) -> None:
+        for var in (self._retiring, self._bc):
+            if var is not None:
+                var.unpersist(blocking=False)
+                var.destroy(blocking=False)
+        self._retiring = self._bc = None
+        self._map = {}
+        self.nbytes = 0
+
+
 def _broadcast_probe(cand: DataFrame, shards: DataFrame, bc=None) -> DataFrame:
     """Probe via broadcast shards + scalar pandas UDF.
 
@@ -318,6 +390,7 @@ def filter_fresh(
     strategy: str = "auto",
     shards: DataFrame | None = None,
     seen_count: int | None = None,
+    shards_bc=None,
 ) -> DataFrame:
     """Return candidate rows whose (job_id, url_hash) is NOT in ``seen``.
 
@@ -326,7 +399,9 @@ def filter_fresh(
     'cogroup' | 'auto' (broadcast while the shard set fits, else cogroup).
     Pass ``shards`` (from ``build_bloom_shards``) to reuse cross-round shard
     state — in production the shard table is maintained incrementally, not
-    rebuilt from the full seen set every round.
+    rebuilt from the full seen set every round. ``shards_bc``: a live
+    ``sc.broadcast`` of the shard map (e.g. ``ShardBroadcast.bc``) so the
+    broadcast strategy skips the full collect+re-broadcast per call.
     """
     cand = with_dedup_key(candidates, num_buckets)
     drop_cols = ("dedup_hash", "bucket")
@@ -344,7 +419,7 @@ def filter_fresh(
         est_bytes = n_seen * BITS_PER_KEY // 8
         strategy = "broadcast" if est_bytes <= BROADCAST_SHARDS_MAX_BYTES else "cogroup"
     if strategy == "broadcast":
-        probed = _broadcast_probe(cand, shards)
+        probed = _broadcast_probe(cand, shards, bc=shards_bc)
     else:
         probed = _cogroup_probe(cand, shards)
     # NB: both branches re-evaluate `probed`; the probe is cheap (measured

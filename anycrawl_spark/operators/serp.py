@@ -555,12 +555,14 @@ def fetch_and_parse_json(serp_requests: DataFrame, engine: str, sources: str = "
                     payload = ac_json(r.query, int(r.limit), sources)
                     parsed = parse_ac_results(payload)
                 for i, res in enumerate(parsed):
-                    rows.append({
-                        "query_id": r.query_id,
-                        "page": r.page,
-                        "position": (0 if direct else r.page * RESULTS_PER_PAGE) + i,
-                        **res,
-                    })
+                    # **res first: web/news rows carry position=None which must
+                    # NOT clobber the computed page-offset position (images keep
+                    # their fixture-reported 1-based position, like the Google
+                    # path keeps DOM positions).
+                    row = {**res, "query_id": r.query_id, "page": r.page}
+                    if res.get("position") is None:
+                        row["position"] = (0 if direct else r.page * RESULTS_PER_PAGE) + i
+                    rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in _PARSED.fields])
 
     cols = ["query_id", "query", "page"] + (["limit"] if direct else [])

@@ -72,32 +72,91 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def bench_default() -> dict:
-    from anycrawl_spark.bench_workloads import (
-        crawl_e2e, frontier_kernel, politeness_skew_bench,
-        shard_maintenance_bench, warm_python_workers,
-    )
+# --- phase bodies: each runs in its OWN subprocess (fresh JVM) -------------
+#
+# Round-2 lesson: sharing one JVM across phases contaminates the numbers —
+# the 48M-row skew / 32M-key shard stages fragment the heap and inflated the
+# recorded frontier-kernel wall 2x (the isolated median actually improved).
+# Each phase below gets a fresh interpreter + JVM, exactly like bench_scaling
+# gives each parallelism level its own session, so BENCH_r{N}.json numbers
+# are comparable across rounds and against BENCH/BASELINE.md medians.
+
+def phase_queries() -> dict:
+    from anycrawl_spark.bench_workloads import warm_python_workers
     from anycrawl_spark.session import get_spark
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=CPUS)
     warm_python_workers(spark, CPUS)
     t0 = time.time()
     queries = run_queries(spark, SF_DIR)
-    # crawl first: the 48M-row skew / 32M-key shard stages leave the JVM heap
-    # fragmented and inflate the crawl's per-round wall by ~25% if run before
+    wall = round(time.time() - t0, 2)
+    spark.stop()
+    return {"queries": queries, "wall_sec": wall}
+
+
+def phase_crawl() -> dict:
+    from anycrawl_spark.bench_workloads import crawl_e2e, warm_python_workers
+    from anycrawl_spark.session import get_spark
+
+    spark = get_spark("bench-crawl", cores=CPUS, shuffle_partitions=CPUS)
+    warm_python_workers(spark, CPUS)
     wd = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         crawl = crawl_e2e(spark, wd)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
-    spark.catalog.clearCache()
+    spark.stop()
+    return {"crawl": crawl}
+
+
+def phase_kernel() -> dict:
+    from anycrawl_spark.bench_workloads import (
+        frontier_kernel, politeness_skew_bench, shard_maintenance_bench,
+        warm_python_workers,
+    )
+    from anycrawl_spark.session import get_spark
+
+    spark = get_spark("bench-kernel", cores=CPUS, shuffle_partitions=CPUS)
+    warm_python_workers(spark, CPUS)
     frontier = frontier_kernel(spark, **KERNEL)
     shards = shard_maintenance_bench(spark)
     skew = politeness_skew_bench(spark)
-    total = round(time.time() - t0, 2)
     spark.stop()
-    queries["frontier_kernel"] = frontier["wall_sec"]
-    queries["crawl_e2e"] = crawl["wall_sec"]
+    return {"frontier": frontier, "shard_maintenance": shards,
+            "politeness_skew": skew}
+
+
+PHASES = {"queries": phase_queries, "crawl": phase_crawl, "kernel": phase_kernel}
+
+
+def _run_phase_subprocess(name: str) -> dict:
+    """Run one phase in a fresh python+JVM; its JSON rides a temp file so
+    Spark's stdout noise can't corrupt it."""
+    import subprocess
+
+    out_path = tempfile.mktemp(prefix=f"bench_{name}_", suffix=".json")
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name,
+             "--out", out_path],
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        with open(out_path) as f:
+            return json.load(f)
+    finally:
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+
+
+def bench_default() -> dict:
+    t0 = time.time()
+    q = _run_phase_subprocess("queries")
+    c = _run_phase_subprocess("crawl")
+    k = _run_phase_subprocess("kernel")
+    total = round(time.time() - t0, 2)
+    queries = q["queries"]
+    queries["frontier_kernel"] = k["frontier"]["wall_sec"]
+    queries["crawl_e2e"] = c["crawl"]["wall_sec"]
     return {
         "metric": "frontier_throughput_and_query_wall",
         "value": total,
@@ -105,10 +164,11 @@ def bench_default() -> dict:
         "queries": queries,
         "sf": _sf(SF_DIR),
         "cpus": CPUS,
-        "frontier": frontier,
-        "crawl": crawl,
-        "shard_maintenance": shards,
-        "politeness_skew": skew,
+        "phase_isolation": "fresh JVM per phase (queries | crawl | kernel)",
+        "frontier": k["frontier"],
+        "crawl": c["crawl"],
+        "shard_maintenance": k["shard_maintenance"],
+        "politeness_skew": k["politeness_skew"],
     }
 
 
@@ -254,7 +314,13 @@ per-query + frontier + e2e-crawl JSON line the driver records as BENCH_r{{N}}.js
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--phase" in sys.argv:
+        name = sys.argv[sys.argv.index("--phase") + 1]
+        out = sys.argv[sys.argv.index("--out") + 1]
+        result = PHASES[name]()
+        with open(out, "w") as f:
+            json.dump(result, f)
+    elif "--scaling" in sys.argv:
         print(json.dumps(bench_scaling()))
     else:
         print(json.dumps(bench_default()))

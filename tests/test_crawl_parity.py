@@ -69,6 +69,19 @@ def test_terminal_status_equality(parity_run):
         assert s[jid] == r[jid]
 
 
+def test_frontier_log_equality(parity_run):
+    """FULL frontier_log parity — fetched/failed AND finalize-time 'skipped'
+    leftovers, with depth/seq (backs the q_crawl_round golden oracle)."""
+    sim, eng = parity_run
+    log = eng.store.read_appends("frontier_log")
+    eng_rows = {
+        (r.job_id, r.url, r.depth, r.discovery_seq, r.status)
+        for r in log.select("job_id", "url", "depth", "discovery_seq", "status").collect()
+    }
+    sim_rows = set(sim.frontier_log())
+    assert eng_rows == sim_rows
+
+
 def test_progress_counters(parity_run):
     sim, eng = parity_run
     for jid, st in sim.states.items():

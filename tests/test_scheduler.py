@@ -35,6 +35,25 @@ def test_template_resolution_chain(spark):
     assert (out["t3"].actual_type, out["t3"].engine) == ("scrape", "playwright")
     assert out["t4"].engine == "cheerio"             # payload.engine beats template
     assert (out["t5"].actual_type, out["t5"].engine) == ("crawl", "cheerio")
+    assert all(r.unresolved is False and r.queue_name for r in out.values())
+
+
+def test_resolve_unresolved_template_flagged(spark):
+    """A template task pointing at a missing template must be surfaced
+    (unresolved=true, queue_name NULL), not silently routed to a
+    degenerate engine-only queue."""
+    from anycrawl_spark.operators.scheduler import resolve_task_templates
+
+    tasks = spark.createDataFrame(
+        [("bad", "template", None, "tpl-missing", None),
+         ("ok", "crawl", None, None, None)],
+        "task_id string, task_type string, payload_engine string, "
+        "payload_template_id string, max_executions_per_day int",
+    )
+    out = {r.task_id: r for r in resolve_task_templates(tasks, _templates(spark)).collect()}
+    assert out["bad"].unresolved is True and out["bad"].queue_name is None
+    assert out["bad"].actual_type is None
+    assert out["ok"].unresolved is False and out["ok"].queue_name == "crawl-cheerio"
 
 
 def test_daily_execution_gate(spark):

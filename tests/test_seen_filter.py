@@ -117,3 +117,36 @@ def test_merge_untouched_buckets_pass_through(spark):
             assert not r.updated
             assert r.bloom == before[(r.bucket, r.gen)]
     assert any(r.updated for r in merged.collect() if r.bucket == target)
+
+
+def test_generation_fpp_tightening():
+    """Scalable-bloom growth must tighten per-generation density: generation
+    g is sized at 10 + 2g bits/key (Almeida 2007 geometric fpp bound) and
+    each new generation's CAPACITY doubles the previous one's."""
+    import pandas as pd
+
+    from anycrawl_spark.operators.seen import (
+        GEN_GROWTH, _gen_bits_per_key, _merge_shard_kernel,
+    )
+
+    shard = pd.DataFrame(columns=["bucket", "gen", "n_keys", "bloom"])
+    h = 0
+    for _ in range(30):  # enough rounds to force several generations
+        fresh = pd.DataFrame(
+            {"bucket": [1] * 400, "dedup_hash": list(range(h, h + 400))}
+        )
+        h += 400
+        out = _merge_shard_kernel(fresh, shard)
+        shard = out[["bucket", "gen", "n_keys", "bloom"]]
+    gens = shard.sort_values("gen")
+    assert len(gens) >= 3, "expected multiple generations"
+    caps = []
+    for r in gens.itertuples(index=False):
+        m_bits = len(r.bloom) * 8
+        caps.append(m_bits // _gen_bits_per_key(int(r.gen)))
+        # frozen (non-newest) generations were filled to their design load,
+        # so observed bits/key >= the generation's tightened target
+        if int(r.gen) < int(gens["gen"].max()):
+            assert m_bits / int(r.n_keys) >= _gen_bits_per_key(int(r.gen)) * 0.99
+    for prev, nxt in zip(caps, caps[1:]):
+        assert nxt >= prev * GEN_GROWTH * 0.99

@@ -235,6 +235,31 @@ def test_serp_engine_dispatch(spark):
     assert all(r.category == "news" and r.date for r in news)
 
 
+def test_serp_json_engines_position_semantics(spark):
+    """Web/news rows from the JSON engines carry a computed page-offset
+    position (never NULL — the rank window orders by it); image rows keep
+    the engine-reported 1-based position, matching the Google DOM path."""
+    from anycrawl_spark.operators.serp import serp_search_engine
+
+    q = spark.createDataFrame(
+        [("q0", "alpha beta", 15)], "query_id string, query string, limit int")
+    for engine, sources in (("searxng", "web"), ("ac", "web"), ("ac", "news")):
+        rows = serp_search_engine(q, engine=engine, sources=sources).collect()
+        assert rows and all(r.position is not None for r in rows)
+        if engine == "ac":
+            # direct-limit: one page-0 request, positions 0..n-1
+            assert sorted(r.position for r in rows) == list(range(len(rows)))
+        else:
+            # page-wise: page-offset positions page*10+i
+            for r in rows:
+                assert r.page * 10 <= r.position < (r.page + 1) * 10
+        # deterministic slice: rank ordering reproducible across runs
+        again = serp_search_engine(q, engine=engine, sources=sources).collect()
+        assert [(r.url, r.position) for r in rows] == [(r.url, r.position) for r in again]
+    img = serp_search_engine(q, engine="searxng", sources="images").collect()
+    assert img and all(r.position is not None and r.position >= 1 for r in img)
+
+
 def test_searxng_url_building(spark):
     from anycrawl_spark.operators.serp import ac_build_url, searxng_build_url
 
