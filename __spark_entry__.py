@@ -2,9 +2,13 @@
 
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes one
 callable per implemented operator (SURVEY.md §2 + the training-data ops);
-``oracle_sql()`` gives the DuckDB-checkable subset (27 of 32 — the rest are
-non-SQL-expressible: SERP parse, xxhash64 simhash, LSH ANN, media decode,
-and are covered by pytest instead).
+``oracle_sql()`` value-checks 46 of 47 — table queries against plain DuckDB
+SQL over the shared views, fixture/crawl/media queries against
+mirror-generated VALUES oracles (anycrawl_spark/oracle_mirrors.py: the
+sequential ReferenceSimulator for the crawl loop, fixture-parameter
+enumeration for the SERP engines, a full SQL restatement for LSH ANN).
+Only q_simhash stays rows-only by design — q_simhash_md5 value-checks the
+same operator shape with an oracle-friendly hash.
 """
 
 from __future__ import annotations

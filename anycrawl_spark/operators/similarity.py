@@ -118,6 +118,7 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     multiprobe: int = 1,
+    round_dp: int = 6,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within the query's probe buckets.
 
@@ -150,7 +151,7 @@ def ann_topk_lsh(
             F.round(
                 _dot(F.col(vec_col), F.col("_qvec"))
                 / F.greatest(_norm(F.col(vec_col)) * F.col("_qnorm"), F.lit(1e-12)),
-                6,
+                round_dp,
             ),
         )
     )

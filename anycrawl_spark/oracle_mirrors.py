@@ -1,0 +1,335 @@
+"""Sequential mirrors that render VALUES-based DuckDB oracles for the
+contract queries whose operators aren't expressible over the shared parquet
+views (SERP fixtures, the crawl loop, media features).
+
+Each mirror enumerates the EXPECTED result rows with plain sequential Python
+— no Spark, no mapInPandas, no DataFrame machinery — and serializes them as a
+``SELECT ... FROM (VALUES ...)`` DuckDB statement, so the driver's
+value-hash compare covers these queries end to end instead of rows-only.
+
+Independence levels (documented per mirror):
+- ``crawl_round``: the :class:`~anycrawl_spark.crawl.simulator.
+  ReferenceSimulator` — a from-scratch sequential BFS sharing only the
+  policy module (``crawl/params.py``) with the engine. Strongest oracle.
+- SERP mirrors: rows derived directly from the fixture-generation
+  parameters (digest -> host/url/title/... , reference field mappings
+  restated inline) — independent of the HTML/JSON *parsers* and of the
+  whole Spark path (mapInPandas, window rank, limit join).
+- ``serp_enrich`` / ``media_features``: sequential recomputation through
+  the same extraction/decode kernels (``extract_document`` /
+  ``fake_decode``) — these validate the distributed plumbing (Arrow
+  batching, joins, explodes) equals the sequential run; the kernels
+  themselves are golden-fixture-tested in pytest.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from anycrawl_spark.synth import _digest, host_name
+
+RESULTS_PER_PAGE = 10
+
+
+# --------------------------------------------------------------------- SQL
+
+def _lit(v, ducktype: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {ducktype})"
+    if ducktype in ("INTEGER", "BIGINT"):
+        return f"CAST({int(v)} AS {ducktype})"
+    if ducktype == "DOUBLE":
+        return f"CAST({float(v)!r} AS DOUBLE)"
+    if ducktype == "BOOLEAN":
+        return "true" if v else "false"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def values_sql(rows: list[dict], columns: list[tuple[str, str]]) -> str:
+    """rows + [(name, ducktype)] -> a standalone VALUES select.
+
+    Every cell is CAST explicitly so the pandas dtypes DuckDB hands the
+    driver match the Spark result's dtypes column-for-column.
+    """
+    if not rows:
+        cols = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in columns)
+        return f"SELECT {cols} WHERE 1=0"
+    body = ",\n".join(
+        "(" + ", ".join(_lit(r.get(n), t) for n, t in columns) + ")" for r in rows
+    )
+    names = ", ".join(n for n, _ in columns)
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({names})"
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Spark's F.round semantics on doubles: BigDecimal(exact double value)
+    .setScale(dp, HALF_UP) — Decimal(float) is the same exact expansion."""
+    return float(Decimal(x).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP))
+
+
+# ------------------------------------------------------------ SERP mirrors
+
+_SERP_COLUMNS: list[tuple[str, str]] = [
+    ("query_id", "VARCHAR"), ("page", "INTEGER"), ("position", "INTEGER"),
+    ("category", "VARCHAR"), ("title", "VARCHAR"), ("url", "VARCHAR"),
+    ("description", "VARCHAR"), ("source", "VARCHAR"),
+    ("image_url", "VARCHAR"), ("image_width", "INTEGER"),
+    ("image_height", "INTEGER"), ("thumbnail_src", "VARCHAR"),
+    ("img_format", "VARCHAR"), ("filesize", "VARCHAR"),
+    ("snippet", "VARCHAR"), ("date", "VARCHAR"), ("rank", "INTEGER"),
+]
+
+
+def _sliced(rows: list[dict], limit: int) -> list[dict]:
+    """The reference's final slice (O4): rank over (page, position) order,
+    keep rank <= limit. Mirrors the window+limit join without Spark."""
+    rows = sorted(rows, key=lambda r: (r["page"], r["position"]))
+    out = []
+    for rank, r in enumerate(rows, start=1):
+        if rank > limit:
+            break
+        out.append({**r, "rank": rank})
+    return out
+
+
+def google_serp_rows(queries: list[tuple[str, str, int]], n_hosts: int = 50) -> list[dict]:
+    """Expected ``serp_search`` rows from the fixture parameters alone
+    (Google.ts block shapes; parser and DOM never involved)."""
+    out = []
+    for qid, query, limit in queries:
+        rows = []
+        for page in range(math.ceil(limit / RESULTS_PER_PAGE)):
+            for i in range(RESULTS_PER_PAGE):
+                rank_abs = page * RESULTS_PER_PAGE + i
+                d = _digest("serp", query, rank_abs)
+                host = host_name(d % n_hosts)
+                rows.append({
+                    "query_id": qid, "page": page,
+                    "position": page * RESULTS_PER_PAGE + i,
+                    "category": "web",
+                    "title": f"Result {rank_abs} for {query}",
+                    "url": f"http://{host}/p/{d % 37}",
+                    "description": f"Description {rank_abs} about {query} on {host}",
+                    "source": "google",
+                })
+        out.extend(_sliced(rows, limit))
+    return out
+
+
+def searxng_serp_rows(
+    queries: list[tuple[str, str, int, str]], n_hosts: int = 50
+) -> list[dict]:
+    """Expected ``serp_search_engine(engine='searxng')`` rows (page-wise,
+    1-based pageno; Searxng.ts:103-181 field mappings restated)."""
+    out = []
+    for qid, query, limit, sources in queries:
+        rows = []
+        for page in range(math.ceil(limit / RESULTS_PER_PAGE)):
+            for i in range(RESULTS_PER_PAGE):
+                rank = page * RESULTS_PER_PAGE + i  # (pageno-1)*10 + i
+                d = _digest("searxng", query, sources, rank)
+                host = host_name(d % n_hosts)
+                engine = ["duckduckgo", "brave", "qwant"][d % 3]
+                row = {
+                    "query_id": qid, "page": page, "category": sources,
+                    "title": f"Result {rank} for {query}",
+                    "url": f"http://{host}/p/{d % 37}",
+                    "description": f"Content {rank} about {query} on {host}",
+                    "source": f"SearXNG ({engine})",
+                }
+                if sources == "images":
+                    row.update(
+                        position=rank + 1,  # fixture positions[0], 1-based
+                        image_url=f"http://{host}/img/{d % 97}.jpg",
+                        image_width=640 + d % 1280,
+                        image_height=480 + (d >> 8) % 720,
+                        thumbnail_src=f"http://{host}/thumb/{d % 97}.jpg",
+                        img_format=["jpeg", "png", "webp"][d % 3],
+                        filesize=f"{(d % 900) + 100}.{d % 100:02d} KB",
+                    )
+                elif sources == "news":
+                    row.update(
+                        position=page * RESULTS_PER_PAGE + i,
+                        snippet=f"Content {rank} about {query} on {host}",
+                        date=f"2026-{1 + d % 12:02d}-{1 + d % 28:02d}",
+                        image_url=f"http://{host}/news-thumb/{d % 97}.jpg",
+                    )
+                else:
+                    row["category"] = "web"
+                    row["position"] = page * RESULTS_PER_PAGE + i
+                rows.append(row)
+        out.extend(_sliced(rows, limit))
+    return out
+
+
+def ac_serp_rows(
+    queries: list[tuple[str, str, int]], sources: str = "web", n_hosts: int = 50
+) -> list[dict]:
+    """Expected ``serp_search_engine(engine='ac')`` rows (direct-limit: one
+    page-0 request returns exactly ``limit`` results; ACEngine.ts:63-114)."""
+    out = []
+    for qid, query, limit in queries:
+        rows = []
+        for rank in range(limit):
+            d = _digest("ac", query, sources, rank)
+            host = host_name(d % n_hosts)
+            row = {
+                "query_id": qid, "page": 0, "category": sources,
+                "title": f"Result {rank} for {query}",
+                "url": f"http://{host}/p/{d % 37}",
+                "description": f"Description {rank} about {query}",
+                "source": "AC-Engine",
+            }
+            if sources == "images":
+                row.update(
+                    position=rank + 1,
+                    image_url=f"http://{host}/img/{d % 97}.jpg",
+                    image_width=640 + d % 1280,
+                    image_height=480 + (d >> 8) % 720,
+                    thumbnail_src=f"http://{host}/thumb/{d % 97}.jpg",
+                    img_format=["jpeg", "png", "webp"][d % 3],
+                    filesize=f"{(d % 900) + 100} KB",
+                )
+            elif sources == "news":
+                row.update(
+                    position=rank,
+                    snippet=f"Snippet {rank} about {query}",
+                    date=f"2026-{1 + d % 12:02d}-{1 + d % 28:02d}",
+                    image_url=f"http://{host}/news-thumb/{d % 97}.jpg",
+                )
+            else:
+                row["category"] = "web"
+                row["position"] = rank
+            rows.append(row)
+        out.extend(_sliced(rows, limit))
+    return out
+
+
+def sql_serp_search(queries: list[tuple[str, str, int]]) -> str:
+    return values_sql(google_serp_rows(queries), _SERP_COLUMNS)
+
+
+def sql_serp_searxng(queries: list[tuple[str, str, int, str]]) -> str:
+    return values_sql(searxng_serp_rows(queries), _SERP_COLUMNS)
+
+
+def sql_serp_ac(queries: list[tuple[str, str, int]]) -> str:
+    return values_sql(ac_serp_rows(queries), _SERP_COLUMNS)
+
+
+def sql_serp_enrich(queries: list[tuple[str, str, int]]) -> str:
+    """Expected J2 enrichment: SERP mirror rows left-joined with the
+    sequential fetch+extract of each distinct result URL (status-200 only)."""
+    from anycrawl_spark import synth
+    from anycrawl_spark.functions.htmlmd import extract_document
+
+    serp = google_serp_rows(queries)
+    docs: dict[str, tuple[str, str]] = {}
+    for url in {r["url"] for r in serp}:
+        if synth.page_status(url) == 200:
+            doc = extract_document(synth.page_html(url), url)
+            docs[url] = (doc["title"], doc["markdown"])
+    rows = [
+        {**r, "doc_title": docs.get(r["url"], (None, None))[0],
+         "markdown": docs.get(r["url"], (None, None))[1]}
+        for r in serp
+    ]
+    cols = _SERP_COLUMNS + [("doc_title", "VARCHAR"), ("markdown", "VARCHAR")]
+    return values_sql(rows, cols)
+
+
+# ------------------------------------------------------------- crawl round
+
+def sql_crawl_round(n_jobs: int = 2, limit: int = 20, max_rounds: int = 20) -> str:
+    """Expected terminal frontier log from the sequential ReferenceSimulator
+    (the independent BFS oracle the parity tests run) for the exact
+    configuration ``q_crawl_round`` drives through the Spark engine."""
+    from anycrawl_spark import synth
+    from anycrawl_spark.crawl.params import CrawlParams
+    from anycrawl_spark.crawl.simulator import ReferenceSimulator
+
+    jobs = [dict(j, limit=limit) for j in synth.seed_jobs(n_jobs)]
+    sim = ReferenceSimulator(jobs, synth.robots_rules(), CrawlParams(max_rounds=max_rounds))
+    sim.run()
+    rows = [
+        {"job_id": jid, "url": url, "depth": depth,
+         "discovery_seq": seq, "status": status}
+        for jid, url, depth, seq, status in sim.frontier_log()
+    ]
+    cols = [("job_id", "VARCHAR"), ("url", "VARCHAR"), ("depth", "INTEGER"),
+            ("discovery_seq", "BIGINT"), ("status", "VARCHAR")]
+    return values_sql(rows, cols)
+
+
+# ----------------------------------------------------------- media features
+
+def sql_media_features(max_doc_id: int = 50, dim: int = 8) -> str:
+    """Expected (media_ref, dim, value, ok) rows: the fake-decode feature
+    pipeline recomputed sequentially per ref, joined against the documents
+    view so only doc_ids present in the table at this sf survive."""
+    from anycrawl_spark.operators.multimodal import fake_decode, synth_media
+
+    rows = []
+    for doc_id in range(max_doc_id):
+        ref = f"http://media.synth/img/{doc_id}"
+        payload, _ = synth_media(ref)
+        vec = fake_decode(payload, dim)
+        for i, v in enumerate(vec):
+            rows.append({
+                "media_ref": ref, "dim": i,
+                "value": _round_half_up(float(v), 6), "ok": True,
+            })
+    cols = [("media_ref", "VARCHAR"), ("dim", "INTEGER"),
+            ("value", "DOUBLE"), ("ok", "BOOLEAN")]
+    feat = values_sql(rows, cols)
+    return f"""
+WITH refs AS (
+  SELECT 'http://media.synth/img/' || doc_id AS media_ref
+  FROM documents WHERE doc_id < {max_doc_id}),
+feat AS ({feat})
+SELECT f.media_ref, f.dim, f.value, f.ok
+FROM feat f JOIN refs USING (media_ref)
+"""
+
+
+# ----------------------------------------------------------------- ANN LSH
+
+def sql_ann_lsh(dim: int = 64, k: int = 10, bits: int = 4, round_dp: int = 4) -> str:
+    """Full SQL restatement of ``ann_topk_lsh`` over the embeddings view:
+    the hyperplanes are deterministic constants (blake2b-derived), so the
+    bucket assignment, Hamming-1 multiprobe fan-out, bucket join, cosine and
+    rank are all plain DuckDB — a true value oracle, not a golden."""
+    from anycrawl_spark.operators.similarity import _hyperplane, _probe_masks
+
+    planes = [_hyperplane(dim, b) for b in range(bits)]
+    plane_sql = ", ".join(
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[] AS hp{b}"
+        for b, p in enumerate(planes)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, hp.hp{b}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    masks = [0] + _probe_masks(bits, 1)
+    return f"""
+WITH hp AS (SELECT {plane_sql}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             CAST({bucket_expr} AS BIGINT) AS bucket
+      FROM embeddings CROSS JOIN hp),
+q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket FROM v WHERE vec_id < 5),
+probes AS (SELECT query_id, qemb, xor(qbucket, m.m) AS bucket
+           FROM q CROSS JOIN (SELECT unnest([{', '.join(str(m) for m in masks)}]::BIGINT[]) AS m) m),
+s AS (SELECT p.query_id, v.vec_id,
+             round(list_dot_product(v.emb, p.qemb) /
+                   greatest(sqrt(list_dot_product(v.emb, v.emb)) *
+                            sqrt(list_dot_product(p.qemb, p.qemb)), 1e-12),
+                   {round_dp}) AS cosine
+      FROM v JOIN probes p USING (bucket)),
+r AS (SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
+"""

@@ -1328,7 +1328,12 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbors (recall tested in pytest)."""
+    """LSH-bucketed approximate nearest neighbors (recall tested in pytest).
+
+    Value-checked: the hyperplanes are deterministic blake2b constants, so
+    the bucket math + multiprobe + cosine rank restate fully in DuckDB
+    (oracle_mirrors.sql_ann_lsh). 4dp ranking on both engines so cross-engine
+    ULP drift can't flip an ordering (same convention as q_embedding_topk)."""
     from anycrawl_spark.operators.similarity import ann_topk_lsh
 
     e = _t(spark, sf_dir, "embeddings").select(
@@ -1337,7 +1342,7 @@ def q_ann_lsh(spark, sf_dir):
     qs = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_topk_lsh(e, qs, dim=64, k=10, bits=4)
+    return ann_topk_lsh(e, qs, dim=64, k=10, bits=4, round_dp=4)
 
 
 def q_serp_enrich(spark, sf_dir):
@@ -1609,3 +1614,29 @@ ORACLES = {
     "q_scheduled_tasks": SQL_SCHEDULED_TASKS,
     "q_near_duplicates": SQL_NEAR_DUPLICATES,
 }
+
+# Mirror-generated oracles (anycrawl_spark/oracle_mirrors.py): expected rows
+# enumerated by sequential Python — the ReferenceSimulator for the crawl
+# loop, fixture-parameter enumeration for the SERP engines, sequential
+# kernel recomputation for enrich/media — rendered as VALUES selects. The
+# parameters here MUST match the corresponding q_* query bodies above.
+# q_simhash stays rows-only by design: q_simhash_md5 value-checks the same
+# one-pass bit-majority operator shape with an arithmetic-friendly hash; the
+# xxhash64 variant differs only in the token-hash function (JVM-only).
+from anycrawl_spark import oracle_mirrors as _mir  # noqa: E402
+
+ORACLES["q_serp_search"] = _mir.sql_serp_search(
+    [("q0", "spark crawl engine", 15), ("q1", "frontier dedup bloom", 7)]
+)
+ORACLES["q_serp_searxng"] = _mir.sql_serp_searxng(
+    [("q0", "spark crawl engine", 15, "web"),
+     ("q1", "frontier dedup bloom", 7, "images"),
+     ("q2", "markdown extraction", 5, "news")]
+)
+ORACLES["q_serp_ac"] = _mir.sql_serp_ac(
+    [("q0", "spark crawl engine", 25), ("q1", "frontier dedup bloom", 7)]
+)
+ORACLES["q_serp_enrich"] = _mir.sql_serp_enrich([("q0", "frontier bloom dedup", 10)])
+ORACLES["q_crawl_round"] = _mir.sql_crawl_round(n_jobs=2, limit=20, max_rounds=20)
+ORACLES["q_media_features"] = _mir.sql_media_features(max_doc_id=50, dim=8)
+ORACLES["q_ann_lsh"] = _mir.sql_ann_lsh(dim=64, k=10, bits=4, round_dp=4)
