@@ -1297,6 +1297,165 @@ FROM bits GROUP BY doc_id
 SQL_SIMHASH_MD5 = _sql_simhash_md5()
 
 
+# X13 contract schema: one field per mock-generator branch (string / integer /
+# boolean / array / nested object). `number` is exercised in pytest instead —
+# its JSON repr (shortest round-trip double) is the one piece not worth
+# restating in SQL.
+_LLM_EXTRACT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "title": {"type": "string"},
+        "count": {"type": "integer"},
+        "flag": {"type": "boolean"},
+        "tags": {"type": "array", "items": {"type": "string"}},
+        "author": {"type": "object", "properties": {"name": {"type": "string"}}},
+    },
+}
+
+
+def q_llm_extract(spark, sf_dir):
+    """X13 LLM structured extraction (LLMExtract.ts perform): schema-normalized
+    chunk->generate->merge with token/cost accounting, the generator mocked
+    by md5 arithmetic so the WHOLE pipeline value-checks in DuckDB. The merged
+    JSON is exploded to scalar columns for the driver canonicalizer."""
+    from anycrawl_spark.operators.llm_extract import llm_extract
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    ex = llm_extract(d, _LLM_EXTRACT_SCHEMA, max_tokens_input=32, chunk_overlap=8)
+    p = F.from_json(
+        "data_json",
+        "title string, count bigint, flag boolean, tags array<string>, "
+        "author struct<name:string>",
+    )
+    return ex.select(
+        "doc_id",
+        p.getField("title").alias("title"),
+        p.getField("count").alias("cnt"),
+        p.getField("flag").cast("int").alias("flag"),
+        F.array_join(p.getField("tags"), "|").alias("tags_joined"),
+        p.getField("author").getField("name").alias("author_name"),
+        "chunks",
+        "tokens_input",
+        "tokens_output",
+        "tokens_total",
+        "cost",
+    )
+
+
+def _sql_llm_extract() -> str:
+    """Full SQL restatement of the mocked extraction pipeline: X14 chunking
+    (the q_text_chunks CTE plus the raw-text direct path), md5-digit mock
+    generation per field path, per-chunk JSON-length token accounting, and
+    the JS-semantics merge (first-truthy primitives, bool_or, ordered
+    dedup-concat arrays, last-wins nested objects) — all per LLMExtract.ts
+    semantics. const_len below is recomputed from the same pure prompt
+    builders that the pandas stage uses (pytest-verified against the
+    reference's prompt texts)."""
+    from anycrawl_spark.operators.llm_extract import (
+        EXTRACT_SYSTEM_PROMPT,
+        build_extraction_prompt,
+        create_field_prompt,
+        normalize_schema,
+    )
+
+    norm = normalize_schema(_LLM_EXTRACT_SCHEMA)
+    const_len = len(build_extraction_prompt("", create_field_prompt(norm), None)) + len(
+        EXTRACT_SYSTEM_PROMPT
+    )
+
+    def d48(expr: str) -> str:
+        # first 12 md5 hex digits of '<path>|<chunk>' as a 48-bit int — the
+        # simhash_md5 strpos technique, digit-for-digit vs Python int(hex,16)
+        digits = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {i}, 1)) - 1) * {16 ** (12 - i)}"
+            for i in range(1, 13)
+        )
+        return f"CAST({digits} AS BIGINT)"
+
+    def sval(d: str) -> str:  # mock string: '' 1-in-5 else 'v' || d % 9973
+        return f"CASE WHEN {d} % 5 = 0 THEN '' ELSE 'v' || CAST({d} % 9973 AS VARCHAR) END"
+
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 150),
+sized AS (SELECT doc_id, text, toks, len(toks) AS n FROM base),
+ch AS (
+  SELECT doc_id, 0 AS chunk_id, text AS ct FROM sized WHERE n <= 32
+  UNION ALL
+  SELECT doc_id, CAST(w.chunk_id AS INT) AS chunk_id,
+         array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS ct
+  FROM (SELECT doc_id, toks,
+               unnest(range(CAST(ceil(greatest(n - 8, 1) / 24.0) AS INT))) AS chunk_id
+        FROM sized WHERE n > 32) w),
+md AS (
+  SELECT doc_id, chunk_id, ct,
+         md5('$.title|' || ct) AS m_ti, md5('$.count|' || ct) AS m_co,
+         md5('$.flag|' || ct) AS m_fl, md5('$.tags|' || ct) AS m_tg,
+         md5('$.tags[0]|' || ct) AS m_t0, md5('$.tags[1]|' || ct) AS m_t1,
+         md5('$.author.name|' || ct) AS m_an
+  FROM ch),
+vals AS (
+  SELECT doc_id, chunk_id, length(ct) AS ct_len,
+         {sval(d48('m_ti'))} AS title_c,
+         {d48('m_co')} % 1000 AS count_c,
+         ({d48('m_fl')} % 2 = 0) AS flag_c,
+         1 + {d48('m_tg')} % 2 AS n_tags,
+         {sval(d48('m_t0'))} AS tag0,
+         {sval(d48('m_t1'))} AS tag1,
+         {sval(d48('m_an'))} AS name_c
+  FROM md),
+acct AS (
+  SELECT *,
+         '{{"title":"' || title_c || '","count":' || CAST(count_c AS VARCHAR) ||
+         ',"flag":' || CASE WHEN flag_c THEN 'true' ELSE 'false' END ||
+         ',"tags":["' || tag0 || '"' ||
+         CASE WHEN n_tags = 2 THEN ',"' || tag1 || '"' ELSE '' END ||
+         '],"author":{{"name":"' || name_c || '"}}}}' AS cjson
+  FROM vals),
+tok AS (
+  SELECT doc_id, chunk_id, title_c, count_c, flag_c, n_tags, tag0, tag1, name_c,
+         CAST(ceil((ct_len + {const_len}) / 4.0) AS BIGINT) AS tin_c,
+         CAST(ceil(length(cjson) / 4.0) AS BIGINT) AS tout_c
+  FROM acct),
+tokn AS (SELECT *, count(*) OVER (PARTITION BY doc_id) AS nch FROM tok),
+-- single-chunk docs skip the merge entirely (merge_results returns the lone
+-- chunk result RAW), so within-chunk duplicate tags survive; only multi-chunk
+-- docs go through the ordered dedup-concat
+single_tags AS (
+  SELECT doc_id, tag0 || CASE WHEN n_tags = 2 THEN '|' || tag1 ELSE '' END AS tags_joined
+  FROM tokn WHERE nch = 1),
+items AS (
+  SELECT doc_id, chunk_id * 2 AS pos, tag0 AS val FROM tokn WHERE nch > 1
+  UNION ALL
+  SELECT doc_id, chunk_id * 2 + 1 AS pos, tag1 AS val FROM tokn WHERE nch > 1 AND n_tags = 2),
+multi_tags AS (
+  SELECT doc_id, string_agg(val, '|' ORDER BY first_pos) AS tags_joined
+  FROM (SELECT doc_id, val, min(pos) AS first_pos FROM items GROUP BY doc_id, val)
+  GROUP BY doc_id),
+tagg AS (SELECT * FROM single_tags UNION ALL SELECT * FROM multi_tags),
+agg AS (
+  SELECT doc_id,
+         coalesce(arg_min(title_c, chunk_id) FILTER (WHERE title_c <> ''), '') AS title,
+         CAST(coalesce(arg_min(count_c, chunk_id) FILTER (WHERE count_c <> 0), 0) AS BIGINT) AS cnt,
+         CAST(bool_or(flag_c) AS INT) AS flag,
+         arg_max(name_c, chunk_id) AS author_name,
+         CAST(count(*) AS INT) AS chunks,
+         CAST(sum(tin_c) AS BIGINT) AS tokens_input,
+         CAST(sum(tout_c) AS BIGINT) AS tokens_output
+  FROM tok GROUP BY doc_id)
+SELECT a.doc_id, a.title, a.cnt, a.flag, t.tags_joined, a.author_name, a.chunks,
+       a.tokens_input, a.tokens_output,
+       a.tokens_input + a.tokens_output AS tokens_total,
+       1e-6 * a.tokens_input + 2e-6 * a.tokens_output AS cost
+FROM agg a JOIN tagg t USING (doc_id)
+"""
+
+
+SQL_LLM_EXTRACT = _sql_llm_extract()
+
+
 SQL_NEAR_DUPLICATES = r"""
 WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 30),
@@ -1509,6 +1668,7 @@ QUERIES = {
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_ivf_topk": q_ivf_topk,
     "q_scheduled_tasks": q_scheduled_tasks,
+    "q_llm_extract": q_llm_extract,
     # rows-only (no oracle)
     "q_serp_search": q_serp_search,
     "q_serp_enrich": q_serp_enrich,
@@ -1612,6 +1772,7 @@ ORACLES = {
     "q_embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "q_ivf_topk": SQL_IVF_TOPK,
     "q_scheduled_tasks": SQL_SCHEDULED_TASKS,
+    "q_llm_extract": SQL_LLM_EXTRACT,
     "q_near_duplicates": SQL_NEAR_DUPLICATES,
 }
 
