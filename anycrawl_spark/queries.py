@@ -45,7 +45,7 @@ def ensure_dist(spark: SparkSession) -> None:
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for fn in files:
-                if fn.endswith((".py", ".csv")):
+                if fn.endswith((".py", ".csv", ".dat")):
                     full = os.path.join(root, fn)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)

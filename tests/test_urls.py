@@ -125,6 +125,106 @@ def test_public_suffix_list_semantics():
     assert registrable_domain_psl("localhost") == "localhost"
 
 
+# checkPublicSuffix(input, expected_eTLD+1) vectors ported from the PSL's own
+# test suite (publicsuffix.org test_psl.txt), restricted to families present
+# in the vendored snapshot. None = no registrable domain.
+PSL_TEST_VECTORS = [
+    # null / degenerate input
+    (None, None),
+    ("", None),
+    (".com", None),
+    ("com", None),
+    ("example", None),
+    # mixed case
+    ("COM", None),
+    ("example.COM", "example.com"),
+    ("WwW.example.COM", "example.com"),
+    # unlisted TLD (implicit '*' default rule)
+    ("example.example", "example.example"),
+    ("b.example.example", "example.example"),
+    ("a.b.example.example", "example.example"),
+    # TLD with only one (implicit) rule
+    ("biz", None),
+    ("domain.biz", "domain.biz"),
+    ("b.domain.biz", "domain.biz"),
+    ("a.b.domain.biz", "domain.biz"),
+    # TLD with some two-level rules
+    ("uk.com", "uk.com"),  # not a listed suffix here -> com's +1
+    ("example.uk.com", "uk.com"),
+    # uk family
+    ("co.uk", None),
+    ("example.co.uk", "example.co.uk"),
+    ("b.example.co.uk", "example.co.uk"),
+    ("a.b.example.co.uk", "example.co.uk"),
+    # jp: flat, prefecture, city wildcard + exception
+    ("jp", None),
+    ("test.jp", "test.jp"),
+    ("www.test.jp", "test.jp"),
+    ("ac.jp", None),
+    ("test.ac.jp", "test.ac.jp"),
+    ("www.test.ac.jp", "test.ac.jp"),
+    ("kyoto.jp", None),
+    ("test.kyoto.jp", "test.kyoto.jp"),
+    ("kobe.jp", "kobe.jp"),  # *.kobe.jp needs 3 labels; implicit '*' wins
+    ("test.kobe.jp", None),  # *.kobe.jp: test.kobe.jp IS a suffix
+    ("www.test.kobe.jp", "www.test.kobe.jp"),
+    ("city.kobe.jp", "city.kobe.jp"),  # exception !city.kobe.jp
+    ("www.city.kobe.jp", "city.kobe.jp"),
+    # ck: wildcard with exception
+    ("ck", None),
+    ("test.ck", None),  # *.ck: test.ck IS a suffix
+    ("b.test.ck", "b.test.ck"),
+    ("a.b.test.ck", "b.test.ck"),
+    ("www.ck", "www.ck"),  # exception !www.ck
+    ("www.www.ck", "www.ck"),
+    # us: state locality scheme
+    ("us", None),
+    ("test.us", "test.us"),
+    ("www.test.us", "test.us"),
+    ("ak.us", None),
+    ("test.ak.us", "test.ak.us"),
+    ("www.test.ak.us", "test.ak.us"),
+    ("k12.ak.us", None),
+    ("test.k12.ak.us", "test.k12.ak.us"),
+    ("www.test.k12.ak.us", "test.k12.ak.us"),
+    # private-section domains
+    ("blogspot.com", None),
+    ("foo.blogspot.com", "foo.blogspot.com"),
+    ("www.foo.blogspot.com", "foo.blogspot.com"),
+    # trailing dot normalized
+    ("example.com.", "example.com"),
+]
+
+
+def test_psl_official_vectors():
+    from anycrawl_spark.data.public_suffixes import etld_plus_one
+
+    for host, expected in PSL_TEST_VECTORS:
+        assert etld_plus_one(host) == expected, (host, expected, etld_plus_one(host))
+
+
+def test_psl_dat_parser_and_sections():
+    """The snapshot ships in the real .dat format; the parser honors comments,
+    blank lines, whitespace truncation, and the ICANN/PRIVATE split."""
+    from anycrawl_spark.data.public_suffixes import (
+        ICANN_RULES, PRIVATE_RULES, RULES, parse_psl,
+    )
+
+    icann, private = parse_psl(
+        "// comment\n\ncom\n*.ck  trailing junk\n!www.ck\n"
+        "// ===BEGIN PRIVATE DOMAINS===\nGithub.IO\n// ===END PRIVATE DOMAINS===\n"
+    )
+    assert icann == ["com", "*.ck", "!www.ck"]
+    assert private == ["github.io"]  # lowercased, whitespace-truncated
+
+    # snapshot invariants the matcher relies on
+    assert "co.uk" in ICANN_RULES and "*.ck" in ICANN_RULES and "!www.ck" in ICANN_RULES
+    assert "github.io" in PRIVATE_RULES and "github.io" not in ICANN_RULES
+    assert len(RULES) == len(ICANN_RULES) + len(PRIVATE_RULES)
+    assert len(ICANN_RULES) > 500  # us-state + jp-prefecture blocks present
+    assert len(set(RULES)) == len(RULES)  # no duplicate rules
+
+
 def test_same_domain_scope_github_io(spark):
     """F3 same-domain on a private-suffix seed: sibling *.github.io sites are
     OUT of scope (the round-1 suffix sample admitted them), subdomains of the
