@@ -524,6 +524,47 @@ def to_markdown(root: Node) -> str:
     return md
 
 
+# --- transformed-HTML serialization (the reference's `html` format) --------
+
+_RAW_TEXT_TAGS = {"script", "style"}
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;")
+
+
+def _node_to_html(node: Node, raw: bool = False) -> str:
+    if node.is_text:
+        # raw-text elements (script/style) serialize verbatim, like parse5
+        return (node.text or "") if raw else _escape_text(node.text or "")
+    parts = [f"<{node.tag}"]
+    for k, v in node.attrs.items():
+        # valueless attributes (e.g. `disabled`) round-trip as bare names
+        parts.append(f' {k}="{_escape_attr(v)}"' if v is not None else f" {k}")
+    parts.append(">")
+    if node.tag in VOID_TAGS:
+        return "".join(parts)
+    inner_raw = node.tag in _RAW_TEXT_TAGS
+    parts.extend(_node_to_html(c, inner_raw) for c in node.children)
+    parts.append(f"</{node.tag}>")
+    return "".join(parts)
+
+
+def to_html(root: Node) -> str:
+    """Serialize a (stripped, URL-rewritten) tree back to an HTML string —
+    the reference's transformed `html` output format (HTMLTransformer.ts
+    transformHtml -> doExtractCleanHtml -> `$.html()`). Comments are already
+    gone (dropped at parse time); the include_tags path serializes the
+    collected elements concatenated, matching cheerio's `$root.html()` on
+    the wrapper div. Minimal entity escaping (parse5 style): `& < >` in
+    text, `& \"` in attribute values; script/style text kept verbatim."""
+    return "".join(_node_to_html(c) for c in root.children)
+
+
 # --- span segmentation (input_hint payload) --------------------------------
 
 _SPAN_TOKEN = re.compile(
@@ -559,12 +600,18 @@ def extract_document(
     base_url: str,
     include_tags: list[str] | None = None,
     exclude_tags: list[str] | None = None,
+    with_html: bool = False,
 ) -> dict:
-    """Full extraction: links (raw DOM order), title, metadata, markdown, spans.
+    """Full extraction: links (raw DOM order), title, metadata, markdown, spans,
+    and (on request) the transformed-HTML format.
 
     Mirrors DataExtractor.extractData's format fan-out (DataExtractor.ts:230-341)
     as a single pass: links are taken BEFORE stripping (Crawlee semantics);
-    markdown/spans AFTER non-main stripping + URL rewrite.
+    markdown/spans AFTER non-main stripping + URL rewrite. ``with_html=True``
+    additionally serializes the post-strip, URL-rewritten tree as the
+    reference's `html` output format (HTMLTransformer.ts transformHtml) — off
+    by default, matching the reference's formats option (html is produced only
+    when requested) and keeping the hot extract kernel serialization-free.
     """
     root = parse_html(html)
     title = extract_title(root)
@@ -583,10 +630,13 @@ def extract_document(
             remove_matching(root, list(exclude_tags))
     md = to_markdown(root)
     spans = markdown_to_spans(md)
-    return {
+    out = {
         "title": title,
         "metadata": metadata,
         "links": links,
         "markdown": md,
         "spans": spans,
     }
+    if with_html:
+        out["html"] = to_html(root)
+    return out

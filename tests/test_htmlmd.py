@@ -209,3 +209,86 @@ def test_lxml_backend_parity_when_available():
     md_std = to_markdown(parse_html(html, backend="stdlib"))
     md_lx = to_markdown(parse_html(html, backend="lxml"))
     assert md_std == md_lx
+
+
+# --- transformed-HTML output format (HTMLTransformer.ts transformHtml) -----
+
+def thtml(html, **kw):
+    return extract_document(html, BASE, with_html=True, **kw)["html"]
+
+
+def test_html_format_absolutizes_href_and_src_in_dom_order():
+    out = thtml(
+        '<div><a href="/x">one</a><img src="img/pic.png" alt="p">'
+        '<a href="../up">two</a></div>'
+    )
+    assert out == (
+        '<div><a href="http://site.test/x">one</a>'
+        '<img src="http://site.test/dir/img/pic.png" alt="p">'
+        '<a href="http://site.test/up">two</a></div>'
+    )
+    # DOM order: href rewrites appear in source order
+    assert out.index("http://site.test/x") < out.index("http://site.test/up")
+
+
+def test_html_format_srcset_rewritten_and_best_src():
+    out = thtml('<img src="/s.png" alt="R" srcset="/s.png 1x, /b.png 2x">')
+    # src replaced by the largest candidate; srcset absolutized with
+    # original descriptors preserved (HTMLTransformer.ts:298-316)
+    assert out == (
+        '<img src="http://site.test/b.png" alt="R" '
+        'srcset="http://site.test/s.png 1x, http://site.test/b.png 2x">'
+    )
+
+
+def test_html_format_strips_non_main_and_comments():
+    out = thtml(
+        "<header><p>skip</p></header><!-- gone --><p>keep</p>"
+        "<script>var x;</script><div class=\"ad\">skip</div>"
+    )
+    assert out == "<p>keep</p>"
+
+
+def test_html_format_exclude_and_include_tags():
+    src = '<div id="a"><p>A</p></div><div class="b"><p>B</p></div><p>C</p>'
+    assert thtml(src, exclude_tags=[".b"]) == '<div id="a"><p>A</p></div><p>C</p>'
+    # include_tags: matched elements collected like cheerio $root.html()
+    assert thtml(src, include_tags=["#a"]) == '<div id="a"><p>A</p></div>'
+
+
+def test_html_format_entity_escaping_roundtrip():
+    # parse decodes entities; serialization re-escapes the minimal set
+    out = thtml('<p title="a &amp; &quot;b&quot;">x &amp; y &lt;z&gt;</p>')
+    assert out == '<p title="a &amp; &quot;b&quot;">x &amp; y &lt;z&gt;</p>'
+
+
+def test_html_format_void_and_valueless():
+    out = thtml('<p>a<br>b<input type="text" disabled></p>')
+    assert out == '<p>a<br>b<input type="text" disabled></p>'
+
+
+def test_html_format_all_rule_fixtures_roundtrip():
+    """Every markdown-rule fixture also serializes: no crashes, stripped
+    selectors absent, and every emitted URL attribute absolute."""
+    import re
+
+    fixtures = [
+        "<p>text</p>",
+        "<div>a<p>b</p>c</div>",
+        "<em>i</em><strong>b</strong>",
+        "<ul><li>1<li>2</ul>",
+        '<a href="/r">l</a>',
+        '<img src="i.png" alt="a">',
+        '<figure><img src="/f.png"><figcaption>cap</figcaption></figure>',
+        '<table><tr><td><a href="u">t</a></td></tr></table>',
+        "<header>h</header><p>k</p>",
+        "<h1>t</h1><blockquote>q</blockquote>",
+        "<pre><code>x = 1 &lt; 2</code></pre>",
+        '<span class="social">s</span><p>main</p>',
+        '<a href="http:/broken.test/p">m</a>',
+    ]
+    for fx in fixtures:
+        out = thtml(fx)
+        for attr, val in re.findall(r'(href|src)="([^"]+)"', out):
+            assert val.startswith("http://"), (fx, attr, val)
+        assert "<header" not in out and "social" not in out
