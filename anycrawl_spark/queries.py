@@ -1118,7 +1118,7 @@ def q_webhook_deliveries(spark, sf_dir):
     ).distinct()
     subs = spark.createDataFrame(
         _webhook_subs(), "sub_id string, job_id string, event string, url string, "
-        "active boolean, max_attempts int",
+        "active boolean, max_attempts int, custom_headers string",
     )
     st = create_deliveries(events, subs)
     for t in range(1, _WEBHOOK_TICKS + 1):
@@ -1138,30 +1138,41 @@ def q_webhook_deliveries(spark, sf_dir):
         F.col("attempt_number").cast("int").alias("attempt_number"),
         F.col("next_retry_round").cast("int").alias("next_retry_round"),
         F.col("response_status").cast("int").alias("response_status"),
+        "request_headers", "request_body", "request_body_sha256",
     )
 
 
 def _webhook_subs() -> list[tuple]:
     """Deterministic subscription dim shared by the Spark query and the
     generated oracle SQL: 20 jobs x 2 event subscriptions; every 5th job
-    inactive; alternating max_attempts 2/3."""
+    inactive; alternating max_attempts 2/3; every 3rd sub carries custom
+    request headers (Webhook.ts:149 customHeaders), the rest NULL -> '{}'."""
     rows = []
     for j in range(20):
         for i, ev in enumerate(("crawl.completed", "page.scraped")):
+            idx = j * 2 + i
+            headers = (
+                '{"X-Team":"team-%d","X-Env":"prod"}' % j if idx % 3 == 0 else None
+            )
             rows.append(
                 (f"sub-{j}-{i}", f"job-{j}", ev, f"http://hooks.example/{j}/{i}",
-                 j % 5 != 4, 2 if (j + i) % 2 == 0 else 3)
+                 j % 5 != 4, 2 if (j + i) % 2 == 0 else 3, headers)
             )
     return rows
 
 
 def _sql_webhook_deliveries() -> str:
     subs_values = ", ".join(
-        f"('{sid}', '{jid}', '{ev}', '{url}', {str(act).upper()}, {ma})"
-        for sid, jid, ev, url, act, ma in _webhook_subs()
+        "('{}', '{}', '{}', '{}', {}, {}, {})".format(
+            sid, jid, ev, url, str(act).upper(), ma,
+            "'" + hdr + "'" if hdr is not None else "CAST(NULL AS VARCHAR)",
+        )
+        for sid, jid, ev, url, act, ma, hdr in _webhook_subs()
     )
+    carry = "request_headers, request_body, request_body_sha256"
     parts = [f"""
-WITH subs(sub_id, job_id, event, url, active, max_attempts) AS (VALUES {subs_values}),
+WITH subs(sub_id, job_id, event, url, active, max_attempts, custom_headers)
+  AS (VALUES {subs_values}),
 events AS (
   SELECT DISTINCT
     'job-' || (o_custkey % 20) AS job_id,
@@ -1171,7 +1182,12 @@ events AS (
 s0 AS (
   SELECT e.job_id || '|' || e.event || '|' || e.round || '|' || s.sub_id AS delivery_id,
          'pending' AS status, 1 AS attempt_number, s.max_attempts,
-         CAST(NULL AS INT) AS next_retry_round, CAST(NULL AS INT) AS response_status
+         CAST(NULL AS INT) AS next_retry_round, CAST(NULL AS INT) AS response_status,
+         coalesce(s.custom_headers, '{{}}') AS request_headers,
+         '{{"job_id":"' || e.job_id || '","event":"' || e.event ||
+           '","round":' || CAST(e.round AS VARCHAR) || '}}' AS request_body,
+         sha256('{{"job_id":"' || e.job_id || '","event":"' || e.event ||
+           '","round":' || CAST(e.round AS VARCHAR) || '}}') AS request_body_sha256
   FROM events e JOIN subs s ON s.active AND s.job_id = e.job_id AND s.event = e.event)"""]
     prev = "s0"
     for t in range(1, _WEBHOOK_TICKS + 1):
@@ -1180,7 +1196,7 @@ r{t} AS (  -- release due retries at tick {t}
   SELECT delivery_id,
          CASE WHEN status = 'retrying' AND next_retry_round <= {t}
               THEN 'pending' ELSE status END AS status,
-         attempt_number, max_attempts, next_retry_round, response_status
+         attempt_number, max_attempts, next_retry_round, response_status, {carry}
   FROM {prev}),
 s{t} AS (  -- attempt outcome + transition at tick {t}
   SELECT delivery_id,
@@ -1194,7 +1210,8 @@ s{t} AS (  -- attempt outcome + transition at tick {t}
     CASE WHEN status = 'pending' AND NOT ok AND attempt_number < max_attempts
          THEN {t} + CAST(power(2, attempt_number) AS INT)
          ELSE next_retry_round END AS next_retry_round,
-    CASE WHEN status = 'pending' THEN new_status ELSE response_status END AS response_status
+    CASE WHEN status = 'pending' THEN new_status ELSE response_status END AS response_status,
+    {carry}
   FROM (SELECT *,
                substring(md5(delivery_id || '#' || '{t}'), 1, 1) <= '7' AS ok,
                CASE WHEN substring(md5(delivery_id || '#' || '{t}'), 1, 1) <= '7'
@@ -1203,7 +1220,7 @@ s{t} AS (  -- attempt outcome + transition at tick {t}
         prev = f"s{t}"
     parts.append(f"""
 SELECT delivery_id, status, CAST(attempt_number AS INT) AS attempt_number,
-       next_retry_round, response_status
+       next_retry_round, response_status, {carry}
 FROM {prev}""")
     return "".join(parts)
 
