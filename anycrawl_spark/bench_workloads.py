@@ -289,6 +289,71 @@ def crawl_e2e(
     }
 
 
+def crawl_soak(
+    spark: SparkSession,
+    workdir: str,
+    limit: int = 50_000,
+    n_hosts: int = 2_500,
+) -> dict:
+    """Soak: ONE job crawled to the reference's maximum page budget
+    (CrawlSchema.ts:48 `limit` max 50000), recording per-round walls.
+
+    The evidence this produces: round cost stays FLAT as the lifetime seen
+    set and cumulative frontier grow — the incremental-shard + pending-only-
+    frontier design means per-round work tracks the ROUND's volume, not the
+    crawl's lifetime state. Flatness is summarized as
+    max(stable-round walls) / wall(round 3) where stable rounds are those at
+    full scheduling width (scheduled counts within 20% of the max round);
+    ramp-up rounds (BFS still fanning out) and the final short round are
+    excluded from the numerator by that width filter.
+    """
+    from anycrawl_spark import synth
+    from anycrawl_spark.crawl.superstep import CrawlEngine
+
+    web = synth.WebConfig(
+        n_hosts=n_hosts, mega_hosts=4, mega_pages=600, max_pages=120,
+        cross_host_frac_pct=25,
+    )
+    jobs = [{
+        "job_id": "soak-000",
+        "seed_url": f"http://{synth.host_name(0, web)}/p/0",
+        "engine": "cheerio",
+        "strategy": "all",
+        "max_depth": 32,
+        "limit": limit,
+        "include_paths": [], "exclude_paths": [], "scrape_paths": [],
+        "status": "running",
+    }]
+    params = CrawlParams(default_host_tokens=200, max_rounds=40)
+    eng = CrawlEngine(spark, workdir, jobs, synth.robots_rules(web), params, web=web)
+    t0 = time.time()
+    eng.init_state()
+    eng.run()
+    wall = time.time() - t0
+    pages = sum(eng.done.values())
+    rounds = [
+        {k: s[k] for k in ("round", "scheduled", "fresh", "wall_sec")}
+        for s in eng.round_stats
+    ]
+    walls = [r["wall_sec"] for r in rounds]
+    ref = rounds[2]["wall_sec"] if len(rounds) > 2 else (walls[-1] if walls else 0.0)
+    max_sched = max((r["scheduled"] for r in rounds), default=0)
+    stable = [r["wall_sec"] for r in rounds if r["scheduled"] >= 0.8 * max_sched]
+    flatness = round(max(stable) / ref, 2) if stable and ref else None
+    return {
+        "pages_fetched": pages,
+        "limit": limit,
+        "rounds": len(rounds),
+        "wall_sec": round(wall, 2),
+        "pages_per_sec": round(pages / wall, 1),
+        "round_walls": walls,
+        "round_detail": rounds,
+        "round3_wall_sec": ref,
+        "max_stable_round_wall_sec": max(stable) if stable else None,
+        "flatness_max_stable_over_round3": flatness,
+    }
+
+
 def shard_maintenance_bench(
     spark: SparkSession,
     seen_sizes: tuple[int, ...] = (2_000_000, 8_000_000, 32_000_000),

@@ -698,6 +698,9 @@ class CrawlEngine:
             "scheduled": sched_total,
             "fresh": sum(fresh_counts.values()),
             "active_jobs": len(active),
+            # per-round wall: the soak-flatness evidence (round cost must not
+            # grow with lifetime |seen|/frontier size)
+            "wall_sec": round(t_final - t0, 2),
         }
         if self.profile:
             stats["t_phases"] = {

@@ -126,7 +126,25 @@ def phase_kernel() -> dict:
             "politeness_skew": skew}
 
 
-PHASES = {"queries": phase_queries, "crawl": phase_crawl, "kernel": phase_kernel}
+def phase_soak() -> dict:
+    from anycrawl_spark.bench_workloads import crawl_soak, warm_python_workers
+    from anycrawl_spark.session import get_spark
+
+    spark = get_spark("bench-soak", cores=CPUS, shuffle_partitions=CPUS)
+    warm_python_workers(spark, CPUS)
+    wd = tempfile.mkdtemp(prefix="bench_soak_")
+    try:
+        soak = crawl_soak(spark, wd)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    spark.stop()
+    return {"soak": soak}
+
+
+PHASES = {
+    "queries": phase_queries, "crawl": phase_crawl, "kernel": phase_kernel,
+    "soak": phase_soak,
+}
 
 
 def _run_phase_subprocess(name: str) -> dict:
@@ -153,10 +171,12 @@ def bench_default() -> dict:
     q = _run_phase_subprocess("queries")
     c = _run_phase_subprocess("crawl")
     k = _run_phase_subprocess("kernel")
+    s = _run_phase_subprocess("soak")
     total = round(time.time() - t0, 2)
     queries = q["queries"]
     queries["frontier_kernel"] = k["frontier"]["wall_sec"]
     queries["crawl_e2e"] = c["crawl"]["wall_sec"]
+    queries["crawl_soak_50k"] = s["soak"]["wall_sec"]
     return {
         "metric": "frontier_throughput_and_query_wall",
         "value": total,
@@ -164,9 +184,10 @@ def bench_default() -> dict:
         "queries": queries,
         "sf": _sf(SF_DIR),
         "cpus": CPUS,
-        "phase_isolation": "fresh JVM per phase (queries | crawl | kernel)",
+        "phase_isolation": "fresh JVM per phase (queries | crawl | kernel | soak)",
         "frontier": k["frontier"],
         "crawl": c["crawl"],
+        "soak": s["soak"],
         "shard_maintenance": k["shard_maintenance"],
         "politeness_skew": k["politeness_skew"],
     }
