@@ -105,6 +105,19 @@ def main() -> int:
           "query side broadcast (vectors never shuffled for scoring)")
     sections.append(("q_embedding_topk", p))
 
+    # 7. LLM extraction: JVM-side chunk explode, ONE Arrow generate stage,
+    #    ONE exchange (doc_id) for the merge cogroup — scan pruned to 2 cols
+    p = plan_of(QUERIES["q_llm_extract"](spark, SF))
+    # formatted mode prints each node twice (tree + "(N) Node" detail) — count
+    # only the numbered detail headers
+    check("q_llm_extract", len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1,
+          "one Arrow generate stage")
+    check("q_llm_extract", len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1,
+          "single exchange (doc_id merge)")
+    check("q_llm_extract", "PushedFilters: [IsNotNull(doc_id)" in p,
+          "doc filter pushed to parquet scan")
+    sections.append(("q_llm_extract", p))
+
     spark.stop()
 
     lines = ["# PLANS.md — physical-plan audit (generated by scripts/explain_plans.py)", ""]
@@ -115,8 +128,16 @@ def main() -> int:
     lines.append("")
     for name, p in sections:
         lines.append(f"## {name}\n\n```\n{p.strip()[:3000]}\n```\n")
+    # Preserve the hand-written per-round audit tables ("## Round-N additions")
+    # appended below the generated plans — regeneration must not drop them.
+    manual = ""
+    if os.path.exists("PLANS.md"):
+        existing = open("PLANS.md").read()
+        idx = existing.find("## Round-2 additions")
+        if idx != -1:
+            manual = "\n" + existing[idx:]
     with open("PLANS.md", "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + manual)
     for name, ok, what in findings:
         print(("PASS" if ok else "FAIL"), name, "-", what)
     return 0 if ok_all else 1
