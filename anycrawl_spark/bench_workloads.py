@@ -286,6 +286,7 @@ def crawl_e2e(
         "sec_per_round": round(wall / max(rounds, 1), 2),
         "pages_per_sec": round(pages / wall, 1),
         "frontier_urls_per_sec": round((pages + enq) / wall, 1),
+        "round_walls": [s.get("wall_sec") for s in eng.round_stats],
     }
 
 

@@ -12,8 +12,12 @@ lists), document fingerprinting (content hash + shingle sketch).
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Small embedded stopword samples per language (heuristic lang-id only).
 # Function-word lists per language (top closed-class words; the standard
@@ -127,39 +131,41 @@ def lang_id(text: Column) -> Column:
     """argmax over per-language stopword hits; 'und' (undetermined) when all
     zero. Deterministic tie-break: alphabetical language order wins.
 
-    Shape (the fast way — the naive 8x ``lang_hits(text, lg)`` expression
-    re-splits the text and re-runs a 40-literal string InSet per language,
-    which round 2 measured at +58% query wall): tokenize ONCE, one map
-    lookup per token against a word->language-bitmask literal map, keep only
-    stopword tokens (a short int array), then derive the 8 per-language
-    occurrence counts with cheap bitmask filters. The token/mask arrays are
-    bound as higher-order-function lambda variables (``transform`` over a
-    1-element array) so each is evaluated exactly once per row regardless of
-    how many times the argmax expression references it.
+    Shape: an Arrow-batched pandas UDF doing one hash lookup per token
+    against a word->language-bitmask dict closed over the UDF. Measured on
+    this box (sf0.1, warm, median-of-5): 0.37 s vs 1.5 s for the pure-column
+    variants (naive 8x InSet, literal word->mask map + bitmask filters,
+    array_except counting) — every JVM shape pays per-row construction /
+    linear scans of the ~300-entry literal collections plus a multi-second
+    codegen compile of the resulting mega-expression, while the dict lookup
+    is O(1) per token and ships only the text column through Arrow. This is
+    the repo's accepted per-document-string-work shape (same family as the
+    extract/gate kernels); at 100 TB the stage stays narrow (no shuffle) and
+    the production swap (fasttext) is a drop-in inside the same UDF.
     """
     langs = sorted(STOPWORDS)
-    word_mask = F.create_map(
-        *[F.lit(x) for w, m in _word_mask_entries() for x in (w, m)]
-    )
-    toks = tokens(F.lower(text))
-    masks = F.filter(
-        F.transform(toks, lambda t: F.coalesce(word_mask[t], F.lit(0))),
-        lambda m: m != 0,
-    )
+    word_mask = dict(_word_mask_entries())
+    n = len(langs)
+    # Java's \s (the ``tokens`` split class and the DuckDB oracle's) is
+    # ASCII-only; Python str.split() would also split on unicode whitespace
+    ws_split = re.compile(r"[ \t\n\x0b\f\r]+").split
 
-    def argmax(ms: Column) -> Column:
-        hits = {
-            lg: F.size(F.filter(ms, lambda m: m.bitwiseAND(F.lit(1 << i)) != 0))
-            for i, lg in enumerate(langs)
-        }
-        best = F.greatest(*hits.values())
-        expr = F.lit("und")
-        # build reversed so earlier (alphabetical) langs take precedence
-        for lg in reversed(langs):
-            expr = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(expr)
-        return expr
+    @F.pandas_udf(T.StringType())
+    def _lang_id(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            counts = [0] * n
+            for tok in ws_split((t or "").lower()):
+                m = word_mask.get(tok)
+                if m:
+                    for i in range(n):
+                        if m >> i & 1:
+                            counts[i] += 1
+            best = max(counts)
+            out.append(langs[counts.index(best)] if best > 0 else "und")
+        return pd.Series(out)
 
-    return F.get(F.transform(F.array(masks), argmax), 0)
+    return _lang_id(text)
 
 
 def fingerprint(text: Column) -> Column:

@@ -111,14 +111,23 @@ def phase_crawl() -> dict:
 
 def phase_kernel() -> dict:
     from anycrawl_spark.bench_workloads import (
-        frontier_kernel, politeness_skew_bench, shard_maintenance_bench,
-        warm_python_workers,
+        frontier_kernel, politeness_skew_bench, prepare_shards,
+        shard_maintenance_bench, warm_python_workers,
     )
     from anycrawl_spark.session import get_spark
 
     spark = get_spark("bench-kernel", cores=CPUS, shuffle_partitions=CPUS)
     warm_python_workers(spark, CPUS)
-    frontier = frontier_kernel(spark, **KERNEL)
+    # Same methodology as bench_scaling / BENCH/BASELINE.md: shard state is
+    # cross-round (prepared once), one untimed pass absorbs codegen/import
+    # session costs, then median-of-3 measures steady-state throughput. The
+    # cold first-run wall is recorded alongside, not hidden.
+    bc = prepare_shards(spark, KERNEL["n_seen"])
+    cold = frontier_kernel(spark, **KERNEL, shard_bc=bc)
+    runs = [frontier_kernel(spark, **KERNEL, shard_bc=bc) for _ in range(3)]
+    frontier = dict(sorted(runs, key=lambda r: r["wall_sec"])[1])
+    frontier["cold_first_sec"] = cold["wall_sec"]
+    frontier["all_walls"] = [r["wall_sec"] for r in runs]
     shards = shard_maintenance_bench(spark)
     skew = politeness_skew_bench(spark)
     spark.stop()
@@ -147,11 +156,30 @@ PHASES = {
 }
 
 
+def _wait_jvm_quiesce(max_wait: float = 20.0) -> None:
+    """Block until no java process remains (the previous phase's JVM can
+    outlive its python parent by seconds while it flushes/GCs; letting it
+    overlap the next phase contaminates that phase's walls — measured up to
+    +60% on the crawl phase when run back-to-back)."""
+    import subprocess
+
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        try:
+            n = subprocess.run(["pgrep", "-c", "java"], capture_output=True)
+            if n.returncode != 0 or n.stdout.strip() == b"0":
+                return
+        except OSError:
+            return
+        time.sleep(1.0)
+
+
 def _run_phase_subprocess(name: str) -> dict:
     """Run one phase in a fresh python+JVM; its JSON rides a temp file so
     Spark's stdout noise can't corrupt it."""
     import subprocess
 
+    _wait_jvm_quiesce()
     out_path = tempfile.mktemp(prefix=f"bench_{name}_", suffix=".json")
     try:
         subprocess.run(
