@@ -333,3 +333,85 @@ r AS (SELECT query_id, vec_id, cosine,
       FROM s)
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
 """
+
+
+# ----------------------------------------------------- template render mirror
+
+_TEMPLATE_RENDER_COLUMNS: list[tuple[str, str]] = [
+    ("request_id", "VARCHAR"), ("ok", "BOOLEAN"), ("error", "VARCHAR"),
+    ("engine", "VARCHAR"), ("url", "VARCHAR"), ("original_url", "VARCHAR"),
+    ("query", "VARCHAR"), ("variables_json", "VARCHAR"),
+    ("options_json", "VARCHAR"), ("credits", "DOUBLE"),
+]
+
+# Expected outputs for operators.templates.contract_fixture(), derived BY
+# HAND from the reference semantics (templateHandler.ts / urlTemplate.ts /
+# optionMerger.ts / templateValidator.ts) — independent of the Python
+# kernels. Notes per row:
+#   r01/r02: defaults fill lang=en, mapping creates options.locale (explicit
+#            request fields would win), reqOptions merge under, render with
+#            query/path filters (encodeURIComponent semantics).
+#   r07:     required 'id' missing (no default, no mapping target present).
+#   r08:     append-transform runs on the UN-rendered query at merge time,
+#            the controller renders afterwards; search drops url.
+#   r09:     regexExtract group 1 of //(.+)$ then template mode; original
+#            url preserved; no reqOptions => {}.
+#   r10:     enum rejection message mirrors JSON.stringify quoting.
+#   r12:     no request user => self-hosted rule: any template accessible.
+_TEMPLATE_RENDER_EXPECTED: list[dict] = [
+    {"request_id": "r01", "ok": True, "error": None, "engine": "cheerio",
+     "url": "https://ex.com/p/42?l=en", "original_url": None, "query": None,
+     "variables_json": '{"id":"42","lang":"en"}',
+     "options_json": '{"engine":"cheerio","formats":["markdown"],"options":{"locale":"en"}}',
+     "credits": 2.0},
+    {"request_id": "r02", "ok": True, "error": None, "engine": "cheerio",
+     "url": "https://ex.com/a%20b/c", "original_url": None, "query": None,
+     "variables_json": '{"id":"a b/c","lang":"en"}',
+     "options_json": '{"engine":"cheerio","formats":["markdown"],"options":{"locale":"en"}}',
+     "credits": 2.0},
+    {"request_id": "r03", "ok": False, "error": "Template not found",
+     "engine": None, "url": None, "original_url": None, "query": None,
+     "variables_json": None, "options_json": None, "credits": 0.0},
+    {"request_id": "r04", "ok": False,
+     "error": "When using template_id, only template-allowed fields are "
+              "permitted. Invalid fields: engine",
+     "engine": None, "url": None, "original_url": None, "query": None,
+     "variables_json": None, "options_json": None, "credits": 0.0},
+    {"request_id": "r05", "ok": False, "error": "Access denied to this template",
+     "engine": None, "url": None, "original_url": None, "query": None,
+     "variables_json": None, "options_json": None, "credits": 0.0},
+    {"request_id": "r06", "ok": False,
+     "error": "Template type mismatch: expected crawl, got scrape",
+     "engine": None, "url": None, "original_url": None, "query": None,
+     "variables_json": None, "options_json": None, "credits": 0.0},
+    {"request_id": "r07", "ok": False,
+     "error": "Template variable validation failed: "
+              "Required variable 'id' is missing",
+     "engine": None, "url": None, "original_url": None, "query": None,
+     "variables_json": None, "options_json": None, "credits": 0.0},
+    {"request_id": "r08", "ok": True, "error": None, "engine": "google",
+     "url": None, "original_url": None,
+     "query": "site:docs.example.com spark news",
+     "variables_json": '{"q":"spark"}',
+     "options_json": '{"engine":"google","limit":10}', "credits": 0.0},
+    {"request_id": "r09", "ok": True, "error": None, "engine": None,
+     "url": "https://render.svc/X.com/a b", "original_url": "http://X.com/a b",
+     "query": None, "variables_json": None, "options_json": "{}",
+     "credits": 0.0},
+    {"request_id": "r10", "ok": False,
+     "error": 'Template variable validation failed: Variable \'mode\' must '
+              'be one of ["fast", "slow"], got "turbo"',
+     "engine": None, "url": None, "original_url": None, "query": None,
+     "variables_json": None, "options_json": None, "credits": 0.0},
+    {"request_id": "r11", "ok": True, "error": None, "engine": "playwright",
+     "url": "https://e.com/?m=fast&n=5", "original_url": None, "query": None,
+     "variables_json": '{"mode":"fast","n":5}',
+     "options_json": '{"engine":"playwright"}', "credits": 0.0},
+    {"request_id": "r12", "ok": True, "error": None, "engine": None,
+     "url": "https://ex.com/x", "original_url": None, "query": None,
+     "variables_json": None, "options_json": "{}", "credits": 0.0},
+]
+
+
+def sql_template_render() -> str:
+    return values_sql(_TEMPLATE_RENDER_EXPECTED, _TEMPLATE_RENDER_COLUMNS)

@@ -1097,6 +1097,32 @@ FROM resolved r LEFT JOIN counts c ON c.task_id = r.task_id
 SQL_SCHEDULED_TASKS = _sql_scheduled_tasks()
 
 
+def q_template_render(spark, sf_dir):
+    """Template-request pipeline (apps/api templateHandler/urlTemplate/
+    optionMerger/templateValidator): broadcast templates dim join + one
+    Arrow-batched kernel; fixture covers rendering filters, defaults,
+    variable mapping, option merge, query/url transforms, and the access/
+    type/field/required/enum failure modes. Oracle = hand-enumerated
+    expected rows (oracle_mirrors._TEMPLATE_RENDER_EXPECTED)."""
+    from anycrawl_spark.operators.templates import (
+        contract_fixture, process_template_requests,
+    )
+
+    templates_rows, request_rows = contract_fixture()
+    templates = spark.createDataFrame(
+        templates_rows,
+        "template_id string, template_type string, status string, "
+        "review_status string, created_by string, config_json string",
+    )
+    requests = spark.createDataFrame(
+        request_rows,
+        "request_id string, template_id string, template_type string, "
+        "url string, query string, variables_json string, "
+        "extra_fields array<string>, user_id string",
+    )
+    return process_template_requests(requests, templates)
+
+
 def q_webhook_deliveries(spark, sf_dir):
     """S11 webhook delivery/retry state machine (Webhook.ts:136-409) run for
     5 deterministic ticks over orders-synthesized events: pending ->
@@ -1685,6 +1711,7 @@ QUERIES = {
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_ivf_topk": q_ivf_topk,
     "q_scheduled_tasks": q_scheduled_tasks,
+    "q_template_render": q_template_render,
     "q_llm_extract": q_llm_extract,
     # rows-only (no oracle)
     "q_serp_search": q_serp_search,
@@ -1818,3 +1845,4 @@ ORACLES["q_serp_enrich"] = _mir.sql_serp_enrich([("q0", "frontier bloom dedup", 
 ORACLES["q_crawl_round"] = _mir.sql_crawl_round(n_jobs=2, limit=20, max_rounds=20)
 ORACLES["q_media_features"] = _mir.sql_media_features(max_doc_id=50, dim=8)
 ORACLES["q_ann_lsh"] = _mir.sql_ann_lsh(dim=64, k=10, bits=4, round_dp=4)
+ORACLES["q_template_render"] = _mir.sql_template_render()
