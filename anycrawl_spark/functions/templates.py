@@ -387,3 +387,128 @@ def resolve_price(pricing, currency: str = "credits") -> float:
     ):
         return float(per_call)
     return 0.0
+
+
+# ----------------------------------------- domain / keyword restrictions
+# (packages/template-client/src/validator/domainValidator.ts — the
+# deterministic restriction grammar; glob matching shares the repo's
+# minimatch-ish kernel from functions/patterns.py, the X8 parity surface)
+
+def parse_domain_restriction(allowed):
+    """domainValidator.ts:115-137 parseDomainRestriction + normalizePatterns:
+    string -> exact [s]; list -> exact; {patterns, type} -> as configured;
+    comma-delimited entries split and trimmed; non-strings dropped."""
+    if isinstance(allowed, str):
+        rtype, patterns = "exact", [allowed]
+    elif isinstance(allowed, list):
+        rtype, patterns = "exact", allowed
+    elif isinstance(allowed, dict) and "patterns" in allowed:
+        if not isinstance(allowed["patterns"], list):
+            return None
+        rtype, patterns = allowed.get("type") or "exact", allowed["patterns"]
+    else:
+        return None
+    normalized = [
+        seg.strip()
+        for p in patterns
+        if isinstance(p, str)
+        for seg in p.split(",")
+        if seg.strip()
+    ]
+    if not normalized:
+        return None
+    return {"type": rtype, "patterns": normalized}
+
+
+def _glob_match(value: str, pattern: str) -> bool:
+    from anycrawl_spark.functions.patterns import glob_to_regex
+
+    return re.fullmatch(glob_to_regex(pattern), value) is not None
+
+
+def validate_pattern(value: str, restriction, field_name: str = "value"):
+    """domainValidator.ts:31-63 — (ok, error). Used for search
+    allowedKeywords; value and patterns compare lowercased/trimmed."""
+    if not restriction or not restriction.get("patterns"):
+        return True, None
+    v = value.lower().strip()
+    for pattern in restriction["patterns"]:
+        if not pattern:
+            continue
+        p = pattern.lower().strip()
+        if restriction["type"] == "exact":
+            if v == p:
+                return True, None
+        elif restriction["type"] == "glob" and _glob_match(v, p):
+            return True, None
+    return False, (
+        f"{field_name} '{value}' is not allowed for this template. "
+        f"Allowed patterns: {', '.join(restriction['patterns'])}"
+    )
+
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443"}
+
+
+def _normalize_url_for_comparison(url: str) -> tuple[str, str, str, str, str]:
+    """(normalized, origin, hostname, pathname, query+hash) per JS URL
+    semantics: origin lowercased with default ports dropped, empty path ->
+    '/' (domainValidator.ts:139-145)."""
+    from urllib.parse import urlsplit
+
+    s = urlsplit(url)
+    if not s.scheme or s.hostname is None:
+        raise ValueError(f"Invalid URL: {url}")
+    scheme = s.scheme.lower()
+    host = s.hostname.lower()
+    port = s.port
+    origin = f"{scheme}://{host}"
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        origin += f":{port}"
+    pathname = s.path or "/"
+    tail = (f"?{s.query}" if s.query else "") + (f"#{s.fragment}" if s.fragment else "")
+    return f"{origin}{pathname}{tail}", origin, host, pathname, tail
+
+
+def validate_domain(url: str, restriction):
+    """domainValidator.ts:70-110 validateDomain — (ok, error). Exact compares
+    the normalized URL (when the pattern parses as one) or the bare hostname;
+    glob matches the candidate-representation set (:207-246)."""
+    if not restriction or not restriction.get("patterns"):
+        return True, None
+    try:
+        target, origin, hostname, pathname, tail = _normalize_url_for_comparison(url)
+    except ValueError as e:
+        return False, f"Invalid URL format: {e}"
+    for pattern in restriction["patterns"]:
+        if not pattern:
+            continue
+        if restriction["type"] == "exact":
+            try:
+                if _normalize_url_for_comparison(pattern)[0] == target:
+                    return True, None
+            except ValueError:
+                pass
+            if hostname == pattern.lower():
+                return True, None
+        elif restriction["type"] == "glob":
+            p = pattern.lower()
+            with_slash = "/" if pathname == "/" else re.sub(r"/+$", "/", pathname)
+            no_slash = "/" if pathname == "/" else re.sub(r"/+$", "", pathname)
+            candidates = {
+                target, origin,
+                f"{origin}{with_slash}", f"{origin}{no_slash}",
+                f"{origin}{with_slash}{tail}", f"{origin}{no_slash}{tail}",
+                hostname,
+                f"{hostname}{with_slash}", f"{hostname}{no_slash}",
+                f"{hostname}{with_slash}{tail}", f"{hostname}{no_slash}{tail}",
+            }
+            if no_slash.startswith("/") and no_slash != "/":
+                candidates.add(f"{hostname}/{no_slash[1:]}")
+                candidates.add(f"{hostname}/{no_slash[1:]}{tail}")
+            if any(_glob_match(c, p) for c in candidates):
+                return True, None
+    return False, (
+        f"URL '{target}' is not allowed for this template. "
+        f"Allowed patterns: {', '.join(restriction['patterns'])}"
+    )

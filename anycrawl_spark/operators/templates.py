@@ -22,9 +22,12 @@ ScrapeController.ts:38-42 / SearchController.ts:52-56):
    with the (default-applied) variables,
 8. per-call credit pricing.
 
-Deliberately out of scope: the template-client JS sandbox and
-DomainValidator's allowedDomains/allowedKeywords restriction grammar
-(template-client package — SURVEY §2 documents the sandbox exclusion).
+Deliberately out of scope: the template-client JS sandbox (SURVEY §2
+documents the exclusion). The DomainValidator restriction grammar
+(allowedDomains/allowedKeywords, template-client
+validator/domainValidator.ts) IS implemented — see
+functions/templates.py:parse_domain_restriction/validate_domain/
+validate_pattern, applied between option merge and transforms (:366-389).
 
 Scale shape: templates are a dim (thousands of rows) — broadcast join; the
 kernel is pure per-row string/dict work batched through Arrow; request rows
@@ -45,9 +48,12 @@ from anycrawl_spark.functions.templates import (
     apply_variable_defaults,
     map_variables_to_request_data,
     merge_options_with_template,
+    parse_domain_restriction,
     render_text_template,
     render_url_template,
     resolve_price,
+    validate_domain,
+    validate_pattern,
     validate_template_only_fields,
     validate_variables,
 )
@@ -128,6 +134,21 @@ def process_request(request: dict, template: dict | None) -> dict:
 
     # 4. template reqOptions under, request over (:355-364)
     merged = merge_options_with_template(template.get("req_options") or {}, merged_data)
+
+    # 4b. domain / keyword restrictions (:366-389, domainValidator.ts)
+    meta = template.get("metadata") or {}
+    if merged.get("url") and meta.get("allowedDomains"):
+        restriction = parse_domain_restriction(meta["allowedDomains"])
+        if restriction:
+            ok, err = validate_domain(merged["url"], restriction)
+            if not ok:
+                return fail(err)
+    if ttype == "search" and merged.get("query") and meta.get("allowedKeywords"):
+        restriction = parse_domain_restriction(meta["allowedKeywords"])
+        if restriction:
+            ok, err = validate_pattern(merged["query"], restriction, "Search query")
+            if not ok:
+                return fail(err)
 
     # 5. transforms (:392-415); original_url preserved before urlTransform
     original_url = None
@@ -228,6 +249,7 @@ def process_template_requests(requests: DataFrame, templates: DataFrame) -> Data
                     "url_transform": cfg.get("urlTransform"),
                     "query_transform": cfg.get("queryTransform"),
                     "pricing": cfg.get("pricing"),
+                    "metadata": cfg.get("metadata"),
                 }
             res = process_request(request, template)
             rows.append({"request_id": r.request_id, **res})
@@ -276,6 +298,15 @@ def contract_fixture() -> tuple[list[tuple], list[tuple]]:
             "variables": {"mode": {"type": "enum", "values": ["fast", "slow"]},
                           "n": {"type": "number", "defaultValue": 5}},
         })),
+        ("tpl-d", "scrape", "published", "approved", "u1", json.dumps({
+            "metadata": {"allowedDomains": {
+                "type": "glob", "patterns": ["*.example.com", "example.com"]}},
+        })),
+        ("tpl-k", "search", "published", "approved", "u1", json.dumps({
+            "reqOptions": {"engine": "google"},
+            "metadata": {"allowedKeywords": {"type": "glob",
+                                             "patterns": ["spark*"]}},
+        })),
     ]
     requests = [
         ("r01", "tpl-s", "scrape", "https://ex.com/p/{{id}}?l={{lang|query}}",
@@ -295,5 +326,9 @@ def contract_fixture() -> tuple[list[tuple], list[tuple]]:
         ("r11", "tpl-e", "scrape", "https://e.com/?m={{mode}}&n={{n}}",
          None, json.dumps({"mode": "fast"}), [], "u1"),
         ("r12", "tpl-priv", "scrape", "https://ex.com/x", None, None, [], None),
+        ("r13", "tpl-d", "scrape", "https://api.example.com/x", None, None, [], "u1"),
+        ("r14", "tpl-d", "scrape", "https://evil.com/x", None, None, [], "u1"),
+        ("r15", "tpl-k", "search", None, "sparkling water", None, [], "u1"),
+        ("r16", "tpl-k", "search", None, "hadoop tips", None, [], "u1"),
     ]
     return templates, requests

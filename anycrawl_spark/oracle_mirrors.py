@@ -410,6 +410,25 @@ _TEMPLATE_RENDER_EXPECTED: list[dict] = [
     {"request_id": "r12", "ok": True, "error": None, "engine": None,
      "url": "https://ex.com/x", "original_url": None, "query": None,
      "variables_json": None, "options_json": "{}", "credits": 0.0},
+    # r13/r14: glob allowedDomains (domainValidator.ts candidates incl. bare
+    # hostname); r15/r16: search allowedKeywords via validatePattern.
+    {"request_id": "r13", "ok": True, "error": None, "engine": None,
+     "url": "https://api.example.com/x", "original_url": None, "query": None,
+     "variables_json": None, "options_json": "{}", "credits": 0.0},
+    {"request_id": "r14", "ok": False,
+     "error": "URL 'https://evil.com/x' is not allowed for this template. "
+              "Allowed patterns: *.example.com, example.com",
+     "engine": None, "url": None, "original_url": None, "query": None,
+     "variables_json": None, "options_json": None, "credits": 0.0},
+    {"request_id": "r15", "ok": True, "error": None, "engine": "google",
+     "url": None, "original_url": None, "query": "sparkling water",
+     "variables_json": None, "options_json": '{"engine":"google"}',
+     "credits": 0.0},
+    {"request_id": "r16", "ok": False,
+     "error": "Search query 'hadoop tips' is not allowed for this template. "
+              "Allowed patterns: spark*",
+     "engine": None, "url": None, "original_url": None, "query": None,
+     "variables_json": None, "options_json": None, "credits": 0.0},
 ]
 
 

@@ -278,3 +278,67 @@ def test_process_template_requests_spark(spark):
     # controller renders afterwards (reference order)
     assert r7.ok and r7.query == "site:docs.example.com spark news"
     assert r7.url is None and r7.engine == "google"
+
+
+# ------------------------------------------- domain / keyword restrictions
+
+def test_parse_domain_restriction_shapes():
+    from anycrawl_spark.functions.templates import parse_domain_restriction as p
+    assert p("example.com") == {"type": "exact", "patterns": ["example.com"]}
+    assert p(["a.com", "b.com, c.com"]) == \
+        {"type": "exact", "patterns": ["a.com", "b.com", "c.com"]}
+    assert p({"type": "glob", "patterns": ["*.x.com"]}) == \
+        {"type": "glob", "patterns": ["*.x.com"]}
+    assert p({"patterns": "not-a-list"}) is None
+    assert p(None) is None
+    assert p(42) is None
+    assert p([1, 2]) is None  # non-strings dropped -> empty -> None
+
+
+def test_validate_domain_exact_and_glob():
+    from anycrawl_spark.functions.templates import (
+        parse_domain_restriction as p, validate_domain as vd)
+    # exact: full-URL pattern normalizes (default port dropped) or bare host
+    ok, _ = vd("https://example.com:443/", p("https://example.com/"))
+    assert ok
+    ok, _ = vd("https://sub.example.com/x", p("sub.example.com"))
+    assert ok
+    ok, err = vd("https://other.com/", p("example.com"))
+    assert not ok and "not allowed" in err
+    # glob: hostname / origin / path representations all match
+    g = p({"type": "glob", "patterns": ["*.example.com", "docs.example.com/v1/*"]})
+    assert vd("https://api.example.com/anything?q=1", g)[0]
+    assert vd("http://docs.example.com/v1/data", g)[0]
+    assert not vd("https://example.com.evil.io/", g)[0]
+    # malformed URL
+    ok, err = vd("no-scheme", g)
+    assert not ok and "Invalid URL" in err
+
+
+def test_validate_pattern_keywords():
+    from anycrawl_spark.functions.templates import (
+        parse_domain_restriction as p, validate_pattern as vp)
+    g = p({"type": "glob", "patterns": ["spark*"]})
+    assert vp("Spark SQL", g, "Search query")[0]   # lowercased before match
+    ok, err = vp("hadoop", g, "Search query")
+    assert not ok and err.startswith("Search query 'hadoop'")
+    assert vp("anything", None)[0]                  # no restriction -> allow
+
+
+def test_operator_restrictions_spark(spark):
+    from anycrawl_spark.operators.templates import (
+        contract_fixture, process_template_requests)
+    tpls, reqs = contract_fixture()
+    templates = spark.createDataFrame(
+        tpls, "template_id string, template_type string, status string, "
+              "review_status string, created_by string, config_json string")
+    requests = spark.createDataFrame(
+        reqs, "request_id string, template_id string, template_type string, "
+              "url string, query string, variables_json string, "
+              "extra_fields array<string>, user_id string")
+    rows = {r.request_id: r for r in
+            process_template_requests(requests, templates).collect()}
+    assert rows["r13"].ok
+    assert not rows["r14"].ok and "not allowed" in rows["r14"].error
+    assert rows["r15"].ok and rows["r15"].query == "sparkling water"
+    assert not rows["r16"].ok and "spark*" in rows["r16"].error
