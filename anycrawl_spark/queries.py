@@ -171,6 +171,46 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """
 
 
+def q_cuckoo_dedup(spark, sf_dir):
+    """J1, cuckoo variant (north_rule "bloom/cuckoo"): build shards from an
+    initial seen set, MERGE one round of inserts + expiry DELETES (the
+    capability bloom lacks — models the reference's expiry re-queue making
+    URLs crawlable again, managers/Progress.ts), then the exact fresh set via
+    prefilter + anti-join recheck (operators/seen_cuckoo.py). Output is exact
+    set algebra, so the DuckDB oracle is a plain predicate."""
+    from anycrawl_spark.operators.seen import with_dedup_key
+    from anycrawl_spark.operators.seen_cuckoo import (
+        build_cuckoo_shards, filter_fresh_cuckoo, merge_cuckoo_shards,
+    )
+
+    nb = 16
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("job-"), (F.col("o_custkey") % 8).cast("string")).alias("job_id"),
+        F.col("o_orderkey").cast("long").alias("url_hash"),
+    )
+    seen0 = o.filter(F.col("url_hash") % 3 == 0)                      # round-0 state
+    inserts = o.filter((F.col("url_hash") % 5 == 0) & (F.col("url_hash") % 3 != 0))
+    expired = o.filter(F.col("url_hash") % 9 == 0)                    # expiry sweep
+    merged = merge_cuckoo_shards(
+        build_cuckoo_shards(with_dedup_key(seen0, nb)),
+        fresh_keyed=with_dedup_key(inserts, nb),
+        delete_keyed=with_dedup_key(expired, nb),
+    )
+    seen_now = seen0.join(expired, ["job_id", "url_hash"], "left_anti").unionByName(inserts)
+    return filter_fresh_cuckoo(
+        o, seen_now, nb, shards=merged.select("bucket", "n_keys", "table")
+    )
+
+
+SQL_CUCKOO_DEDUP = """
+SELECT concat('job-', CAST(o_custkey % 8 AS VARCHAR)) AS job_id,
+       CAST(o_orderkey AS BIGINT) AS url_hash
+FROM orders
+WHERE NOT ((o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
+        OR (o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0))
+"""
+
+
 def q_enrich_left_join(spark, sf_dir):
     """J2 SERP-enrichment shape: left join preserving left rows."""
     o = _t(spark, sf_dir, "orders")
@@ -1678,6 +1718,7 @@ QUERIES = {
     "q_progress_counters": q_progress_counters,
     "q_anti_join_seen": q_anti_join_seen,
     "q_semi_join_seen": q_semi_join_seen,
+    "q_cuckoo_dedup": q_cuckoo_dedup,
     "q_enrich_left_join": q_enrich_left_join,
     "q_broadcast_dim_join": q_broadcast_dim_join,
     "q_budget_topk": q_budget_topk,
@@ -1783,6 +1824,7 @@ ORACLES = {
     "q_progress_counters": SQL_PROGRESS_COUNTERS,
     "q_anti_join_seen": SQL_ANTI_JOIN_SEEN,
     "q_semi_join_seen": SQL_SEMI_JOIN_SEEN,
+    "q_cuckoo_dedup": SQL_CUCKOO_DEDUP,
     "q_enrich_left_join": SQL_ENRICH_LEFT_JOIN,
     "q_broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
     "q_budget_topk": SQL_BUDGET_TOPK,

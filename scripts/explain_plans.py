@@ -118,6 +118,15 @@ def main() -> int:
           "doc filter pushed to parquet scan")
     sections.append(("q_llm_extract", p))
 
+    # 8. cuckoo dedup: probe is a narrow Arrow stage over broadcast shards;
+    #    the exact recheck is a hash anti-join, never a cartesian
+    p = plan_of(QUERIES["q_cuckoo_dedup"](spark, SF))
+    check("q_cuckoo_dedup", "LeftAnti" in p and "Cartesian" not in p,
+          "exact recheck is an anti-join, no cartesian")
+    check("q_cuckoo_dedup", "ArrowEvalPython" in p,
+          "probe is an Arrow-batched stage (16B/row out, 1B back)")
+    sections.append(("q_cuckoo_dedup", p))
+
     spark.stop()
 
     lines = ["# PLANS.md — physical-plan audit (generated by scripts/explain_plans.py)", ""]
