@@ -35,6 +35,7 @@ HEADLINE = [
     "q_pricing_summary",
     "q_broadcast_dim_join",
     "q_anti_join_seen",
+    "q_cuckoo_dedup",
     "q_budget_topk",
     "q_discovery_seq",
     "q_union_dedup",
