@@ -133,3 +133,42 @@ def test_simhash_hamming_property():
     assert synth.page_html(u) == synth.page_html(u)
     assert synth.page_status(u) == synth.page_status(u)
     assert hashlib.blake2b(b"x").hexdigest() == hashlib.blake2b(b"x").hexdigest()
+
+
+@given(
+    st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=400, unique=True),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_cuckoo_kernel_live_keys_never_false_negative(keys, data):
+    """Random insert set + random delete subset: every LIVE key must still
+    probe positive (deletes must never clobber another key's fingerprint in
+    a way that loses it — the involution property of the alt index)."""
+    from anycrawl_spark.operators.seen_cuckoo import (
+        _build_table, _delete_one, _fp_i1_i2, _probe_table,
+    )
+
+    ks = np.array(keys, dtype=np.int64)
+    tbl, nb = _build_table(ks)
+    n_del = data.draw(st.integers(0, len(ks)))
+    dels = ks[:n_del]
+    fps, i1s, i2s = _fp_i1_i2(dels, nb)
+    for j in range(len(dels)):
+        assert _delete_one(tbl, int(fps[j]), int(i1s[j]), int(i2s[j]))
+    live = ks[n_del:]
+    if len(live):
+        hits = _probe_table(tbl, live)
+        # a delete may legitimately remove a DIFFERENT key's identical
+        # (bucket, fingerprint) copy; the live key then misses only if the
+        # deleted key collided exactly — possible but must be rare
+        misses = int((~hits).sum())
+        collisions = 0
+        if misses:
+            lf, l1, l2 = _fp_i1_i2(live[~hits], nb)
+            df_, d1, d2 = _fp_i1_i2(dels, nb)
+            for j in range(len(lf)):
+                same = (df_ == lf[j]) & (
+                    (d1 == l1[j]) | (d2 == l1[j]) | (d1 == l2[j]) | (d2 == l2[j])
+                )
+                collisions += int(same.any())
+        assert misses == collisions, (misses, collisions)
