@@ -121,7 +121,12 @@ def phase_kernel() -> dict:
     )
     from anycrawl_spark.session import get_spark
 
-    spark = get_spark("bench-kernel", cores=CPUS, shuffle_partitions=CPUS)
+    # shuffle_partitions = 2x cores, matching bench_scaling/--gate and the
+    # BENCH/BASELINE.md medians this number is compared against. The narrower
+    # cores-wide config measured both slower AND less stable (walls escalate
+    # across same-JVM runs: 12.7 -> 16.7 -> 28.3 at 32 partitions vs a
+    # 8.4 -> 10 creep at 64 — fewer, larger partitions concentrate GC load).
+    spark = get_spark("bench-kernel", cores=CPUS, shuffle_partitions=CPUS * 2)
     warm_python_workers(spark, CPUS)
     # Same methodology as bench_scaling / BENCH/BASELINE.md: shard state is
     # cross-round (prepared once), one untimed pass absorbs codegen/import
