@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -592,3 +593,103 @@ def serp_search_engine(queries: DataFrame, engine: str = "google", sources: str 
         .filter(F.col("rank") <= F.col("_limit"))
         .drop("_limit")
     )
+
+
+# --- engine resolution / graceful fallback (SearchService.ts:44-178) --------
+#
+# The reference resolves the *requested* engine name against env-driven
+# config before dispatch: unknown/unconfigured engines fall back to the
+# default, 'default'/empty map to the default, and when exactly ONE engine
+# is enabled it is forced regardless of the (valid) request. Two reference
+# quirks are reproduced faithfully because callers can observe them:
+# - the enabled-list membership test uses the RAW configured strings against
+#   the normalized request (SearchService.ts:167 `includes(normalizedEngine)`),
+#   so a capitalized entry like 'Google' never matches;
+# - single-engine forcing returns the configured string VERBATIM
+#   (SearchService.ts:161), and the valid configured default is returned raw
+#   by getDefaultEngine (SearchService.ts:49-54) while the multi-engine
+#   fallback lowercases it (SearchService.ts:171).
+
+KNOWN_SEARCH_ENGINES = ("google", "searxng", "ac-engine")
+
+
+@dataclass(frozen=True)
+class SearchEngineConfig:
+    """Env-driven engine config (ANYCRAWL_SEARCH_DEFAULT_ENGINE,
+    ANYCRAWL_SEARCH_ENABLED_ENGINES, ANYCRAWL_SEARXNG_URL,
+    ANYCRAWL_AC_ENGINE_URL — SearchService.ts:24-31)."""
+
+    default_engine: str | None = None
+    enabled_engines: tuple[str, ...] = ()
+    searxng_url: str | None = None
+    ac_engine_url: str | None = None
+
+
+def _is_valid_engine(name: str, cfg: SearchEngineConfig) -> bool:
+    """google always; searxng/ac-engine only with a URL (SearchService.ts:73-89)."""
+    n = name.lower()
+    if n == "google":
+        return True
+    if n == "searxng":
+        return bool(cfg.searxng_url)
+    if n == "ac-engine":
+        return bool(cfg.ac_engine_url)
+    return False
+
+
+def available_engines(cfg: SearchEngineConfig) -> list[str]:
+    """Enabled∩known (or all known), filtered by validity (SearchService.ts:95-101)."""
+    known = list(KNOWN_SEARCH_ENGINES)
+    cand = (
+        [e.lower() for e in cfg.enabled_engines if e.lower() in known]
+        if cfg.enabled_engines
+        else known
+    )
+    return [e for e in cand if _is_valid_engine(e, cfg)]
+
+
+def default_engine(cfg: SearchEngineConfig) -> str:
+    """Configured default if valid (returned RAW), else first available,
+    else 'google' (SearchService.ts:48-66)."""
+    requested = cfg.default_engine or "google"
+    if _is_valid_engine(requested, cfg):
+        return requested
+    avail = available_engines(cfg)
+    return avail[0] if avail else "google"
+
+
+def resolve_engine(requested: str | None, cfg: SearchEngineConfig) -> str:
+    """Python mirror of SearchService.resolveEngine (ts:108-178)."""
+    if not requested:
+        return default_engine(cfg)
+    norm = requested.lower().strip()
+    if not norm or norm == "default" or not _is_valid_engine(norm, cfg):
+        return default_engine(cfg)
+    if cfg.default_engine and cfg.enabled_engines:
+        if len(cfg.enabled_engines) == 1:
+            return cfg.enabled_engines[0]  # forced verbatim (ts:161)
+        if norm in cfg.enabled_engines:  # RAW-list membership (ts:167)
+            return norm
+        return cfg.default_engine.lower()  # lowercased here (ts:171)
+    return norm
+
+
+def resolve_engine_expr(col: F.Column, cfg: SearchEngineConfig) -> F.Column:
+    """Column-level resolver: the config branches are plan-time constants,
+    only normalization/validity/membership are per-row — pure JVM exprs."""
+    valid = [e for e in KNOWN_SEARCH_ENGINES if _is_valid_engine(e, cfg)]
+    dflt = default_engine(cfg)
+    norm = F.lower(F.trim(col))
+    to_default = (
+        col.isNull() | (norm == "") | (norm == "default") | ~norm.isin(valid)
+    )
+    if cfg.default_engine and cfg.enabled_engines:
+        if len(cfg.enabled_engines) == 1:
+            use = F.lit(cfg.enabled_engines[0])
+        else:
+            use = F.when(norm.isin(list(cfg.enabled_engines)), norm).otherwise(
+                F.lit(cfg.default_engine.lower())
+            )
+    else:
+        use = norm
+    return F.when(to_default, F.lit(dflt)).otherwise(use)

@@ -211,6 +211,56 @@ WHERE NOT ((o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
 """
 
 
+def q_engine_resolve(spark, sf_dir):
+    """SERP engine resolution / graceful fallback (SearchService.ts:44-178):
+    requested engine names resolved against two env configs — (a) multi-engine
+    with default, exercising normalization + invalid/unconfigured fallback;
+    (b) single-engine mode, exercising verbatim forcing and the raw-list
+    membership quirk. Column-expr resolver (operators/serp.py
+    resolve_engine_expr); the oracle is the hand-derived per-value mapping."""
+    from anycrawl_spark.operators.serp import SearchEngineConfig, resolve_engine_expr
+
+    cfg_a = SearchEngineConfig(
+        default_engine="searxng", enabled_engines=("google", "searxng"),
+        searxng_url="http://sx.local",
+    )
+    cfg_b = SearchEngineConfig(
+        default_engine="google", enabled_engines=("SearXNG",),
+        searxng_url="http://sx.local", ac_engine_url="http://ac.local",
+    )
+    vals = ["google", "SearXNG", " google ", "default", "", "bogus",
+            "ac-engine", "AC-ENGINE"]
+    k = F.col("o_orderkey") % 8
+    req = F.when(k == 0, vals[0])
+    for i in range(1, 8):
+        req = req.when(k == i, vals[i])
+    o = _t(spark, sf_dir, "orders").select(req.alias("requested"))
+    return (
+        o.withColumn("resolved_a", resolve_engine_expr(F.col("requested"), cfg_a))
+        .withColumn("resolved_b", resolve_engine_expr(F.col("requested"), cfg_b))
+        .groupBy("requested", "resolved_a", "resolved_b")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_ENGINE_RESOLVE = """
+WITH m AS (
+  SELECT CASE o_orderkey % 8
+           WHEN 0 THEN 'google' WHEN 1 THEN 'SearXNG' WHEN 2 THEN ' google '
+           WHEN 3 THEN 'default' WHEN 4 THEN '' WHEN 5 THEN 'bogus'
+           WHEN 6 THEN 'ac-engine' ELSE 'AC-ENGINE' END AS requested,
+         CASE o_orderkey % 8
+           WHEN 0 THEN 'google' WHEN 1 THEN 'searxng' WHEN 2 THEN 'google'
+           ELSE 'searxng' END AS resolved_a,
+         CASE o_orderkey % 8
+           WHEN 3 THEN 'google' WHEN 4 THEN 'google' WHEN 5 THEN 'google'
+           ELSE 'SearXNG' END AS resolved_b
+  FROM orders)
+SELECT requested, resolved_a, resolved_b, count(*) AS n
+FROM m GROUP BY 1, 2, 3
+"""
+
+
 def q_enrich_left_join(spark, sf_dir):
     """J2 SERP-enrichment shape: left join preserving left rows."""
     o = _t(spark, sf_dir, "orders")
@@ -1719,6 +1769,7 @@ QUERIES = {
     "q_anti_join_seen": q_anti_join_seen,
     "q_semi_join_seen": q_semi_join_seen,
     "q_cuckoo_dedup": q_cuckoo_dedup,
+    "q_engine_resolve": q_engine_resolve,
     "q_enrich_left_join": q_enrich_left_join,
     "q_broadcast_dim_join": q_broadcast_dim_join,
     "q_budget_topk": q_budget_topk,
@@ -1825,6 +1876,7 @@ ORACLES = {
     "q_anti_join_seen": SQL_ANTI_JOIN_SEEN,
     "q_semi_join_seen": SQL_SEMI_JOIN_SEEN,
     "q_cuckoo_dedup": SQL_CUCKOO_DEDUP,
+    "q_engine_resolve": SQL_ENGINE_RESOLVE,
     "q_enrich_left_join": SQL_ENRICH_LEFT_JOIN,
     "q_broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
     "q_budget_topk": SQL_BUDGET_TOPK,

@@ -342,3 +342,90 @@ def test_google_locale_resolution_table_parity():
     assert resolve_google_locale(None, None)[2:] == ("US", "www.google.com")
     # lang-country pair missing from regions -> falls to lang fallback
     assert resolve_google_locale("de", "JP")[2] == "AT"  # first de-* region
+
+
+# --- engine resolution / graceful fallback (SearchService.ts:44-178) --------
+
+
+def test_resolve_engine_reference_branches():
+    from anycrawl_spark.operators.serp import (
+        SearchEngineConfig, available_engines, default_engine, resolve_engine,
+    )
+
+    sx = "http://sx.local"
+    ac = "http://ac.local"
+    # no config at all: google is the only valid engine, everything falls back
+    bare = SearchEngineConfig()
+    assert available_engines(bare) == ["google"]
+    assert default_engine(bare) == "google"
+    for req in (None, "", "default", "bogus", "searxng", "ac-engine"):
+        assert resolve_engine(req, bare) == "google"
+    assert resolve_engine("GOOGLE", bare) == "google"  # normalized passthrough
+
+    # searxng valid only with a URL (ts:73-89)
+    cfg = SearchEngineConfig(searxng_url=sx)
+    assert resolve_engine("searxng", cfg) == "searxng"
+    assert resolve_engine("ac-engine", cfg) == "google"  # invalid -> default
+
+    # configured default returned RAW when valid (ts:49-54)
+    cfg = SearchEngineConfig(default_engine="SearXNG", searxng_url=sx)
+    assert default_engine(cfg) == "SearXNG"
+    assert resolve_engine("bogus", cfg) == "SearXNG"
+    # invalid configured default -> first available (ts:56-65)
+    cfg = SearchEngineConfig(default_engine="ac-engine", searxng_url=sx)
+    assert default_engine(cfg) == "google"
+
+    # single-engine mode forces the configured string VERBATIM for any VALID
+    # request (ts:156-163); invalid requests still go to the default
+    cfg = SearchEngineConfig(
+        default_engine="google", enabled_engines=("SearXNG",),
+        searxng_url=sx, ac_engine_url=ac,
+    )
+    assert resolve_engine("google", cfg) == "SearXNG"
+    assert resolve_engine("ac-engine", cfg) == "SearXNG"
+    assert resolve_engine("bogus", cfg) == "google"
+    assert resolve_engine("default", cfg) == "google"
+
+    # multi-engine: RAW-list membership quirk (ts:167 includes(normalized)) —
+    # a capitalized enabled entry never matches, so valid requests fall back
+    cfg = SearchEngineConfig(
+        default_engine="searxng", enabled_engines=("Google", "searxng"),
+        searxng_url=sx,
+    )
+    assert resolve_engine("google", cfg) == "searxng"
+    assert resolve_engine("searxng", cfg) == "searxng"
+    # ...and the multi-branch fallback lowercases the default (ts:171)
+    cfg = SearchEngineConfig(
+        default_engine="SearXNG", enabled_engines=("searxng", "ac-engine"),
+        searxng_url=sx, ac_engine_url=ac,
+    )
+    assert resolve_engine("google", cfg) == "searxng"  # lowercased here
+    assert resolve_engine("ac-engine", cfg) == "ac-engine"
+
+
+def test_resolve_engine_expr_matches_mirror(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.operators.serp import (
+        SearchEngineConfig, resolve_engine, resolve_engine_expr,
+    )
+
+    sx, ac = "http://sx.local", "http://ac.local"
+    configs = [
+        SearchEngineConfig(),
+        SearchEngineConfig(searxng_url=sx),
+        SearchEngineConfig(default_engine="searxng", enabled_engines=("google", "searxng"), searxng_url=sx),
+        SearchEngineConfig(default_engine="google", enabled_engines=("SearXNG",), searxng_url=sx, ac_engine_url=ac),
+        SearchEngineConfig(default_engine="SearXNG", enabled_engines=("Google", "searxng"), searxng_url=sx),
+    ]
+    vals = ["google", "GOOGLE", " google ", "searxng", "SearXNG", "ac-engine",
+            "AC-ENGINE", "default", "", "  ", "bogus", None]
+    df = spark.createDataFrame(pd.DataFrame({"requested": vals}))
+    for i, cfg in enumerate(configs):
+        got = {
+            r.requested: r.resolved
+            for r in df.withColumn("resolved", resolve_engine_expr(F.col("requested"), cfg)).collect()
+        }
+        for v in vals:
+            assert got[v] == resolve_engine(v, cfg), (i, v)
