@@ -211,6 +211,60 @@ WHERE NOT ((o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
 """
 
 
+def q_credit_calc(spark, sf_dir):
+    """X17, exact CreditCalculator semantics (credits.ts:39-103): per-request
+    scrape credits = 1 + stealth-proxy surcharge + JSON-extraction credits
+    (doubled for extract_source='html'), computed as pure column math
+    (functions/credits.py scrape_credits_expr) over a request table whose
+    proxy/formats/source fields are derived deterministically from orders.
+    q_credits keeps the generic cost-agg shape; this one pins the formulas."""
+    from anycrawl_spark.functions.credits import CreditEnv, scrape_credits_expr
+
+    env = CreditEnv(stealth_proxy_urls=("http://p1",), extract_json_credits=3)
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    proxy = (
+        F.when(k % 4 == 0, "base").when(k % 4 == 1, "stealth")
+        .when(k % 4 == 2, "auto").otherwise("http://custom:8080")
+    )
+    formats = (
+        F.when(k % 3 == 0, F.array(F.lit("json")))
+        .when(k % 3 == 1, F.array(F.lit("markdown"), F.lit("json")))
+        .otherwise(F.array(F.lit("markdown")))
+    )
+    src = F.when(k % 5 == 0, "html").when(k % 5 == 1, "markdown").otherwise(F.lit(None))
+    req = o.select(
+        proxy.alias("proxy"),
+        (k % 2 == 0).alias("has_json"),
+        formats.alias("formats"),
+        src.alias("src"),
+    )
+    return (
+        req.withColumn(
+            "credits",
+            scrape_credits_expr(
+                F.col("proxy"), F.col("has_json"), F.col("formats"), F.col("src"), env
+            ),
+        )
+        .groupBy("proxy", "credits")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_CREDIT_CALC = """
+WITH m AS (
+  SELECT CASE o_orderkey % 4 WHEN 0 THEN 'base' WHEN 1 THEN 'stealth'
+              WHEN 2 THEN 'auto' ELSE 'http://custom:8080' END AS proxy,
+         1
+         + CASE WHEN o_orderkey % 4 IN (1, 2) THEN 2 ELSE 0 END
+         + CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 3 IN (0, 1)
+                THEN CASE WHEN o_orderkey % 5 = 0 THEN 6 ELSE 3 END
+                ELSE 0 END AS credits
+  FROM orders)
+SELECT proxy, credits, count(*) AS n FROM m GROUP BY 1, 2
+"""
+
+
 def q_engine_resolve(spark, sf_dir):
     """SERP engine resolution / graceful fallback (SearchService.ts:44-178):
     requested engine names resolved against two env configs — (a) multi-engine
@@ -1770,6 +1824,7 @@ QUERIES = {
     "q_semi_join_seen": q_semi_join_seen,
     "q_cuckoo_dedup": q_cuckoo_dedup,
     "q_engine_resolve": q_engine_resolve,
+    "q_credit_calc": q_credit_calc,
     "q_enrich_left_join": q_enrich_left_join,
     "q_broadcast_dim_join": q_broadcast_dim_join,
     "q_budget_topk": q_budget_topk,
@@ -1877,6 +1932,7 @@ ORACLES = {
     "q_semi_join_seen": SQL_SEMI_JOIN_SEEN,
     "q_cuckoo_dedup": SQL_CUCKOO_DEDUP,
     "q_engine_resolve": SQL_ENGINE_RESOLVE,
+    "q_credit_calc": SQL_CREDIT_CALC,
     "q_enrich_left_join": SQL_ENRICH_LEFT_JOIN,
     "q_broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
     "q_budget_topk": SQL_BUDGET_TOPK,
