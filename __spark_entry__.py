@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes one
 callable per implemented operator (SURVEY.md §2 + the training-data ops);
-``oracle_sql()`` value-checks 51 of 52 — table queries against plain DuckDB
+``oracle_sql()`` value-checks 52 of 53 — table queries against plain DuckDB
 SQL over the shared views, fixture/crawl/media queries against
 mirror-generated VALUES oracles (anycrawl_spark/oracle_mirrors.py: the
 sequential ReferenceSimulator for the crawl loop, fixture-parameter

@@ -211,6 +211,42 @@ WHERE NOT ((o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
 """
 
 
+def q_ip_acl(spark, sf_dir):
+    """API-key IP allowlist (ipUtils.ts:60-134, AuthMiddleware.ts:57): a
+    request table's client IPs checked against an exact+CIDR whitelist —
+    plan-time-folded masked range compares (functions/ipacl.py
+    is_ip_allowed_expr), no UDF. Mix includes a non-IP string admitted by
+    the exact-match-before-parse quirk."""
+    from anycrawl_spark.functions.ipacl import is_ip_allowed_expr
+
+    wl = ["192.168.1.0/24", "192.168.2.7", "10.0.0.0/8", "bad-ip"]
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ip = F.when(k % 7 == 6, "bad-ip").otherwise(
+        F.concat(F.lit("192.168."), (k % 4).cast("string"), F.lit("."), (k % 255).cast("string"))
+    )
+    grp = F.when(k % 7 == 6, "invalid").otherwise((k % 4).cast("string"))
+    return (
+        o.select(ip.alias("ip"), grp.alias("grp"))
+        .withColumn("allowed", is_ip_allowed_expr(F.col("ip"), wl))
+        .groupBy("grp", "allowed")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_IP_ACL = """
+WITH m AS (
+  SELECT CASE WHEN o_orderkey % 7 = 6 THEN 'invalid'
+              ELSE CAST(o_orderkey % 4 AS VARCHAR) END AS grp,
+         CASE WHEN o_orderkey % 7 = 6 THEN TRUE                -- exact 'bad-ip'
+              WHEN o_orderkey % 4 = 1 THEN TRUE                -- 192.168.1.0/24
+              WHEN o_orderkey % 4 = 2 AND o_orderkey % 255 = 7 THEN TRUE
+              ELSE FALSE END AS allowed
+  FROM orders)
+SELECT grp, allowed, count(*) AS n FROM m GROUP BY 1, 2
+"""
+
+
 def q_credit_calc(spark, sf_dir):
     """X17, exact CreditCalculator semantics (credits.ts:39-103): per-request
     scrape credits = 1 + stealth-proxy surcharge + JSON-extraction credits
@@ -1825,6 +1861,7 @@ QUERIES = {
     "q_cuckoo_dedup": q_cuckoo_dedup,
     "q_engine_resolve": q_engine_resolve,
     "q_credit_calc": q_credit_calc,
+    "q_ip_acl": q_ip_acl,
     "q_enrich_left_join": q_enrich_left_join,
     "q_broadcast_dim_join": q_broadcast_dim_join,
     "q_budget_topk": q_budget_topk,
@@ -1933,6 +1970,7 @@ ORACLES = {
     "q_cuckoo_dedup": SQL_CUCKOO_DEDUP,
     "q_engine_resolve": SQL_ENGINE_RESOLVE,
     "q_credit_calc": SQL_CREDIT_CALC,
+    "q_ip_acl": SQL_IP_ACL,
     "q_enrich_left_join": SQL_ENRICH_LEFT_JOIN,
     "q_broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
     "q_budget_topk": SQL_BUDGET_TOPK,
