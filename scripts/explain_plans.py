@@ -127,6 +127,16 @@ def main() -> int:
           "probe is an Arrow-batched stage (16B/row out, 1B back)")
     sections.append(("q_cuckoo_dedup", p))
 
+    # 9. policy column-exprs (engine resolution, credit calc, IP ACL): all
+    #    three must be pure JVM math — zero python stages, one exchange (agg)
+    for qname in ("q_engine_resolve", "q_credit_calc", "q_ip_acl"):
+        p = plan_of(QUERIES[qname](spark, SF))
+        check(qname, "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+              "no python stage (policy folded to JVM column math)")
+        check(qname, len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1,
+              "single exchange (final aggregation only)")
+        sections.append((qname, p))
+
     spark.stop()
 
     lines = ["# PLANS.md — physical-plan audit (generated by scripts/explain_plans.py)", ""]
