@@ -24,6 +24,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _js_truthy(v: object) -> bool:
+    """JS truthiness for payload fields: None/False/0/'' are falsy; empty
+    containers ({} and []) are TRUTHY, unlike python."""
+    return not (v is None or v is False or v == 0 or v == "")
+
+
 @dataclass(frozen=True)
 class CreditEnv:
     """ANYCRAWL_PROXY_STEALTH_URL (csv), _STEALTH_CREDITS, _EXTRACT_JSON_CREDITS."""
@@ -97,18 +103,20 @@ def search_credits(
 ) -> int:
     """pages + completed-scrapes x per-scrape credits (credits.ts:127-139)."""
     page_credits = pages if pages is not None else 1
-    # JS truthiness: an EMPTY scrape_options object still counts as present
+    # JS truthiness: an EMPTY scrape_options object still counts as present,
+    # while false/0/'' do not (credits.ts:131)
     if (
-        scrape_options is None
+        not _js_truthy(scrape_options)
         or not completed_scrape_count
         or completed_scrape_count <= 0
     ):
         return page_credits
+    so = scrape_options if isinstance(scrape_options, dict) else {}
     per = scrape_credits(
-        scrape_options.get("proxy"),
-        scrape_options.get("json_options"),
-        scrape_options.get("formats"),
-        scrape_options.get("extract_source"),
+        so.get("proxy"),
+        so.get("json_options"),
+        so.get("formats"),
+        so.get("extract_source"),
         env,
     )
     return page_credits + completed_scrape_count * per
@@ -135,8 +143,8 @@ def estimate_task_credits(
             base = 1
         elif actual_type == "search":
             base = actual.get("pages") or 1
-            # JS truthiness: {} counts as present (credits.ts:186)
-            if actual.get("scrape_options") is not None:
+            # JS truthiness: {} counts as present, false/0/'' do not (ts:186)
+            if _js_truthy(actual.get("scrape_options")):
                 base += actual.get("limit") or 10
         elif actual_type == "crawl":
             base = (

@@ -108,7 +108,9 @@ def _octet(col: Column, i: int) -> Column:
     parseInt for the digit-prefixed cases), NULL when absent/out of range."""
     part = F.get(F.split(col, r"\."), i)
     digits = F.regexp_extract(part, r"^\s*\+?(\d+)", 1)
-    v = F.when(digits != "", digits.cast("long"))
+    # try_cast, not cast: under ANSI mode a plain cast THROWS on overflow-long
+    # digit runs (e.g. a 25-digit octet) instead of yielding invalid
+    v = F.when(digits != "", digits.try_cast("long"))
     return F.when((v >= 0) & (v <= 255), v)
 
 
@@ -143,4 +145,6 @@ def is_ip_allowed_expr(col: Column, whitelist: list[str] | None) -> Column:
             continue
         subnet = ((1 << 32) - 1) ^ ((1 << (32 - prefix)) - 1)
         cond = cond | (num.bitwiseAND(F.lit(subnet)) == F.lit(net_num & subnet))
-    return col.isNotNull() & F.coalesce(cond, F.lit(False))
+    # empty-string clients are denied BEFORE matching (ipUtils.ts:67 '!ip'),
+    # even when the whitelist literally contains '' — mirror that here
+    return col.isNotNull() & (col != "") & F.coalesce(cond, F.lit(False))

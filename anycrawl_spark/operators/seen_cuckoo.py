@@ -136,6 +136,10 @@ def _delete_one(tbl: np.ndarray, fp: int, i1: int, i2: int) -> bool:
 
 
 def _build_table(hashes: np.ndarray, nb: int | None = None) -> tuple[np.ndarray, int]:
+    # The filter is a SET: duplicate keys add nothing, and >8 copies of one
+    # key can never fit its 2 buckets x 4 slots — without this dedup the
+    # grow-and-retry loop below would double nb forever on such input.
+    hashes = np.unique(hashes)
     if nb is None:
         nb = _num_buckets_for(len(hashes))
     while True:
@@ -162,7 +166,7 @@ def _probe_table(tbl: np.ndarray, hashes: np.ndarray) -> np.ndarray:
 
 
 def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-    hashes = pdf["dedup_hash"].to_numpy()
+    hashes = np.unique(pdf["dedup_hash"].to_numpy())
     tbl, _ = _build_table(hashes)
     return pd.DataFrame(
         {
@@ -189,9 +193,11 @@ def _merge_kernel(ops: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
     (never a half-applied one); the caller rebuilds that bucket from the exact
     seen table at the next power of two (``rebuild_overflow_shards``).
     """
-    bucket = int(ops["bucket"].iloc[0]) if len(ops) else int(shard["bucket"].iloc[0])
+    # the cogroup's shard side is semi-joined to op buckets, so every group
+    # carries at least one op row — ops is never empty here
+    bucket = int(ops["bucket"].iloc[0])
     if shard.empty:
-        ins = ops.loc[ops["op"] > 0, "dedup_hash"].to_numpy()
+        ins = np.unique(ops.loc[ops["op"] > 0, "dedup_hash"].to_numpy())
         tbl, _ = _build_table(ins)
         return pd.DataFrame(
             {"bucket": [bucket], "n_keys": [len(ins)], "table": [tbl.tobytes()],
@@ -199,15 +205,12 @@ def _merge_kernel(ops: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
         )
     orig = shard["table"].iloc[0]
     n_keys = int(shard["n_keys"].iloc[0])
-    if len(ops) == 0:
-        return pd.DataFrame(
-            {"bucket": [bucket], "n_keys": [n_keys], "table": [orig],
-             "updated": [False], "overflow": [False]}
-        )
     tbl = np.frombuffer(orig, dtype=np.uint16).copy()
     nb = len(tbl) // SLOTS
-    dels = ops.loc[ops["op"] < 0, "dedup_hash"].to_numpy()
-    ins = ops.loc[ops["op"] > 0, "dedup_hash"].to_numpy()
+    # set semantics: one stored copy per key, one delete per key (duplicated
+    # rows in a round's batch must not insert multiple fingerprint copies)
+    dels = np.unique(ops.loc[ops["op"] < 0, "dedup_hash"].to_numpy())
+    ins = np.unique(ops.loc[ops["op"] > 0, "dedup_hash"].to_numpy())
     fps, i1s, i2s = _fp_i1_i2(dels, nb)
     for j in range(len(dels)):  # deletes first: they free slots for inserts
         if _delete_one(tbl, int(fps[j]), int(i1s[j]), int(i2s[j])):
@@ -268,7 +271,7 @@ def merge_cuckoo_shards(
 
 
 def _rebuild_shard(keys: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
-    hashes = keys["dedup_hash"].to_numpy()
+    hashes = np.unique(keys["dedup_hash"].to_numpy())
     nb_old = (len(shard["table"].iloc[0]) // 2 // SLOTS) if not shard.empty else None
     tbl, _ = _build_table(hashes, nb=nb_old * 2 if nb_old else None)
     bucket = int(keys["bucket"].iloc[0]) if len(keys) else int(shard["bucket"].iloc[0])
@@ -339,7 +342,13 @@ def filter_fresh_cuckoo(
     """Exact fresh-candidate set via cuckoo prefilter + exact anti-join
     recheck of positives — drop-in alternative to ``seen.filter_fresh``.
     ``seen`` must be the CURRENT exact key set (post-expiry), matching the
-    shard state the caller maintained with ``merge_cuckoo_shards``."""
+    shard state the caller maintained with ``merge_cuckoo_shards``.
+
+    Broadcast lifecycle: when neither ``shards_bc`` nor a caller-held
+    broadcast is supplied, ``probe_cuckoo`` allocates a NEW sc.broadcast
+    whose blobs live until session end — fine for one-shot queries; a
+    long-running crawl loop must hold/patch its own broadcast across rounds
+    and destroy predecessors (the ``ShardBroadcast`` pattern in seen.py)."""
     cand = with_dedup_key(candidates, num_buckets)
     if shards_bc is None and shards is None:
         shards = build_cuckoo_shards(with_dedup_key(seen, num_buckets))

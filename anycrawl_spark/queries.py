@@ -181,6 +181,7 @@ def q_cuckoo_dedup(spark, sf_dir):
     from anycrawl_spark.operators.seen import with_dedup_key
     from anycrawl_spark.operators.seen_cuckoo import (
         build_cuckoo_shards, filter_fresh_cuckoo, merge_cuckoo_shards,
+        rebuild_overflow_shards,
     )
 
     nb = 16
@@ -197,6 +198,10 @@ def q_cuckoo_dedup(spark, sf_dir):
         delete_keyed=with_dedup_key(expired, nb),
     )
     seen_now = seen0.join(expired, ["job_id", "url_hash"], "left_anti").unionByName(inserts)
+    # overflowed buckets (merge returns their ORIGINAL table + a flag) must be
+    # rebuilt from the post-round exact keys before probing, or that round's
+    # inserts would silently probe fresh — never skip this step
+    merged = rebuild_overflow_shards(merged, with_dedup_key(seen_now, nb))
     return filter_fresh_cuckoo(
         o, seen_now, nb, shards=merged.select("bucket", "n_keys", "table")
     )

@@ -117,3 +117,12 @@ def test_expr_matches_mirror(spark):
                 r.proxy, {"x": 1} if r.has_json else None, r.formats, r.src, env
             )
             assert r.credits == want, (r, env)
+
+
+def test_js_falsy_scrape_options():
+    """false/0/'' scrape_options are ABSENT (JS truthiness), never a crash."""
+    for falsy in (False, 0, ""):
+        assert search_credits(2, falsy, 5) == 2
+        assert estimate_task_credits("search", {"pages": 2, "scrape_options": falsy}) == 2
+    # non-dict truthy value: per-scrape fields all read as undefined -> base 1
+    assert search_credits(2, "yes", 5) == 2 + 5 * 1

@@ -77,3 +77,20 @@ def test_expr_matches_mirror(spark):
         }
         for ip in ips:
             assert got[ip] == is_ip_allowed(ip, wl), (ip, wl)
+
+
+def test_empty_ip_denied_even_with_empty_whitelist_entry(spark):
+    # reference denies '' BEFORE matching (ipUtils.ts:67), even if '' is
+    # whitelisted — both forms must agree
+    assert not is_ip_allowed("", [""])
+    df = spark.createDataFrame(pd.DataFrame({"ip": ["", "x"]}))
+    got = {r.ip: r.ok for r in df.withColumn("ok", is_ip_allowed_expr(F.col("ip"), ["", "x"])).collect()}
+    assert got == {"": False, "x": True}
+
+
+def test_expr_survives_ansi_overflow_octet(spark):
+    # 25-digit octet: plain cast throws under ANSI mode; must yield denied
+    ip = "1.2.3.9999999999999999999999999"
+    df = spark.createDataFrame(pd.DataFrame({"ip": [ip]}))
+    r = df.withColumn("ok", is_ip_allowed_expr(F.col("ip"), ["0.0.0.0/0"])).collect()[0]
+    assert r.ok is False and not is_ip_allowed(ip, ["0.0.0.0/0"])

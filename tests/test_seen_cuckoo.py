@@ -171,3 +171,42 @@ def test_broadcast_probe_path(spark):
     fresh = filter_fresh_cuckoo(cand, seen, nb, shards_bc=bc)
     assert fresh.count() == 100
     bc.destroy()
+
+
+def test_duplicate_keys_build_and_merge(spark):
+    """>8 copies of one key must not spin the grow loop (set semantics:
+    duplicates dedup to one stored fingerprint) — build, merge into an empty
+    shard, and merge into an existing shard all handle duplicated batches."""
+    from anycrawl_spark.operators.seen_cuckoo import _build_table
+
+    dup = np.array([42] * 20 + [7] * 3, dtype=np.int64)
+    tbl, nb = _build_table(dup)
+    assert _probe_table(tbl, np.array([42, 7], dtype=np.int64)).all()
+    assert nb <= 8  # sized for 2 unique keys, not 23 rows
+
+    rows = [("j", "http://h/dup")] * 12 + [("j", f"http://h/{i}") for i in range(50)]
+    keyed = with_dedup_key(_mk(spark, rows), 4)
+    merged = merge_cuckoo_shards(None, fresh_keyed=keyed)
+    assert merged.filter("overflow").count() == 0
+    probed = probe_cuckoo(keyed, merged.select("bucket", "n_keys", "table"))
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # second round: a NEW batch with intra-batch duplicates merges cleanly
+    rows2 = [("j", "http://h/dup2")] * 12 + [("j", f"http://h/x{i}") for i in range(20)]
+    keyed2 = with_dedup_key(_mk(spark, rows2), 4)
+    merged2 = merge_cuckoo_shards(
+        merged.select("bucket", "n_keys", "table"), fresh_keyed=keyed2
+    ).persist()
+    assert merged2.filter("overflow").count() == 0
+    probed2 = probe_cuckoo(keyed2, merged2.select("bucket", "n_keys", "table"))
+    assert probed2.filter(~F.col("maybe_seen")).count() == 0
+    # re-merging ALREADY-SEEN keys as 'fresh' (a caller contract violation)
+    # adds fingerprint copies; it must degrade via the overflow flag — never
+    # a crash or a silent loss — and rebuild-from-source restores the state
+    merged3 = merge_cuckoo_shards(
+        merged2.select("bucket", "n_keys", "table"), fresh_keyed=keyed
+    ).persist()
+    all_keyed = with_dedup_key(_mk(spark, rows + rows2), 4)
+    fixed = rebuild_overflow_shards(merged3, all_keyed)
+    probed3 = probe_cuckoo(all_keyed, fixed.select("bucket", "n_keys", "table"))
+    assert probed3.filter(~F.col("maybe_seen")).count() == 0
+    merged2.unpersist(); merged3.unpersist()
