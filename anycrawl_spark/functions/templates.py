@@ -317,6 +317,42 @@ def deep_merge_options_with_template(request_options: dict, template_options: di
 _JS_FLAGS = {"i": re.I, "m": re.M, "s": re.S, "g": 0, "u": 0}
 
 
+def _js_global_replace(tpl: str, needle: str, replacement: str) -> str:
+    """JS ``tpl.replace(new RegExp(escaped_needle, "g"), replacement)`` with
+    GetSubstitution $-pattern semantics (templateHandler.ts:506 — ADVICE r3):
+    inside ``replacement``, ``$$`` -> ``$``, ``$&`` -> the matched needle,
+    ``$`` + backtick -> the part of ``tpl`` BEFORE this occurrence, ``$'`` ->
+    the part AFTER it. The pattern here has zero capture groups and no named
+    groups, so ``$n`` / ``$<name>`` stay literal (ES GetSubstitution leaves
+    out-of-range group refs untouched, and ``$<`` is only active when the
+    regex declares named groups). Python re.sub treats \\ escapes instead, so
+    a plain re.sub diverges for subjects containing $ — legal in URLs."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        i = tpl.find(needle, pos)
+        if i < 0:
+            out.append(tpl[pos:])
+            return "".join(out)
+        out.append(tpl[pos:i])
+        before, after = tpl[:i], tpl[i + len(needle):]
+        j = 0
+        while j < len(replacement):
+            ch = replacement[j]
+            nxt = replacement[j + 1] if j + 1 < len(replacement) else ""
+            if ch == "$" and nxt == "$":
+                out.append("$"); j += 2
+            elif ch == "$" and nxt == "&":
+                out.append(needle); j += 2
+            elif ch == "$" and nxt == "`":
+                out.append(before); j += 2
+            elif ch == "$" and nxt == "'":
+                out.append(after); j += 2
+            else:
+                out.append(ch); j += 1
+        pos = i + len(needle)
+
+
 def apply_transform(value: str, transform, placeholder: str) -> str:
     """templateHandler.ts:459-523: optional regexExtract, then 'template'
     mode (replace ``{{url}}``/``{{query}}``) or 'append' mode
@@ -350,7 +386,7 @@ def apply_transform(value: str, transform, placeholder: str) -> str:
         tpl = transform.get("template")
         if not tpl:
             return subject
-        return re.sub(r"\{\{%s\}\}" % re.escape(placeholder), subject.replace("\\", "\\\\"), tpl)
+        return _js_global_replace(tpl, "{{%s}}" % placeholder, subject)
     if mode == "append":
         prefix = transform.get("prefix") or ""
         suffix = transform.get("suffix") or ""
@@ -370,8 +406,14 @@ _TEMPLATE_ALLOWED_FIELDS = {
 
 
 def validate_template_only_fields(request_keys, template_type: str) -> list[str]:
-    """templateValidator.ts:11-55 — returns the invalid keys (empty = ok)."""
-    allowed = _TEMPLATE_ALLOWED_FIELDS[template_type]
+    """templateValidator.ts:11-55 — returns the invalid keys (empty = ok).
+    An unknown template_type marks EVERY key invalid instead of raising
+    (ADVICE r3: a KeyError here crashed the whole mapInPandas stage for one
+    malformed row; the reference's runtime equivalent is a thrown TypeError
+    → per-request 500, i.e. row-scoped failure, never batch-scoped)."""
+    allowed = _TEMPLATE_ALLOWED_FIELDS.get(template_type)
+    if allowed is None:
+        return list(request_keys)
     return [k for k in request_keys if k not in allowed]
 
 

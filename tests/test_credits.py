@@ -50,6 +50,9 @@ def test_json_extraction_credits():
     assert json_extraction_credits(schema, ["markdown"], None, JSON3) == 0
     assert json_extraction_credits(None, ["json"], None, JSON3) == 0
     assert json_extraction_credits(schema, ["json"], "html", CreditEnv()) == 0
+    # JS Boolean({}) is true (credits.ts:82): an EMPTY json_options object
+    # still charges — python bool({}) would skip it (ADVICE r3)
+    assert json_extraction_credits({}, ["json"], None, JSON3) == 3
 
 
 def test_scrape_crawl_totals():
