@@ -186,7 +186,9 @@ def validate_variables(definitions, provided, request_data=None) -> list[str]:
         if expected in ("string", "number", "boolean"):
             if not _js_typeof_ok(value, expected):
                 actual = _js_typeof(value)
-                errors.append(f"Variable '{name}' must be a {expected}, got {actual}")
+                # templateHandler.ts:689 says "finite number", not "number"
+                label = "finite number" if expected == "number" else expected
+                errors.append(f"Variable '{name}' must be a {label}, got {actual}")
         elif expected == "url":
             if not isinstance(value, str):
                 errors.append(

@@ -275,9 +275,26 @@ def deduplicate_array(arr: list) -> list:
     return out
 
 
+def _js_spread_pair(cur, new):
+    """JS ``{...cur, ...new}`` where either side may be an array: JS typeof
+    treats arrays as objects, so LLMExtract.ts:229-231 reaches the object
+    branch for mixed list/dict pairs and array spread yields index-keyed
+    string entries ({...['a'], ...{x: 1}} === {'0': 'a', x: 1})."""
+    out: dict = {}
+    for side in (cur, new):
+        if isinstance(side, list):
+            out.update({str(i): item for i, item in enumerate(side)})
+        else:
+            out.update(side)
+    return out
+
+
 def merge_results(results: list) -> object:
     """Chunk-result merge (LLMExtract.ts:214-246): arrays dedup-concat,
-    objects shallow-merge, primitives keep the first JS-truthy value."""
+    objects shallow-merge, primitives keep the first JS-truthy value.
+    Mixed array/object pairs take the JS spread path (see _js_spread_pair);
+    unreachable with the deterministic mock generator (types are
+    schema-consistent per path) but a real generateObject can mix types."""
     results = [r for r in results if r is not None]
     if not results:
         return None
@@ -295,8 +312,8 @@ def merge_results(results: list) -> object:
                 merged[k] = v
             elif isinstance(cur, list) and isinstance(v, list):
                 merged[k] = deduplicate_array(cur + v)
-            elif isinstance(cur, dict) and isinstance(v, dict):
-                merged[k] = {**cur, **v}
+            elif isinstance(cur, (dict, list)) and isinstance(v, (dict, list)):
+                merged[k] = _js_spread_pair(cur, v)
             # JS's final branch (replace when null/undefined/'') is subsumed
             # by the falsy branch above — a truthy primitive always wins
     return merged

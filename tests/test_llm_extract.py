@@ -179,6 +179,16 @@ def test_merge_objects_shallow_merge_last_wins():
     assert out == {"o": {"a": 1, "b": 9, "c": 3}}
 
 
+def test_merge_mixed_array_object_takes_js_spread_path():
+    # JS typeof [] === 'object', so LLMExtract.ts:229 spreads the array into
+    # the object with index-string keys: {...['a','b'], ...{x: 1}}
+    out = merge_results([{"k": ["a", "b"]}, {"k": {"x": 1}}])
+    assert out == {"k": {"0": "a", "1": "b", "x": 1}}
+    # reversed: object first, array spread last — index keys win on collision
+    out = merge_results([{"k": {"0": "z", "x": 1}}, {"k": ["a"]}])
+    assert out == {"k": {"0": "a", "x": 1}}
+
+
 def test_dedup_array_json_keyed_for_dicts():
     arr = [{"a": 1}, {"a": 1}, {"a": 2}, "x", "x"]
     assert deduplicate_array(arr) == [{"a": 1}, {"a": 2}, "x"]

@@ -135,7 +135,8 @@ def test_validate_variables_happy_and_errors():
     errs = validate_variables(DEFS, {"n": "not-a-number", "mode": "nope",
                                      "link": "no-scheme", "bogus": 1})
     assert "Required variable 'q' is missing" in errs
-    assert "Variable 'n' must be a number, got string" in errs
+    # templateHandler.ts:689 — "finite number", not "number" (ADVICE r3)
+    assert "Variable 'n' must be a finite number, got string" in errs
     assert "Unknown variable 'bogus' not defined in template" in errs
     assert any("must be one of" in e for e in errs)
     assert "Variable 'link' must be a valid URL" in errs
