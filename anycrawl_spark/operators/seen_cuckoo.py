@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from anycrawl_spark.operators.seen import DEFAULT_BUCKETS, with_dedup_key
+from anycrawl_spark.operators.seen import (
+    BROADCAST_SHARDS_MAX_BYTES,
+    DEFAULT_BUCKETS,
+    with_dedup_key,
+)
 
 SLOTS = 4                 # slots per cuckoo bucket (Fan et al. §5: 4 is the sweet spot)
 TARGET_LOAD = 0.84        # max occupancy before insert failures spike (4-way figure)
@@ -309,7 +313,15 @@ def broadcast_cuckoo_shards(shards: DataFrame):
     )
 
 
-def probe_cuckoo(cand: DataFrame, shards: DataFrame | None, bc=None) -> DataFrame:
+# Table bytes per key at build time: 2 B/slot / TARGET_LOAD occupancy x
+# HEADROOM growth room x <=2 power-of-two rounding. Used only to DECIDE
+# broadcast-vs-cogroup, so it deliberately takes the rounding worst case —
+# overestimating flips to cogroup early (safe); underestimating broadcasts
+# a table that may not fit.
+CUCKOO_EST_BYTES_PER_KEY = 2.0 / TARGET_LOAD * HEADROOM * 2.0
+
+
+def _broadcast_probe_cuckoo(cand: DataFrame, shards: DataFrame | None, bc=None) -> DataFrame:
     """Attach ``maybe_seen`` via broadcast shards + scalar pandas UDF — the
     same 16-bytes-out / 1-byte-back Arrow shape as the bloom probe."""
     if bc is None:
@@ -332,15 +344,82 @@ def probe_cuckoo(cand: DataFrame, shards: DataFrame | None, bc=None) -> DataFram
     return cand.withColumn("maybe_seen", probe(F.col("bucket"), F.col("dedup_hash")))
 
 
+def _probe_cogroup_kernel(keys: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+    """One bucket's candidate KEYS + its (single) cuckoo table. Same two
+    bandwidth rules as the bloom cogroup kernel (seen.py:_probe_cogroup):
+    the table blob crosses the wire once per bucket, and only the 8-byte
+    dedup_hash keys round-trip through Arrow."""
+    if len(keys) == 0:
+        return pd.DataFrame({"dedup_hash": [], "maybe_seen": []}).astype(
+            {"dedup_hash": "int64", "maybe_seen": "bool"}
+        )
+    hs = keys["dedup_hash"].to_numpy()
+    if shard.empty:
+        hit = np.zeros(len(hs), dtype=bool)  # bucket never saw anything
+    else:
+        hit = _probe_table(np.frombuffer(shard["table"].iloc[0], dtype=np.uint16), hs)
+    return pd.DataFrame({"dedup_hash": hs, "maybe_seen": hit})
+
+
+def _cogroup_probe_cuckoo(cand: DataFrame, shards: DataFrame) -> DataFrame:
+    """Co-partitioned scale path: shard blobs travel once per bucket through
+    the shuffle, never collected to the driver or broadcast. This is the
+    path past BROADCAST_SHARDS_MAX_BYTES — at 10^10 keys the table set is
+    ~36 GB (CUCKOO_EST_BYTES_PER_KEY), structurally un-broadcastable
+    (VERDICT r3 #3)."""
+    verdicts = (
+        cand.select("bucket", "dedup_hash")
+        .distinct()
+        .groupBy("bucket")
+        .cogroup(shards.groupBy("bucket"))
+        .applyInPandas(
+            lambda k, s: _probe_cogroup_kernel(k, s),
+            schema="dedup_hash long, maybe_seen boolean",
+        )
+    )
+    return cand.join(verdicts, "dedup_hash")
+
+
+def probe_cuckoo(
+    cand: DataFrame,
+    shards: DataFrame | None,
+    bc=None,
+    strategy: str = "auto",
+    seen_count: int | None = None,
+) -> DataFrame:
+    """Attach ``maybe_seen``; ``strategy``: 'broadcast' | 'cogroup' | 'auto'
+    (mirrors seen.filter_fresh — broadcast while the estimated table bytes
+    fit under BROADCAST_SHARDS_MAX_BYTES, else cogroup). ``seen_count`` feeds
+    the auto estimate without an O(|seen|) count; a live ``bc`` forces the
+    broadcast path (the caller already paid the collect)."""
+    if bc is not None:
+        return _broadcast_probe_cuckoo(cand, shards, bc=bc)
+    if strategy == "auto":
+        if seen_count is not None:
+            est_bytes = int(seen_count * CUCKOO_EST_BYTES_PER_KEY)
+        else:
+            # O(num_buckets) rows — the shard relation is one row per bucket
+            row = shards.agg(F.sum(F.length("table")).alias("b")).collect()[0]
+            est_bytes = int(row["b"] or 0)
+        strategy = "broadcast" if est_bytes <= BROADCAST_SHARDS_MAX_BYTES else "cogroup"
+    if strategy == "broadcast":
+        return _broadcast_probe_cuckoo(cand, shards, bc=bc)
+    return _cogroup_probe_cuckoo(cand, shards)
+
+
 def filter_fresh_cuckoo(
     candidates: DataFrame,
     seen: DataFrame,
     num_buckets: int = DEFAULT_BUCKETS,
     shards: DataFrame | None = None,
     shards_bc=None,
+    strategy: str = "auto",
+    seen_count: int | None = None,
 ) -> DataFrame:
     """Exact fresh-candidate set via cuckoo prefilter + exact anti-join
-    recheck of positives — drop-in alternative to ``seen.filter_fresh``.
+    recheck of positives — drop-in alternative to ``seen.filter_fresh``,
+    including its broadcast/cogroup/auto ``strategy`` switch (pass
+    ``seen_count`` so auto never fires an O(|seen|) count action).
     ``seen`` must be the CURRENT exact key set (post-expiry), matching the
     shard state the caller maintained with ``merge_cuckoo_shards``.
 
@@ -352,7 +431,7 @@ def filter_fresh_cuckoo(
     cand = with_dedup_key(candidates, num_buckets)
     if shards_bc is None and shards is None:
         shards = build_cuckoo_shards(with_dedup_key(seen, num_buckets))
-    probed = probe_cuckoo(cand, shards, bc=shards_bc)
+    probed = probe_cuckoo(cand, shards, bc=shards_bc, strategy=strategy, seen_count=seen_count)
     fresh = probed.filter(~F.col("maybe_seen"))
     maybe = probed.filter(F.col("maybe_seen")).join(
         seen.select("job_id", "url_hash"), ["job_id", "url_hash"], "left_anti"

@@ -118,8 +118,8 @@ def phase_crawl() -> dict:
 
 def phase_kernel() -> dict:
     from anycrawl_spark.bench_workloads import (
-        frontier_kernel, politeness_skew_bench, prepare_shards,
-        shard_maintenance_bench, warm_python_workers,
+        cuckoo_probe_bench, frontier_kernel, politeness_skew_bench,
+        prepare_shards, shard_maintenance_bench, warm_python_workers,
     )
     from anycrawl_spark.session import get_spark
 
@@ -142,9 +142,10 @@ def phase_kernel() -> dict:
     frontier["all_walls"] = [r["wall_sec"] for r in runs]
     shards = shard_maintenance_bench(spark)
     skew = politeness_skew_bench(spark)
+    cuckoo = cuckoo_probe_bench(spark)
     spark.stop()
     return {"frontier": frontier, "shard_maintenance": shards,
-            "politeness_skew": skew}
+            "politeness_skew": skew, "cuckoo_probe": cuckoo}
 
 
 def phase_soak() -> dict:
@@ -234,6 +235,7 @@ def bench_default() -> dict:
         "soak": s["soak"],
         "shard_maintenance": k["shard_maintenance"],
         "politeness_skew": k["politeness_skew"],
+        "cuckoo_probe": k["cuckoo_probe"],
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/last_run_detail.json", "w") as f:
