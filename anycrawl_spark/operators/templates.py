@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from anycrawl_spark.functions.capture import capture_responses, captures_to_json
 from anycrawl_spark.functions.templates import (
     apply_transform,
     apply_variable_defaults,
@@ -69,11 +70,12 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("variables_json", T.StringType()),
         T.StructField("options_json", T.StringType()),
         T.StructField("credits", T.DoubleType()),
+        T.StructField("captures_json", T.StringType()),
     ]
 )
 
 
-def process_request(request: dict, template: dict | None) -> dict:
+def process_request(request: dict, template: dict | None, responses=None) -> dict:
     """One request through the template pipeline (sequential kernel — the
     pandas UDF maps this over Arrow batches; also the unit tests' surface).
 
@@ -82,14 +84,19 @@ def process_request(request: dict, template: dict | None) -> dict:
     keys, for template-only validation. ``template``: the joined dim row as a
     dict (None = unknown template_id) with {template_id, template_type,
     status, review_status, created_by, req_options, variables (defs),
-    url_transform, query_transform, pricing}.
+    url_transform, query_transform, pricing, custom_handlers}.
+    ``responses``: the request's ordered network-response log — when the
+    template declares ``customHandlers.preNav`` capture rules, the preNav
+    matcher (functions/capture.py, EngineConfigurator.ts:277-473) runs over
+    it and the payloads land in ``captures_json``. Failed requests never
+    reach navigation, so their captures stay NULL.
     """
     ttype = request["template_type"]
 
     def fail(msg: str) -> dict:
         return {"ok": False, "error": msg, "engine": None, "url": None,
                 "original_url": None, "query": None, "variables_json": None,
-                "options_json": None, "credits": 0.0}
+                "options_json": None, "credits": 0.0, "captures_json": None}
 
     # 1. template-only fields (templateValidator.ts:11-55)
     base_keys = ["template_id"] + (["query"] if ttype == "search" else ["url"])
@@ -174,6 +181,11 @@ def process_request(request: dict, template: dict | None) -> dict:
     # 8. per-call pricing (templateHandler.ts:446-455)
     credits = resolve_price(template.get("pricing"))
 
+    # 9. preNav response captures (EngineConfigurator.ts:277-473) — the hook
+    # attaches only once the merged request navigates, i.e. on success
+    prenav = (template.get("custom_handlers") or {}).get("preNav")
+    captures = capture_responses(prenav, responses) if prenav else []
+
     options = {
         k: v
         for k, v in merged.items()
@@ -191,6 +203,7 @@ def process_request(request: dict, template: dict | None) -> dict:
         else None,
         "options_json": json.dumps(options, sort_keys=True, separators=(",", ":")),
         "credits": credits,
+        "captures_json": captures_to_json(captures),
     }
 
 
@@ -198,7 +211,9 @@ def process_template_requests(requests: DataFrame, templates: DataFrame) -> Data
     """requests x broadcast(templates) -> one result row per request.
 
     ``requests``: request_id, template_id, template_type, url, query,
-    variables_json, extra_fields (array<string>), user_id.
+    variables_json, extra_fields (array<string>), user_id, and optionally
+    responses_json (the request's ordered response log, for preNav capture
+    rules — see ``process_request``).
     ``templates``: template_id, template_type, status, review_status,
     created_by, config_json (reqOptions/variables/transforms/pricing as one
     JSON document — the dim row mirrors the reference's JSONB template
@@ -209,13 +224,15 @@ def process_template_requests(requests: DataFrame, templates: DataFrame) -> Data
         F.col("template_type").alias("ttype"),
         "status", "review_status", "created_by", "config_json",
     )
+    if "responses_json" not in requests.columns:
+        requests = requests.withColumn("responses_json", F.lit(None).cast("string"))
     joined = requests.join(
         F.broadcast(t), requests["template_id"] == t["tid"], "left"
     )
 
     cols = [
         "request_id", "template_type", "url", "query", "variables_json",
-        "extra_fields", "user_id", "tid", "ttype", "status",
+        "extra_fields", "user_id", "responses_json", "tid", "ttype", "status",
         "review_status", "created_by", "config_json",
     ]
 
@@ -250,8 +267,10 @@ def process_template_requests(requests: DataFrame, templates: DataFrame) -> Data
                     "query_transform": cfg.get("queryTransform"),
                     "pricing": cfg.get("pricing"),
                     "metadata": cfg.get("metadata"),
+                    "custom_handlers": cfg.get("customHandlers"),
                 }
-            res = process_request(request, template)
+            responses = json.loads(r.responses_json) if r.responses_json else None
+            res = process_request(request, template, responses)
             rows.append({"request_id": r.request_id, **res})
         return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
@@ -270,7 +289,10 @@ def contract_fixture() -> tuple[list[tuple], list[tuple]]:
     access/type/field/required/enum failures, and the self-hosted
     (no user) access rule. The oracle side is HAND-enumerated
     (oracle_mirrors.sql_template_render) — expected outputs were derived
-    from the reference semantics, not from this code."""
+    from the reference semantics, not from this code. r4 adds preNav
+    capture-rule coverage (tpl-c / r17 / r18): glob + regex + exact rules,
+    first-match-per-key ordering, the empty-body pending rule, header
+    lowercasing and the set-cookie list/fallback quirk."""
     templates = [
         ("tpl-s", "scrape", "published", "approved", "u1", json.dumps({
             "reqOptions": {"engine": "cheerio", "formats": ["markdown"]},
@@ -307,6 +329,16 @@ def contract_fixture() -> tuple[list[tuple], list[tuple]]:
             "metadata": {"allowedKeywords": {"type": "glob",
                                              "patterns": ["spark*"]}},
         })),
+        ("tpl-c", "scrape", "published", "approved", "u1", json.dumps({
+            "reqOptions": {"engine": "playwright"},
+            "customHandlers": {"preNav": [
+                {"key": "api", "rules": [
+                    {"type": "glob", "pattern": "https://api.ex.com/**/*.json"}]},
+                {"key": "auth", "rules": [
+                    {"type": "regex", "pattern": r"https://ex\.com/auth/\d+"},
+                    {"type": "exact", "pattern": "https://ex.com/login"}]},
+            ]},
+        })),
     ]
     requests = [
         ("r01", "tpl-s", "scrape", "https://ex.com/p/{{id}}?l={{lang|query}}",
@@ -330,5 +362,29 @@ def contract_fixture() -> tuple[list[tuple], list[tuple]]:
         ("r14", "tpl-d", "scrape", "https://evil.com/x", None, None, [], "u1"),
         ("r15", "tpl-k", "search", None, "sparkling water", None, [], "u1"),
         ("r16", "tpl-k", "search", None, "hadoop tips", None, [], "u1"),
+    ]
+    # 9th column: responses_json (preNav capture input; None elsewhere)
+    requests = [r + (None,) for r in requests]
+    responses_r17 = json.dumps([
+        # matches the 'auth' exact rule but has no body -> key stays pending
+        {"url": "https://ex.com/login", "body": "", "headers": {}},
+        # 'api' glob match; multi-value set-cookie list kept raw
+        {"url": "https://api.ex.com/v1/data.json", "body": "{\"d\":1}",
+         "status": 200, "method": "GET",
+         "headers": {"Content-Type": "application/json",
+                     "set-cookie": ["sid=1; Path=/", "t=2"]}},
+        # 'auth' regex match on the retry; only the FIRST X-Token survives
+        {"url": "https://ex.com/auth/42", "body": "tok", "status": 201,
+         "headers": {"X-Token": ["abc", "def"]}},
+        # both keys done by now -> never reached (listener detached)
+        {"url": "https://api.ex.com/v2/other.json", "body": "x"},
+    ])
+    requests += [
+        ("r17", "tpl-c", "scrape", "https://ex.com/page", None, None, [],
+         "u1", responses_r17),
+        # template without preNav rules: responses present, captures stay []
+        ("r18", "tpl-s", "scrape", "https://ex.com/p/{{id}}", None,
+         json.dumps({"id": "9"}), [], "u1",
+         json.dumps([{"url": "https://ex.com/x", "body": "y"}])),
     ]
     return templates, requests

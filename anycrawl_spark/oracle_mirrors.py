@@ -342,6 +342,7 @@ _TEMPLATE_RENDER_COLUMNS: list[tuple[str, str]] = [
     ("engine", "VARCHAR"), ("url", "VARCHAR"), ("original_url", "VARCHAR"),
     ("query", "VARCHAR"), ("variables_json", "VARCHAR"),
     ("options_json", "VARCHAR"), ("credits", "DOUBLE"),
+    ("captures_json", "VARCHAR"),
 ]
 
 # Expected outputs for operators.templates.contract_fixture(), derived BY
@@ -363,12 +364,12 @@ _TEMPLATE_RENDER_EXPECTED: list[dict] = [
      "url": "https://ex.com/p/42?l=en", "original_url": None, "query": None,
      "variables_json": '{"id":"42","lang":"en"}',
      "options_json": '{"engine":"cheerio","formats":["markdown"],"options":{"locale":"en"}}',
-     "credits": 2.0},
+     "credits": 2.0, "captures_json": "[]"},
     {"request_id": "r02", "ok": True, "error": None, "engine": "cheerio",
      "url": "https://ex.com/a%20b/c", "original_url": None, "query": None,
      "variables_json": '{"id":"a b/c","lang":"en"}',
      "options_json": '{"engine":"cheerio","formats":["markdown"],"options":{"locale":"en"}}',
-     "credits": 2.0},
+     "credits": 2.0, "captures_json": "[]"},
     {"request_id": "r03", "ok": False, "error": "Template not found",
      "engine": None, "url": None, "original_url": None, "query": None,
      "variables_json": None, "options_json": None, "credits": 0.0},
@@ -393,11 +394,12 @@ _TEMPLATE_RENDER_EXPECTED: list[dict] = [
      "url": None, "original_url": None,
      "query": "site:docs.example.com spark news",
      "variables_json": '{"q":"spark"}',
-     "options_json": '{"engine":"google","limit":10}', "credits": 0.0},
+     "options_json": '{"engine":"google","limit":10}', "credits": 0.0,
+     "captures_json": "[]"},
     {"request_id": "r09", "ok": True, "error": None, "engine": None,
      "url": "https://render.svc/X.com/a b", "original_url": "http://X.com/a b",
      "query": None, "variables_json": None, "options_json": "{}",
-     "credits": 0.0},
+     "credits": 0.0, "captures_json": "[]"},
     {"request_id": "r10", "ok": False,
      "error": 'Template variable validation failed: Variable \'mode\' must '
               'be one of ["fast", "slow"], got "turbo"',
@@ -406,15 +408,18 @@ _TEMPLATE_RENDER_EXPECTED: list[dict] = [
     {"request_id": "r11", "ok": True, "error": None, "engine": "playwright",
      "url": "https://e.com/?m=fast&n=5", "original_url": None, "query": None,
      "variables_json": '{"mode":"fast","n":5}',
-     "options_json": '{"engine":"playwright"}', "credits": 0.0},
+     "options_json": '{"engine":"playwright"}', "credits": 0.0,
+     "captures_json": "[]"},
     {"request_id": "r12", "ok": True, "error": None, "engine": None,
      "url": "https://ex.com/x", "original_url": None, "query": None,
-     "variables_json": None, "options_json": "{}", "credits": 0.0},
+     "variables_json": None, "options_json": "{}", "credits": 0.0,
+     "captures_json": "[]"},
     # r13/r14: glob allowedDomains (domainValidator.ts candidates incl. bare
     # hostname); r15/r16: search allowedKeywords via validatePattern.
     {"request_id": "r13", "ok": True, "error": None, "engine": None,
      "url": "https://api.example.com/x", "original_url": None, "query": None,
-     "variables_json": None, "options_json": "{}", "credits": 0.0},
+     "variables_json": None, "options_json": "{}", "credits": 0.0,
+     "captures_json": "[]"},
     {"request_id": "r14", "ok": False,
      "error": "URL 'https://evil.com/x' is not allowed for this template. "
               "Allowed patterns: *.example.com, example.com",
@@ -423,12 +428,42 @@ _TEMPLATE_RENDER_EXPECTED: list[dict] = [
     {"request_id": "r15", "ok": True, "error": None, "engine": "google",
      "url": None, "original_url": None, "query": "sparkling water",
      "variables_json": None, "options_json": '{"engine":"google"}',
-     "credits": 0.0},
+     "credits": 0.0, "captures_json": "[]"},
     {"request_id": "r16", "ok": False,
      "error": "Search query 'hadoop tips' is not allowed for this template. "
               "Allowed patterns: spark*",
      "engine": None, "url": None, "original_url": None, "query": None,
      "variables_json": None, "options_json": None, "credits": 0.0},
+    # r17: preNav captures, derived by hand from EngineConfigurator.ts:
+    #   seq0 (login) matches 'auth' exact but body is empty and there is no
+    #     content-length -> skipped, key stays pending (ts:388-394);
+    #   seq1 (v1/data.json) matches the 'api' glob (** spans v1); headers
+    #     lowercase with list-first ("set-cookie" -> first element), raw
+    #     set-cookie list survives in setCookieRaw (ts:411-414);
+    #   seq2 (auth/42) matches the 'auth' regex ^(?:...)$; no method given
+    #     -> null; no set-cookie -> [];
+    #   seq3 never evaluated (all keys done -> listener detached, ts:452).
+    # Payload JSON is canonical (sorted keys, no whitespace).
+    {"request_id": "r17", "ok": True, "error": None, "engine": "playwright",
+     "url": "https://ex.com/page", "original_url": None, "query": None,
+     "variables_json": None, "options_json": '{"engine":"playwright"}',
+     "credits": 0.0,
+     "captures_json":
+         '[{"body":"{\\"d\\":1}","cookiesRaw":[],'
+         '"headers":{"content-type":"application/json",'
+         '"set-cookie":"sid=1; Path=/"},"key":"api","matched_seq":1,'
+         '"method":"GET","setCookieRaw":["sid=1; Path=/","t=2"],'
+         '"status":200,"url":"https://api.ex.com/v1/data.json"},'
+         '{"body":"tok","cookiesRaw":[],"headers":{"x-token":"abc"},'
+         '"key":"auth","matched_seq":2,"method":null,"setCookieRaw":[],'
+         '"status":201,"url":"https://ex.com/auth/42"}]'},
+    # r18: responses present but the template declares no preNav rules ->
+    # captures stay the empty list; otherwise an ordinary tpl-s render.
+    {"request_id": "r18", "ok": True, "error": None, "engine": "cheerio",
+     "url": "https://ex.com/p/9", "original_url": None, "query": None,
+     "variables_json": '{"id":"9","lang":"en"}',
+     "options_json": '{"engine":"cheerio","formats":["markdown"],"options":{"locale":"en"}}',
+     "credits": 2.0, "captures_json": "[]"},
 ]
 
 

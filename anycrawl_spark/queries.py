@@ -1289,7 +1289,7 @@ def q_template_render(spark, sf_dir):
         request_rows,
         "request_id string, template_id string, template_type string, "
         "url string, query string, variables_json string, "
-        "extra_fields array<string>, user_id string",
+        "extra_fields array<string>, user_id string, responses_json string",
     )
     return process_template_requests(requests, templates)
 

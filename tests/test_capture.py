@@ -1,0 +1,265 @@
+"""preNav capture rules (SURVEY §2.10; EngineConfigurator.ts:277-473).
+
+MINIMATCH_GOLDENS were generated against the real public minimatch library
+(v9.0.5, the copy bundled with npm on this machine; the reference pins
+^10.0.3 whose glob semantics are identical) with ``minimatch(s, pattern,
+{dot: true})`` — exactly the call the reference's preNavHook makes. A
+4000-case random fuzz against the same library also passed at generation
+time; these 79 pin the interesting edges permanently.
+"""
+
+import json
+
+import pytest
+
+from anycrawl_spark.functions.capture import (
+    brace_expand,
+    capture_responses,
+    captures_to_json,
+    glob_match,
+    match_capture_url,
+    parse_prenav_configs,
+)
+
+MINIMATCH_GOLDENS = [
+    ('https://api.x.com/graphql/abc/UserTweets', 'https://api.x.com/graphql/*/UserTweets', True),
+    ('https://api.x.com/graphql/abc/UserTweets?v=1', 'https://api.x.com/graphql/*/UserTweets*', True),
+    ('https://api.x.com/graphql/a/b/UserTweets', 'https://api.x.com/graphql/*/UserTweets', False),
+    ('https://api.x.com/graphql/a/b/UserTweets', 'https://api.x.com/graphql/**/UserTweets', True),
+    ('https://api.x.com/1.1/jot/client_event.json', '**/client_event.json', True),
+    ('https://example.com/a/b/c', 'https://example.com/**', True),
+    ('https://example.com', 'https://example.com/**', False),
+    ('https://example.com/', 'https://example.com/**', True),
+    ('https://example.com/a', '**', True),
+    ('', '**', True),
+    ('https://example.com/a.b/c', 'https://example.com/*/c', True),
+    ('https://example.com/.hidden/c', 'https://example.com/*/c', True),
+    ('abc', 'a?c', True),
+    ('a/c', 'a?c', False),
+    ('abc', 'a*', True),
+    ('abc', '*b*', True),
+    ('a/b', 'a*b', False),
+    ('a**b/c', 'a**b/c', True),
+    ('axyb/c', 'a**b/c', True),
+    ('a/x/b', 'a/**/b', True),
+    ('a/b', 'a/**/b', True),
+    ('a', 'a/**', False),
+    ('a/', 'a/**', True),
+    ('a/b/', 'a/*', True),
+    ('a/b/', 'a/b/', True),
+    ('a/b', 'a/b/', False),
+    ('a', 'a/**/**', False),
+    ('a/b', 'a/**/**', True),
+    ('a/b/c/d', 'a/**/**/d', True),
+    ('page2', 'page[0-9]', True),
+    ('pagex', 'page[0-9]', False),
+    ('pagex', 'page[!0-9]', True),
+    ('page^', 'page[^0-9]', True),
+    ('pagex', 'page[^0-9]', True),
+    ('a-b', 'a[x-]b', True),
+    ('a[b', 'a[b', True),
+    ('axc', 'a[bc', False),
+    ('https://a.com/v1/users', 'https://a.com/{v1,v2}/users', True),
+    ('https://a.com/v3/users', 'https://a.com/{v1,v2}/users', False),
+    ('img2.png', 'img{1..3}.png', True),
+    ('img4.png', 'img{1..3}.png', False),
+    ('imgb.png', 'img{a..c}.png', True),
+    ('x{a}y', 'x{a}y', True),
+    ('xay', 'x{a}y', False),
+    ('x{}y', 'x{}y', True),
+    ('ab', '{a,b}b', True),
+    ('bb', '{a,b}b', True),
+    ('a1c', 'a{1,{2,3}}c', True),
+    ('a3c', 'a{1,{2,3}}c', True),
+    ('a{1..}c', 'a{1..}c', True),
+    ('https://x.com/a', '!https://x.com/*', False),
+    ('https://y.com/a', '!https://x.com/*', True),
+    ('https://x.com/a', '!!https://x.com/*', True),
+    ('#x', '#x', False),
+    ('anything', '#*', False),
+    ('', '!', False),
+    ('x', '!', True),
+    ('ab', 'a@(b|c)', True),
+    ('ad', 'a@(b|c)', False),
+    ('abbb', 'a+(b)', True),
+    ('a', 'a*(b)', True),
+    ('abc', 'a!(x)c', True),
+    ('axc', 'a!(x)c', False),
+    ('ac', 'a?(b)c', True),
+    ('abc', 'a?(b)c', True),
+    ('abbc', 'a?(b)c', False),
+    ('a*b', 'a\\*b', True),
+    ('axb', 'a\\*b', False),
+    ('a?b', 'a\\?b', True),
+    ('https://a.com/p?q=1&r=2', 'https://a.com/p?q=1&r=2', True),
+    ('https://a.com/pXq=1&r=2', 'https://a.com/p?q=1&r=2', True),
+    ('https://a.com/x.json', '**/*.json', True),
+    ('https://a.com/x.json?k=v', '**/*.json', False),
+    ('https://a.com/x.jsonX', '**/*.json*', True),
+    ('', '', True),
+    ('a', '', False),
+    ('HTTPS://A.COM/X', 'https://a.com/x', False),
+    ('a/x/y/b', 'a/x**/b', False),
+    ('a/xz/b', 'a/x**/b', True),
+]
+
+
+@pytest.mark.parametrize("s,pattern,want", MINIMATCH_GOLDENS)
+def test_glob_match_minimatch_goldens(s, pattern, want):
+    assert glob_match(s, pattern) is want
+
+
+def test_brace_expand_shapes():
+    assert brace_expand("a{b,c}d") == ["abd", "acd"]
+    assert brace_expand("x{1..3}") == ["x1", "x2", "x3"]
+    assert brace_expand("x{c..a}") == ["xc", "xb", "xa"]
+    assert brace_expand("a{1,{2,3}}c") == ["a1c", "a2c", "a3c"]
+    assert brace_expand("plain") == ["plain"]
+    assert brace_expand("un{closed") == ["un{closed"]
+
+
+# ---------------------------------------------------------- rule parsing
+
+
+def test_parse_prenav_configs_coercion_and_filtering():
+    cfgs = parse_prenav_configs([
+        {"key": "a", "rules": [{"type": "exact", "pattern": "u"}]},
+        {"key": "", "rules": [{"type": "exact", "pattern": "u"}]},   # empty key drops
+        {"key": "b", "rules": []},                                    # no rules drops
+        {"key": "c", "rules": [{"type": "bogus", "pattern": "u"}]},  # unknown -> exact
+        {"key": 7, "rules": [{"pattern": None}]},                     # String() coercion
+        None,
+    ])
+    assert [c["key"] for c in cfgs] == ["a", "c", "7"]
+    assert cfgs[1]["rules"][0]["type"] == "exact"
+    assert cfgs[2]["rules"][0] == {"type": "exact", "pattern": "None"} or (
+        cfgs[2]["rules"][0]["type"] == "exact"
+    )
+
+
+def test_regex_rule_anchored_and_invalid_never_matches():
+    # new RegExp(`^(?:${pattern})$`) — full-match anchoring
+    rules = parse_prenav_configs(
+        [{"key": "k", "rules": [{"type": "regex", "pattern": r"https://a\.com/\d+"}]}]
+    )[0]["rules"]
+    assert match_capture_url("https://a.com/123", rules)
+    assert not match_capture_url("xhttps://a.com/123", rules)
+    assert not match_capture_url("https://a.com/123x", rules)
+    # invalid regex -> re = undefined -> never matches (ts:317-319)
+    bad = parse_prenav_configs(
+        [{"key": "k", "rules": [{"type": "regex", "pattern": "("}]}]
+    )[0]["rules"]
+    assert not match_capture_url("(", bad)
+
+
+def test_match_first_rule_wins_across_types():
+    rules = parse_prenav_configs([{
+        "key": "k",
+        "rules": [
+            {"type": "exact", "pattern": "https://a.com/x"},
+            {"type": "glob", "pattern": "https://a.com/api/**"},
+            {"type": "regex", "pattern": r".*\.json"},
+        ],
+    }])[0]["rules"]
+    assert match_capture_url("https://a.com/x", rules)
+    assert match_capture_url("https://a.com/api/v1/users", rules)
+    assert match_capture_url("https://a.com/data.json", rules)
+    assert not match_capture_url("https://a.com/y", rules)
+
+
+# ---------------------------------------------------------- capture loop
+
+
+PRENAV = [
+    {"key": "tweets", "rules": [{"type": "glob", "pattern": "**/UserTweets*"}]},
+    {"key": "profile", "rules": [{"type": "regex", "pattern": r".*/profile\.json"}]},
+]
+
+
+def _resp(url, body="x", headers=None, **kw):
+    return {"url": url, "body": body, "headers": headers or {}, **kw}
+
+
+def test_capture_first_match_per_key_in_response_order():
+    got = capture_responses(PRENAV, [
+        _resp("https://x.com/other"),
+        _resp("https://x.com/g/UserTweets?1", body="first"),
+        _resp("https://x.com/g/UserTweets?2", body="second"),
+        _resp("https://x.com/u/profile.json", body="p"),
+    ])
+    assert [(c["key"], c["body"], c["matched_seq"]) for c in got] == [
+        ("tweets", "first", 1), ("profile", "p", 3),
+    ]
+
+
+def test_one_response_can_satisfy_multiple_keys():
+    prenav = [
+        {"key": "a", "rules": [{"type": "glob", "pattern": "**/both"}]},
+        {"key": "b", "rules": [{"type": "exact", "pattern": "https://x.com/both"}]},
+    ]
+    got = capture_responses(prenav, [_resp("https://x.com/both")])
+    assert [c["key"] for c in got] == ["a", "b"]
+
+
+def test_empty_body_keeps_key_pending():
+    # ts:388-394: no body AND no content-length -> skip, key stays pending
+    got = capture_responses(PRENAV, [
+        _resp("https://x.com/g/UserTweets?1", body=""),
+        _resp("https://x.com/g/UserTweets?2", body="late"),
+    ])
+    assert [(c["key"], c["body"]) for c in got] == [("tweets", "late")]
+    # but a content-length header > 0 counts as having a body (body kept as-is)
+    got = capture_responses(PRENAV, [
+        _resp("https://x.com/g/UserTweets", body="", headers={"Content-Length": "10"}),
+    ])
+    assert len(got) == 1 and got[0]["body"] == ""
+
+
+def test_content_length_js_parseint_leniency():
+    # parseInt("12abc") === 12; parseInt("abc") -> NaN -> treated as 0
+    got = capture_responses(PRENAV, [
+        _resp("https://x.com/g/UserTweets", body="", headers={"content-length": "12abc"}),
+    ])
+    assert len(got) == 1
+    got = capture_responses(PRENAV, [
+        _resp("https://x.com/g/UserTweets", body="", headers={"content-length": "abc"}),
+    ])
+    assert got == []
+
+
+def test_headers_lowercased_first_of_list_and_set_cookie_raw():
+    got = capture_responses(PRENAV, [_resp(
+        "https://x.com/g/UserTweets",
+        headers={"X-Rate": ["10", "20"], "set-cookie": ["a=1; Path=/", "b=2"]},
+        status=201, method="GET", cookies=[{"name": "a", "value": "1"}],
+    )])
+    (c,) = got
+    assert c["headers"] == {"x-rate": "10", "set-cookie": "a=1; Path=/"}
+    assert c["setCookieRaw"] == ["a=1; Path=/", "b=2"]
+    assert c["status"] == 201 and c["method"] == "GET"
+    assert c["cookiesRaw"] == [{"name": "a", "value": "1"}]
+    # reference quirk (ts:411-414): the raw lookup is case-sensitive on the
+    # ORIGINAL header map — a capitalized Set-Cookie key misses it and falls
+    # back to the lowercased map, which kept only the FIRST element as a string
+    got = capture_responses(PRENAV, [_resp(
+        "https://x.com/g/UserTweets", headers={"Set-Cookie": ["a=1", "b=2"]})])
+    assert got[0]["setCookieRaw"] == ["a=1"]
+    # string set-cookie wraps into a 1-element list (ts:411-414)
+    got = capture_responses(PRENAV, [_resp(
+        "https://x.com/g/UserTweets", headers={"set-cookie": "x=9"})])
+    assert got[0]["setCookieRaw"] == ["x=9"]
+
+
+def test_no_configs_or_no_url_short_circuits():
+    assert capture_responses(None, [_resp("https://x.com/g/UserTweets")]) == []
+    assert capture_responses([], [_resp("https://x.com/g/UserTweets")]) == []
+    assert capture_responses(PRENAV, [{"url": "", "body": "x"}, {"body": "y"}]) == []
+
+
+def test_captures_to_json_deterministic():
+    got = capture_responses(PRENAV, [_resp("https://x.com/g/UserTweets")])
+    j = captures_to_json(got)
+    assert json.loads(j)[0]["key"] == "tweets"
+    assert j == captures_to_json(
+        capture_responses(PRENAV, [_resp("https://x.com/g/UserTweets")])
+    )

@@ -327,6 +327,8 @@ def test_validate_pattern_keywords():
 
 
 def test_operator_restrictions_spark(spark):
+    import json as _json
+
     from anycrawl_spark.operators.templates import (
         contract_fixture, process_template_requests)
     tpls, reqs = contract_fixture()
@@ -336,10 +338,20 @@ def test_operator_restrictions_spark(spark):
     requests = spark.createDataFrame(
         reqs, "request_id string, template_id string, template_type string, "
               "url string, query string, variables_json string, "
-              "extra_fields array<string>, user_id string")
+              "extra_fields array<string>, user_id string, "
+              "responses_json string")
     rows = {r.request_id: r for r in
             process_template_requests(requests, templates).collect()}
     assert rows["r13"].ok
     assert not rows["r14"].ok and "not allowed" in rows["r14"].error
     assert rows["r15"].ok and rows["r15"].query == "sparkling water"
     assert not rows["r16"].ok and "spark*" in rows["r16"].error
+    # preNav captures: r17 captured api (seq1) + auth (seq2, after the
+    # empty-body login was skipped); r18 has responses but no rules
+    caps = _json.loads(rows["r17"].captures_json)
+    assert [(c["key"], c["matched_seq"]) for c in caps] == [("api", 1), ("auth", 2)]
+    assert caps[0]["setCookieRaw"] == ["sid=1; Path=/", "t=2"]
+    assert caps[0]["headers"]["set-cookie"] == "sid=1; Path=/"
+    assert caps[1]["method"] is None and caps[1]["status"] == 201
+    assert rows["r18"].ok and rows["r18"].captures_json == "[]"
+    assert not rows["r03"].ok and rows["r03"].captures_json is None
