@@ -2,10 +2,13 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample are Arrow-batched
-``mapInPandas`` stages. The decode kernels the container lacks (PIL/ffmpeg)
-are STUBBED behind ``AnyCrawlDecodeUnavailable`` with a deterministic fake
-used by tests — the Spark-side plumbing (schema, batch shape, partitioning,
-UDF signatures) is real and tested.
+``mapInPandas`` stages. PNG payloads are decoded FOR REAL through the
+pure-stdlib codec in ``functions/png.py`` (zlib + struct; all five scanline
+filters, gray/RGB/RGBA), so PNG features come from actual pixels. The
+decode kernels the container genuinely lacks (JPEG/WebP entropy coders,
+libav) stay STUBBED behind ``AnyCrawlDecodeUnavailable`` with a
+deterministic fake — the Spark-side plumbing (schema, batch shape,
+partitioning, UDF signatures) is real and tested either way.
 
 Scale notes: media bytes NEVER pass through a shuffle — all media stages are
 narrow maps over the storage partitioning; only extracted features (small,
@@ -22,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from anycrawl_spark.functions.png import PNG_SIGNATURE, decode_png, encode_png
 
 MEDIA_META = T.StructType(
     [
@@ -67,22 +72,74 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in for image decode + embed: blake2b-seeded vector.
 
     Keeps the full pipeline (bytes -> fixed-width feature) testable without
-    imaging libs; swap for a real model UDF in production.
+    imaging libs; swap for a real model UDF in production. Used only for
+    the formats whose entropy coders the sandbox lacks (jpeg/webp) — PNG
+    goes through the real decoder.
     """
     h = hashlib.blake2b(payload, digest_size=dim * 2).digest()
     arr = np.frombuffer(h, dtype=np.uint16).astype(np.float32)
     return (arr / 65535.0) * 2.0 - 1.0
 
 
+def png_feature(img: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Real-pixel feature: normalize decoded uint8 pixels to [-1, 1], then
+    mean-pool contiguous chunks down to ``dim`` floats (zero-padded to a
+    multiple of dim). Deterministic, resolution-tolerant, computed from
+    actual image content."""
+    flat = img.astype(np.float32).ravel() / 255.0 * 2.0 - 1.0
+    pad = (-len(flat)) % dim
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, dtype=np.float32)])
+    return flat.reshape(dim, -1).mean(axis=1)
+
+
+def feature_for_payload(payload: bytes, dim: int = 16, use_real: bool = False) -> np.ndarray:
+    """The decode-select kernel shared by the Spark stage AND the sequential
+    oracle mirror: PNG bytes -> real decode + png_feature; other formats ->
+    deterministic fake (or the stubbed real path when ``use_real``)."""
+    if bytes(payload[:8]) == PNG_SIGNATURE:
+        return png_feature(decode_png(bytes(payload)), dim)
+    if use_real:
+        return _try_real_decode(bytes(payload))
+    return fake_decode(payload, dim)
+
+
 def synth_media(media_ref: str) -> tuple[bytes, dict]:
-    """Deterministic fake payload + metadata for a media_ref URL."""
-    payload = hashlib.blake2b(media_ref.encode(), digest_size=32).digest() * 8
-    d = int.from_bytes(payload[:4], "big")
+    """Deterministic payload + metadata for a media_ref URL.
+
+    PNG refs (1 in 3) get a REAL PNG image — pixels drawn from a blake2b
+    counter stream, color type in {gray, RGB, RGBA} and scanline filter in
+    {0..4} both hash-picked, so the fixture population exercises every
+    defilter path of the stdlib codec. jpeg/webp refs keep the opaque fake
+    payload (their decoders are the documented stub)."""
+    seed = hashlib.blake2b(media_ref.encode(), digest_size=32).digest()
+    d = int.from_bytes(seed[:4], "big")
+    fmt = ["png", "jpeg", "webp"][d % 3]
+    if fmt == "png":
+        width = 8 + d % 25
+        height = 8 + (d >> 10) % 25
+        channels = [1, 3, 4][(d >> 5) % 3]
+        n = width * height * channels
+        raw = bytearray()
+        ctr = 0
+        while len(raw) < n:
+            raw += hashlib.blake2b(
+                seed + ctr.to_bytes(4, "big"), digest_size=64
+            ).digest()
+            ctr += 1
+        img = np.frombuffer(bytes(raw[:n]), dtype=np.uint8).reshape(
+            height, width, channels
+        )
+        payload = encode_png(img, filter_type=(d >> 3) % 5)
+    else:
+        width = 64 + d % 1024
+        height = 64 + (d >> 10) % 1024
+        payload = seed * 8
     return payload, {
         "media_type": "image",
-        "format": ["png", "jpeg", "webp"][d % 3],
-        "width": 64 + d % 1024,
-        "height": 64 + (d >> 10) % 1024,
+        "format": fmt,
+        "width": width,
+        "height": height,
         "duration_ms": None,
         "size_bytes": len(payload),
     }
@@ -103,18 +160,18 @@ def materialize_media(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 
 
 def extract_features(media: DataFrame, dim: int = 16, use_real: bool = False) -> DataFrame:
-    """payload -> fixed-width feature vector (mapInPandas; Arrow batches)."""
+    """payload -> fixed-width feature vector (mapInPandas; Arrow batches).
+
+    PNG payloads always decode for real (stdlib codec); other formats use
+    the deterministic fake, or — with ``use_real`` — the stubbed real path
+    (ok=False until a JPEG/WebP decoder exists in the environment)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
-                    vec = (
-                        _try_real_decode(r.payload)
-                        if use_real
-                        else fake_decode(r.payload, dim)
-                    )
+                    vec = feature_for_payload(r.payload, dim, use_real)
                     rows.append(
                         {"media_ref": r.media_ref, "feature": vec.tolist(), "ok": True}
                     )
@@ -148,30 +205,47 @@ RESIZED = T.StructType(
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic stand-in for image resize: re-digest keyed by target
-    size (real path: PIL thumbnail — stubbed, sandbox has no imaging libs)."""
+    """Deterministic stand-in for jpeg/webp resize: re-digest keyed by target
+    size (their decoders are the documented stub)."""
     h = hashlib.blake2b(payload + f"|{width}x{height}".encode(), digest_size=32)
     return h.digest() * 4
+
+
+def png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for PNG payloads: decode, nearest-neighbor sample the
+    pixel grid to (height, width), re-encode. Pure numpy index math —
+    deterministic and library-free."""
+    img = decode_png(payload)
+    src_h, src_w = img.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return encode_png(img[ys][:, xs])
 
 
 def resize_images(
     media: DataFrame, width: int = 256, height: int = 256, use_real: bool = False
 ) -> DataFrame:
     """payload -> resized payload (mapInPandas; bytes stay in the narrow map,
-    never shuffled). The real decoder is stubbed exactly like
-    ``extract_features``; the Spark plumbing (schema, batching, partition
-    preservation) is real and tested."""
+    never shuffled). PNG payloads resize for real (decode -> nearest-neighbor
+    -> re-encode); jpeg/webp use the deterministic fake, or the stubbed real
+    path with ``use_real``. The Spark plumbing (schema, batching, partition
+    preservation) is identical across all three."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
-                    if use_real:
-                        _try_real_decode(r.payload)
+                    if bytes(r.payload[:8]) == PNG_SIGNATURE:
+                        out = png_resize(bytes(r.payload), width, height)
+                    elif use_real:
+                        _try_real_decode(bytes(r.payload))
+                        out = None  # unreachable until a real decoder exists
+                    else:
+                        out = fake_resize(r.payload, width, height)
                     rows.append({
                         "media_ref": r.media_ref,
-                        "payload": fake_resize(r.payload, width, height),
+                        "payload": out,
                         "width": width, "height": height, "ok": True,
                     })
                 except AnyCrawlDecodeUnavailable:

@@ -266,16 +266,17 @@ def sql_crawl_round(n_jobs: int = 2, limit: int = 20, max_rounds: int = 20) -> s
 # ----------------------------------------------------------- media features
 
 def sql_media_features(max_doc_id: int = 50, dim: int = 8) -> str:
-    """Expected (media_ref, dim, value, ok) rows: the fake-decode feature
-    pipeline recomputed sequentially per ref, joined against the documents
+    """Expected (media_ref, dim, value, ok) rows: the feature pipeline
+    recomputed sequentially per ref — REAL stdlib PNG decode for png refs,
+    the deterministic fake for jpeg/webp — joined against the documents
     view so only doc_ids present in the table at this sf survive."""
-    from anycrawl_spark.operators.multimodal import fake_decode, synth_media
+    from anycrawl_spark.operators.multimodal import feature_for_payload, synth_media
 
     rows = []
     for doc_id in range(max_doc_id):
         ref = f"http://media.synth/img/{doc_id}"
         payload, _ = synth_media(ref)
-        vec = fake_decode(payload, dim)
+        vec = feature_for_payload(payload, dim)
         for i, v in enumerate(vec):
             rows.append({
                 "media_ref": ref, "dim": i,

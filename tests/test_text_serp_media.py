@@ -102,8 +102,9 @@ def test_serp_parse_selector_semantics():
 
 
 def test_multimodal_plumbing(spark):
+    from anycrawl_spark.functions.png import PNG_SIGNATURE, decode_png
     from anycrawl_spark.operators.multimodal import (
-        extract_features, fake_decode, materialize_media, synth_media,
+        extract_features, feature_for_payload, materialize_media, synth_media,
     )
 
     refs = spark.createDataFrame(
@@ -112,21 +113,39 @@ def test_multimodal_plumbing(spark):
     media = materialize_media(refs)
     rows = media.collect()
     assert len(rows) == 20
+    by_fmt = {}
     for r in rows:
-        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) == 256
-        assert r.meta.media_type == "image" and r.meta.size_bytes == 256
+        assert isinstance(r.payload, (bytes, bytearray))
+        assert r.meta.media_type == "image"
+        assert r.meta.size_bytes == len(r.payload)
+        by_fmt.setdefault(r.meta.format, []).append(r)
+    # png refs carry REAL png bytes whose IHDR dims match the metadata
+    assert by_fmt.get("png"), "expect at least one png in 20 hash-picked refs"
+    for r in by_fmt["png"]:
+        assert bytes(r.payload[:8]) == PNG_SIGNATURE
+        img = decode_png(bytes(r.payload))
+        assert (img.shape[0], img.shape[1]) == (r.meta.height, r.meta.width)
+    for fmt in ("jpeg", "webp"):
+        for r in by_fmt.get(fmt, []):
+            assert bytes(r.payload[:8]) != PNG_SIGNATURE and len(r.payload) == 256
 
     feats = extract_features(media, dim=8).collect()
     assert all(r.ok and len(r.feature) == 8 for r in feats)
-    # deterministic: feature equals the pure-fn output on the same payload
-    payload, _ = synth_media("http://m/0")
-    expected = fake_decode(payload, 8).tolist()
-    got = [r.feature for r in feats if r.media_ref == "http://m/0"][0]
-    assert [round(x, 5) for x in got] == [round(x, 5) for x in expected]
+    # deterministic: feature equals the sequential-kernel output per payload
+    for ref in ("http://m/0", "http://m/1", "http://m/2"):
+        payload, _ = synth_media(ref)
+        expected = feature_for_payload(payload, 8).tolist()
+        got = [r.feature for r in feats if r.media_ref == ref][0]
+        assert [round(x, 5) for x in got] == [round(x, 5) for x in expected]
 
-    # real-decode path is stubbed: ok=False, never crashes
-    stubbed = extract_features(media, dim=8, use_real=True).collect()
-    assert all(not r.ok and r.feature is None for r in stubbed)
+    # real-decode path: PNG decodes for real (ok=True); jpeg/webp stay
+    # stubbed (ok=False, never crashes)
+    fmt_of = {r.media_ref: r.meta.format for r in rows}
+    for r in extract_features(media, dim=8, use_real=True).collect():
+        if fmt_of[r.media_ref] == "png":
+            assert r.ok and len(r.feature) == 8
+        else:
+            assert not r.ok and r.feature is None
 
 
 def test_media_refs_from_documents(spark):
@@ -291,9 +310,18 @@ def test_multimodal_resize_and_frames(spark):
         [(f"http://media.synth/v/{i}",) for i in range(8)], "media_ref string"
     )
     media = materialize_media(refs)
+    fmt_of = {r.media_ref: r.meta.format for r in media.collect()}
     rs = resize_images(media, 128, 128).collect()
     assert len(rs) == 8
-    assert all(r.ok and r.width == 128 and len(r.payload) == 128 for r in rs)
+    assert all(r.ok and r.width == 128 for r in rs)
+    # png resizes FOR REAL: output is a decodable 128x128 png
+    from anycrawl_spark.functions.png import decode_png
+    for r in rs:
+        if fmt_of[r.media_ref] == "png":
+            img = decode_png(bytes(r.payload))
+            assert img.shape[:2] == (128, 128)
+        else:
+            assert len(r.payload) == 128
     # deterministic: same input -> same resized bytes
     rs2 = {r.media_ref: r.payload for r in resize_images(media, 128, 128).collect()}
     assert all(rs2[r.media_ref] == r.payload for r in rs)
