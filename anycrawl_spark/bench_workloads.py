@@ -504,50 +504,77 @@ def politeness_skew_bench(
     Measured crossover on this VM: a single-task Tungsten sort runs ~10M
     rows/s, so exact wins below ~10M rows per (job, host) partition (one
     shuffle instead of two) and loses steeply above it — 17.6s vs 3.7s at
-    43M mega-host rows. The engine flag (CrawlEngine two_phase_politeness)
-    picks the path; the default is exact.
+    43M mega-host rows. The engine default is now ``auto``: per-round
+    sampled skew detection (gates.detect_host_skew) picks the path; the
+    auto arms below time it WITH its detection cost included, on both the
+    skewed input (must track two-phase) and a uniform input of the same
+    size (must track exact).
     """
     from anycrawl_spark.operators.gates import (
-        apply_politeness, apply_politeness_two_phase,
+        apply_politeness, apply_politeness_auto, apply_politeness_two_phase,
+        detect_host_skew,
     )
 
     params = CrawlParams(default_host_tokens=100)
-    pending = (
-        spark.range(n_rows)
-        .select(
-            F.lit("job-0").alias("job_id"),
-            F.when(F.pmod("id", 100) < mega_frac, F.lit("mega.host"))
-            .otherwise(F.concat(F.lit("host"), F.pmod("id", 2000).cast("string")))
-            .alias("host"),
-            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
-            F.pmod("id", 6).cast("int").alias("depth"),
-            F.col("id").alias("discovery_seq"),
-        )
-        .persist()
-    )
-    pending.count()
 
-    def timed(fn):
+    def make_pending(mega_pct: int, hosts: int = 2000):
+        df = (
+            spark.range(n_rows)
+            .select(
+                F.lit("job-0").alias("job_id"),
+                F.when(F.pmod("id", 100) < mega_pct, F.lit("mega.host"))
+                .otherwise(F.concat(F.lit("host"), F.pmod("id", hosts).cast("string")))
+                .alias("host"),
+                F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+                F.pmod("id", 6).cast("int").alias("depth"),
+                F.col("id").alias("discovery_seq"),
+            )
+            .persist()
+        )
+        df.count()
+        return df
+
+    pending = make_pending(mega_frac)
+
+    def timed(fn, df):
         walls = []
         for _ in range(runs):
             t0 = time.time()
-            fn(pending, {}, params).write.format("noop").mode("overwrite").save()
+            fn(df, {}, params).write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
         walls.sort()
         return walls[len(walls) // 2]
 
-    t_exact = timed(apply_politeness)
-    t_two = timed(lambda p, d, pa: apply_politeness_two_phase(p, d, pa, salt_buckets=16))
+    t_exact = timed(apply_politeness, pending)
+    t_two = timed(
+        lambda p, d, pa: apply_politeness_two_phase(p, d, pa, salt_buckets=16),
+        pending,
+    )
+    t_auto = timed(apply_politeness_auto, pending)
+    auto_picks_skewed = detect_host_skew(pending)
     # equal output check (the invariant the salted pre-cap must preserve)
     a = apply_politeness(pending, {}, params).groupBy("job_id", "host").count()
     b = apply_politeness_two_phase(pending, {}, params, 16).groupBy("job_id", "host").count()
     mismatch = a.join(b, ["job_id", "host", "count"], "left_anti").count()
     pending.unpersist()
+
+    # uniform control: same row count, no mega host (max ~n_rows/200k rows
+    # per host) — auto must stay on the exact single-window plan
+    uniform = make_pending(0, hosts=200_000)
+    t_exact_u = timed(apply_politeness, uniform)
+    t_auto_u = timed(apply_politeness_auto, uniform)
+    auto_picks_uniform = detect_host_skew(uniform)
+    uniform.unpersist()
     return {
         "n_rows": n_rows,
         "mega_host_pct": mega_frac,
         "t_exact_window_sec": round(t_exact, 2),
         "t_two_phase_sec": round(t_two, 2),
+        "t_auto_sec": round(t_auto, 2),
         "speedup": round(t_exact / t_two, 2),
         "output_mismatch_groups": mismatch,
+        "auto_detects_skew": bool(auto_picks_skewed),
+        "uniform_t_exact_sec": round(t_exact_u, 2),
+        "uniform_t_auto_sec": round(t_auto_u, 2),
+        "uniform_auto_detects_skew": bool(auto_picks_uniform),
     }

@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 from anycrawl_spark import synth
 from anycrawl_spark.crawl.params import CrawlParams, is_retryable_col
-from anycrawl_spark.operators.gates import make_candidate_gate, tokens_expr
+from anycrawl_spark.operators.gates import (
+    AUTO_SKEW_THRESHOLD_ROWS,
+    detect_host_skew,
+    make_candidate_gate,
+    tokens_expr,
+)
 from anycrawl_spark.operators.seen import (
     BROADCAST_SHARDS_MAX_BYTES, ShardBroadcast, filter_fresh,
     merge_bloom_shards, with_dedup_key,
@@ -66,7 +71,8 @@ class CrawlEngine:
         num_buckets: int = 32,
         fetch_partitions: int | None = None,
         profile: bool = False,
-        two_phase_politeness: bool = False,
+        two_phase_politeness: bool | str = "auto",
+        auto_skew_threshold: int | None = None,
         shard_refresh_rounds: int = 8,
         tiered_proxies: list[list[str]] | None = None,
         proxy_rules: list | None = None,
@@ -81,7 +87,14 @@ class CrawlEngine:
             spark.conf.get("spark.sql.shuffle.partitions")
         )
         self.profile = profile
+        # False = exact window, True = salted two-phase, "auto" (default) =
+        # per-round skew detection (free while the crawl is small: the
+        # driver-tracked enqueued total bounds every host partition)
         self.two_phase_politeness = two_phase_politeness
+        self.auto_skew_threshold = (
+            auto_skew_threshold if auto_skew_threshold is not None
+            else AUTO_SKEW_THRESHOLD_ROWS
+        )
         # small driver-side policy state (broadcast-sized; jobs dim, J3)
         self.robots_by_host: dict[str, list[tuple[str, str]]] = {}
         self.host_delays: dict[str, int] = {}
@@ -337,6 +350,21 @@ class CrawlEngine:
                 break
             self.run_round(r)
 
+    def _politeness_two_phase(self, frontier: DataFrame) -> bool:
+        """Resolve the per-round politeness strategy. ``auto`` costs nothing
+        while the crawl is small: the driver-tracked total-enqueued counter
+        upper-bounds every (job, host) pending partition, so the sampled
+        detection job only ever runs once the crawl could actually be
+        skewed past the window-sort crossover."""
+        mode = self.two_phase_politeness
+        if mode != "auto":
+            return bool(mode)
+        return detect_host_skew(
+            frontier,
+            threshold_rows=self.auto_skew_threshold,
+            upper_bound=sum(self.enqueued.values()),
+        )
+
     def run_round(self, rnd: int) -> dict:
         frontier = self.store.read("frontier")  # pending rows only
         active = [j["job_id"] for j in self.jobs if j["job_id"] not in self.finalized]
@@ -373,7 +401,8 @@ class CrawlEngine:
             & (F.col("next_eligible_round") <= rnd)
             & F.col("job_id").isin(active),
         )
-        if self.two_phase_politeness:
+        use_two_phase = self._politeness_two_phase(frontier)
+        if use_two_phase:
             # salted pre-cap bounds any mega-host's window partition to
             # salt_buckets x tokens survivors (§4.2 skew); equivalence with
             # the exact window proven in tests/test_gates.py
@@ -701,6 +730,7 @@ class CrawlEngine:
             # per-round wall: the soak-flatness evidence (round cost must not
             # grow with lifetime |seen|/frontier size)
             "wall_sec": round(t_final - t0, 2),
+            "politeness": "two_phase" if use_two_phase else "exact",
         }
         if self.profile:
             stats["t_phases"] = {

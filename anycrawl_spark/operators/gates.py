@@ -117,6 +117,64 @@ def apply_politeness_two_phase(
     )
 
 
+# Measured crossover on the bench VM (BENCH/last_run_detail.json
+# politeness_skew): a single-task Tungsten sort runs ~10M rows/s, so the
+# exact window wins below ~10M rows per (job, host) partition (one shuffle
+# instead of two, the salted pre-pass costs ~30%) and loses steeply above
+# it (17.6s vs 3.7s at 43M mega-host rows).
+AUTO_SKEW_THRESHOLD_ROWS = 10_000_000
+AUTO_SKEW_SAMPLE_MOD = 64
+
+
+def detect_host_skew(
+    pending: DataFrame,
+    threshold_rows: int = AUTO_SKEW_THRESHOLD_ROWS,
+    sample_mod: int = AUTO_SKEW_SAMPLE_MOD,
+    upper_bound: int | None = None,
+) -> bool:
+    """True when some (job_id, host) pending partition is estimated to hold
+    >= ``threshold_rows`` rows — the shape where the exact politeness window
+    serializes into one giant sort task.
+
+    Cost discipline for a per-round check at 10^10-frontier scale:
+    - ``upper_bound`` (e.g. the driver-tracked total-enqueued counter, which
+      bounds every pending partition from above) short-circuits to False
+      without ANY Spark action — the common small-crawl case pays nothing.
+    - Otherwise a deterministic 1/``sample_mod`` hash sample (pmod on
+      url_hash) feeds a count-by-(job, host): map-side partial aggregation
+      means the shuffle carries one small count row per (host, partition),
+      never data rows, and the sample keeps even that tiny. At the only
+      scale that matters (a host near threshold_rows has ~threshold/mod
+      sampled rows) the estimate concentrates tightly.
+    """
+    if upper_bound is not None and upper_bound < threshold_rows:
+        return False
+    df = pending
+    if sample_mod > 1:
+        df = df.filter(F.pmod(F.col("url_hash"), F.lit(sample_mod)) == 0)
+    row = df.groupBy("job_id", "host").count().agg(F.max("count")).first()
+    return int(row[0] or 0) * sample_mod >= threshold_rows
+
+
+def apply_politeness_auto(
+    pending: DataFrame,
+    host_delays: dict[str, int],
+    params: CrawlParams,
+    threshold_rows: int = AUTO_SKEW_THRESHOLD_ROWS,
+    sample_mod: int = AUTO_SKEW_SAMPLE_MOD,
+    upper_bound: int | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Pick exact vs two-phase politeness per input by detected skew.
+
+    Both paths are provably output-equivalent (tests/test_gates.py), so the
+    detection threshold affects ONLY the physical plan: exact (one window
+    shuffle) below the crossover, salted two-phase above it."""
+    if detect_host_skew(pending, threshold_rows, sample_mod, upper_bound):
+        return apply_politeness_two_phase(pending, host_delays, params, salt_buckets)
+    return apply_politeness(pending, host_delays, params)
+
+
 def apply_budget(pending: DataFrame, remaining_by_job: dict[str, int]) -> DataFrame:
     """Keep at most remaining[job] rows per job, lowest (depth, seq) first."""
     mapping = F.create_map(

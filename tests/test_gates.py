@@ -36,6 +36,65 @@ def test_two_phase_politeness_equivalent(spark):
         assert c <= (4 if h == "mega.com" else 7)
 
 
+def test_detect_host_skew(spark):
+    from anycrawl_spark.operators.gates import detect_host_skew
+
+    df = _pending(spark)  # mega.com holds 60% of 3000 rows, 600/job
+    # sample_mod=1 = exact counts: 600-row max partition
+    assert detect_host_skew(df, threshold_rows=500, sample_mod=1)
+    assert not detect_host_skew(df, threshold_rows=700, sample_mod=1)
+    # hash-sampled estimate lands near the exact count (deterministic)
+    assert detect_host_skew(df, threshold_rows=300, sample_mod=8)
+    assert not detect_host_skew(df, threshold_rows=3000, sample_mod=8)
+    # the driver-side upper bound short-circuits without a Spark action
+    assert not detect_host_skew(df, threshold_rows=500, sample_mod=1,
+                                upper_bound=499)
+    assert detect_host_skew(df, threshold_rows=500, sample_mod=1,
+                            upper_bound=3000)
+
+
+def test_auto_politeness_matches_both_paths(spark):
+    from anycrawl_spark.operators.gates import (
+        apply_politeness, apply_politeness_auto,
+    )
+
+    params = CrawlParams(default_host_tokens=7)
+    delays = {"mega.com": 250}
+    df = _pending(spark)
+    exact = {(r.job_id, r.url) for r in apply_politeness(df, delays, params).collect()}
+    # low threshold -> detector engages two-phase; output must be identical
+    two = {(r.job_id, r.url) for r in
+           apply_politeness_auto(df, delays, params, threshold_rows=100,
+                                 sample_mod=1).collect()}
+    # high threshold -> detector stays exact
+    one = {(r.job_id, r.url) for r in
+           apply_politeness_auto(df, delays, params, threshold_rows=10**9,
+                                 sample_mod=1).collect()}
+    assert exact == two == one
+
+
+def test_engine_auto_politeness_parity(spark, tmp_path):
+    """Engine in auto mode with a forced-low threshold (two-phase engages
+    whenever the sampled detector sees any row) stays byte-equal to the
+    reference simulator — the strategy switch is physical-plan-only."""
+    from anycrawl_spark import synth
+    from anycrawl_spark.crawl.simulator import ReferenceSimulator
+    from anycrawl_spark.crawl.superstep import CrawlEngine
+
+    jobs = [dict(synth.seed_jobs(1)[0], limit=20)]
+    eng = CrawlEngine(
+        spark, str(tmp_path / "auto"), jobs, synth.robots_rules(),
+        CrawlParams(), num_buckets=4,
+        two_phase_politeness="auto", auto_skew_threshold=1,
+    )
+    eng.init_state(); eng.run()
+    sim = ReferenceSimulator(jobs, synth.robots_rules(), CrawlParams())
+    sim.run()
+    assert eng.seen_sets() == sim.seen_sets()
+    assert eng.terminal_status() == sim.terminal_status()
+    assert all(s["politeness"] in ("exact", "two_phase") for s in eng.round_stats)
+
+
 def test_budget_window(spark):
     from anycrawl_spark.operators.gates import apply_budget
 
