@@ -1,7 +1,12 @@
 """Checkpoint/resume (north_rule: resumable from snapshot with per-partition
-lineage): kill after round k, resume in a NEW engine, final state identical."""
+lineage): kill after round k, resume in a NEW engine, final state identical —
+including the adversarial MID-ROUND kill (after the documents append, before
+the seen merge commits)."""
 
+import os
 import shutil
+
+import pytest
 
 from anycrawl_spark import synth
 from anycrawl_spark.crawl.params import CrawlParams
@@ -40,6 +45,80 @@ def test_resume_identical_final_state(spark, tmp_path):
 
     shutil.rmtree(wd_full, ignore_errors=True)
     shutil.rmtree(wd_part, ignore_errors=True)
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _table_rows(eng, table):
+    df = eng.store.read_appends(table)
+    return sorted(df.toJSON().collect()) if df is not None else []
+
+
+def test_mid_round_crash_replay_identical(spark, tmp_path):
+    """Kill the engine BETWEEN stages of a round — after the documents append
+    has landed on disk, before the seen merge / frontier write commit — then
+    resume in a fresh engine. The round replay must be idempotent: the
+    crashed attempt's orphan append dirs are invisible to readers (the
+    manifest only lists committed dirs) and the replay MERGEs over them
+    slot-for-slot, so the final state is identical to an uninterrupted run,
+    with no duplicated or ghost (job_id, url_hash, round) rows."""
+    jobs = [dict(j, limit=25) for j in synth.seed_jobs(2)]
+    robots = synth.robots_rules()
+    params = CrawlParams(max_rounds=40)
+
+    wd_full = str(tmp_path / "full")
+    full = CrawlEngine(spark, wd_full, jobs, robots, params, num_buckets=8)
+    full.init_state()
+    full.run()
+
+    wd = str(tmp_path / "crash")
+    eng = CrawlEngine(spark, wd, jobs, robots, params, num_buckets=8)
+    eng.init_state()
+    eng.run(max_rounds=2)
+    assert eng.store.last_round == 1
+
+    # fault injection: the 'seen' append dies AFTER documents (mid-round
+    # append) and metrics/frontier_log have landed; frontier/progress run
+    # concurrently in the same pool, so an arbitrary subset of the round's
+    # final writes may also have completed — the dirtiest crash point.
+    real_append = eng.store.append
+    appended_before_crash = []
+
+    def bomb(table, df):
+        if table == "seen":
+            raise _InjectedCrash("killed between docs append and seen merge")
+        real_append(table, df)
+        appended_before_crash.append(table)
+
+    eng.store.append = bomb
+    with pytest.raises(_InjectedCrash):
+        eng.run_round(2)
+    assert "documents" in appended_before_crash  # crash came after the append
+    # the crashed round left orphan data on disk but no commit
+    docs_dirs = os.listdir(os.path.join(wd, "documents"))
+    committed = eng.store.manifest["history"][-1]["appends"].get("documents", [])
+    assert len(docs_dirs) > len(committed)
+    del eng
+
+    # process death: fresh engine, manifest re-read from disk
+    resumed = CrawlEngine(spark, wd, jobs, robots, params, num_buckets=8)
+    assert resumed.resume() == 2  # the crashed round replays
+    resumed.run()
+
+    assert resumed.seen_sets() == full.seen_sets()
+    assert resumed.discovery() == full.discovery()
+    assert resumed.terminal_status() == full.terminal_status()
+    assert resumed.done == full.done
+    assert resumed.enqueued == full.enqueued
+    # row-identical tables, not just summaries: documents (the crashed
+    # append's slot was replayed over), terminal log, progress, seen
+    for table in ("documents", "frontier_log", "progress", "seen"):
+        assert _table_rows(resumed, table) == _table_rows(full, table), table
+
+    shutil.rmtree(wd_full, ignore_errors=True)
+    shutil.rmtree(wd, ignore_errors=True)
 
 
 def test_documents_spans_shape(spark, tmp_path):
