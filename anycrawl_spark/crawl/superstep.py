@@ -90,6 +90,12 @@ class CrawlEngine:
         # False = exact window, True = salted two-phase, "auto" (default) =
         # per-round skew detection (free while the crawl is small: the
         # driver-tracked enqueued total bounds every host partition)
+        if two_phase_politeness not in (True, False, "auto"):
+            raise ValueError(
+                "two_phase_politeness must be True, False or 'auto' "
+                f"(got {two_phase_politeness!r}); any other string would "
+                "silently coerce truthy"
+            )
         self.two_phase_politeness = two_phase_politeness
         self.auto_skew_threshold = (
             auto_skew_threshold if auto_skew_threshold is not None

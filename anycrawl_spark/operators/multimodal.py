@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from anycrawl_spark.functions.png import PNG_SIGNATURE, decode_png, encode_png
+from anycrawl_spark.functions.png import (
+    PNG_SIGNATURE,
+    PngFormatError,
+    decode_png,
+    encode_png,
+)
 
 MEDIA_META = T.StructType(
     [
@@ -175,7 +180,10 @@ def extract_features(media: DataFrame, dim: int = 16, use_real: bool = False) ->
                     rows.append(
                         {"media_ref": r.media_ref, "feature": vec.tolist(), "ok": True}
                     )
-                except AnyCrawlDecodeUnavailable:
+                except (AnyCrawlDecodeUnavailable, PngFormatError):
+                    # a malformed payload (PNG signature but truncated/corrupt
+                    # bytes, unsupported variant) must fail ROW-wise, never
+                    # kill the Spark task
                     rows.append({"media_ref": r.media_ref, "feature": None, "ok": False})
             yield pd.DataFrame(rows, columns=["media_ref", "feature", "ok"])
 
@@ -248,7 +256,7 @@ def resize_images(
                         "payload": out,
                         "width": width, "height": height, "ok": True,
                     })
-                except AnyCrawlDecodeUnavailable:
+                except (AnyCrawlDecodeUnavailable, PngFormatError):
                     rows.append({
                         "media_ref": r.media_ref, "payload": None,
                         "width": None, "height": None, "ok": False,

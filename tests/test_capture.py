@@ -101,6 +101,65 @@ MINIMATCH_GOLDENS = [
     ('HTTPS://A.COM/X', 'https://a.com/x', False),
     ('a/x/y/b', 'a/x**/b', False),
     ('a/xz/b', 'a/x**/b', True),
+    # --- round-4 additions, all verified against the same minimatch 9.0.5:
+    # nested extglobs, globstar dot-segment exclusion, both-side multi-slash
+    # coalescing, escaped brace commas, the fast-path shapes (*, *., ?),
+    # negation-extglob tail folding + emptyExt, single-char class literals,
+    # pattern-level '..' levelOne resolution, and the '!'-strips-to-empty
+    # quirk. A 38k-case differential fuzz against the real library passed
+    # at generation time; these pin the edges permanently.
+    ('ab', '@(a@(b|c))', True),
+    ('c)', '@(a@(b|c))', False),
+    ('a/../b', 'a/**/b', False),
+    ('a/./b', 'a/**/b', False),
+    ('a/..', 'a/**', False),
+    ('a/.x/b', 'a/**/b', True),
+    ('a/b/.', 'a/**', False),
+    ('https://a.com/x//', 'https://a.com/*', True),
+    ('a//', 'a/*', False),
+    ('a//b', 'a/b', True),
+    ('//x', '/x', True),
+    ('ab,ce', 'a{b\\,c,d}e', True),
+    ('ace', 'a{b\\,c,d}e', False),
+    ('ade', 'a{b\\,c,d}e', True),
+    ('', '*', False),
+    ('a/', 'a/*', False),
+    ('', '*(a|b)', True),
+    ('', '?(b)', True),
+    ('', '****', False),
+    ('.', '*', False),
+    ('..', '*', False),
+    ('.x', '*', True),
+    ('.', '?', False),
+    ('.', '.', True),
+    ('a.', '*.', True),
+    ('..', '*.', True),
+    ('.', '*.', True),
+    ('x', 'x{}', False),
+    ('x{}', 'x{}', True),
+    ('', '{a,}', False),
+    ('a', '{a,}', True),
+    ('b', 'a/../b', True),
+    ('a/..', 'a/..', False),
+    ('..', '..', True),
+    ('a.b', '!(a)', True),
+    ('(a)', '!(a)', False),
+    ('b/c', 'b/!(a)', True),
+    ('b/a', 'b/!(a)', False),
+    ('b/', 'b/!(a)', True),
+    ('b/a.b', 'b/!(a)', True),
+    ('b/ac', 'b/!(a|bb)c', False),
+    ('b/xc', 'b/!(a|bb)c', True),
+    ('b/x', 'b/!(a@(b))', True),
+    ('b/..', 'b/!(a@(b))', True),
+    ('b/', 'b/!(a@(b))', False),
+    ('b/.', 'b/@(*)', False),
+    ('b/.x', 'b/@(*)', True),
+    ('.', '[.]', True),
+    ('a', '[a]', True),
+    ('.', '[!a]', False),
+    ('/', '!', False),
+    ('/', '!!', True),
 ]
 
 

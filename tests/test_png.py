@@ -118,6 +118,39 @@ def test_rejects_unsupported_variants():
         decode_png(good[:-20] if len(good) > 20 else good[:10])
 
 
+def test_malformed_png_signature_fails_rowwise(spark):
+    """A payload that LOOKS like a PNG (signature) but is garbage must yield
+    ok=False rows, never kill the Spark stage — one poisoned payload in a
+    100 TB media column cannot be allowed to fail the job."""
+    import pandas as pd
+
+    from anycrawl_spark.operators.multimodal import (
+        MEDIA, extract_features, resize_images, synth_media,
+    )
+
+    good, _ = synth_media("http://media.synth/img/0")  # jpeg/webp or png
+    bad_cases = [
+        PNG_SIGNATURE + b"garbage after signature",
+        PNG_SIGNATURE,  # signature only
+        encode_png(np.zeros((3, 3), dtype=np.uint8))[:-18],  # truncated
+    ]
+    rows = [("ok0", good, None)] + [
+        (f"bad{i}", b, None) for i, b in enumerate(bad_cases)
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_ref", "payload", "meta"]),
+        schema=MEDIA,
+    )
+    feats = {r.media_ref: r for r in extract_features(media, dim=8).collect()}
+    assert feats["ok0"].ok
+    for i in range(len(bad_cases)):
+        assert not feats[f"bad{i}"].ok and feats[f"bad{i}"].feature is None
+    rs = {r.media_ref: r for r in resize_images(media, 16, 16).collect()}
+    assert rs["ok0"].ok
+    for i in range(len(bad_cases)):
+        assert not rs[f"bad{i}"].ok
+
+
 def test_png_feature_from_real_pixels():
     from anycrawl_spark.operators.multimodal import feature_for_payload, png_feature
 
