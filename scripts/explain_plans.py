@@ -137,6 +137,53 @@ def main() -> int:
               "single exchange (final aggregation only)")
         sections.append((qname, p))
 
+    # 10. template pipeline (incl. r4 preNav capture rules): broadcast dim
+    #     join, ONE MapInPandas kernel (captures run inside the same Arrow
+    #     stage), request rows never shuffle
+    p = plan_of(QUERIES["q_template_render"](spark, SF))
+    check("q_template_render", "BroadcastHashJoin" in p,
+          "templates dim is broadcast")
+    check("q_template_render",
+          len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1,
+          "ONE Arrow kernel (render+validate+capture fused)")
+    check("q_template_render",
+          len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0,
+          "request rows never shuffle (0 exchanges)")
+    sections.append(("q_template_render", p))
+
+    # 11. media features (r4 real PNG decode): the only exchange carries
+    #     media_ref strings (the distinct), never payload bytes — media
+    #     bytes stay inside the narrow Arrow maps
+    p = plan_of(QUERIES["q_media_features"](spark, SF))
+    exch_args = re.findall(r"^\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p, re.M)
+    check("q_media_features",
+          all("payload" not in a for a in exch_args),
+          "no exchange ever carries payload bytes")
+    check("q_media_features",
+          len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 2,
+          "materialize + decode are narrow Arrow maps (2 stages, fixture-side; production reads bytes from storage into ONE stage)")
+    sections.append(("q_media_features", p))
+
+    # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
+    #     BEFORE the count shuffle, and the aggregation is two-phase (the
+    #     shuffle carries partial counts, not rows)
+    from anycrawl_spark.operators.gates import detect_host_skew  # noqa: F401
+
+    sample = (
+        pending.filter(F.pmod(F.col("url_hash"), F.lit(64)) == 0)
+        .groupBy("job_id", "host").count()
+        .agg(F.max("count"))
+    )
+    p = plan_of(sample)
+    first_exchange = p.find("Exchange")
+    first_filter = p.find("Filter")
+    check("skew_detection", "partial_count" in p or "partial_max" in p,
+          "two-phase aggregation (map-side partial counts)")
+    check("skew_detection",
+          0 <= first_exchange < first_filter or "PushedFilters" in p,
+          "sample filter applied below the shuffle")
+    sections.append(("skew_detection", p))
+
     spark.stop()
 
     lines = ["# PLANS.md — physical-plan audit (generated by scripts/explain_plans.py)", ""]
