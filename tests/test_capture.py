@@ -9,6 +9,8 @@ time; these 79 pin the interesting edges permanently.
 """
 
 import json
+import os
+import shutil
 
 import pytest
 
@@ -166,6 +168,64 @@ MINIMATCH_GOLDENS = [
 @pytest.mark.parametrize("s,pattern,want", MINIMATCH_GOLDENS)
 def test_glob_match_minimatch_goldens(s, pattern, want):
     assert glob_match(s, pattern) is want
+
+
+_MM_PATH = "/usr/lib/node_modules/npm/node_modules/minimatch"
+
+
+@pytest.mark.skipif(
+    not (shutil.which("node") and os.path.isdir(_MM_PATH)),
+    reason="node + minimatch not available",
+)
+def test_glob_match_differential_fuzz_vs_real_minimatch():
+    """Seeded random differential check against the actual library (the
+    same one the goldens were generated from). 3000 cases spanning paths,
+    dot segments, multi-slashes, braces, classes and (nested/negation)
+    extglobs — any divergence prints the failing triples."""
+    import json as _json
+    import random
+    import subprocess
+
+    random.seed(20260818)
+    atoms = ["a", "b", "ab", "a.b", ".", ".x", "..", "c)", "(a)", "x y",
+             "a,b", "", "https:", "api.ex.com", "data.json"]
+    globs = ["*", "**", "?", "a*", "*.json", "*.", "??", "[a]", "[.]",
+             "[!a]", "[a-c]", "{a,b}", "{a,}", "{a\\,b,c}", "{1..3}",
+             "@(a|b)", "!(a)", "!(a|)c", "!(@(a|b))", "!(*)", "+(a|b)c",
+             "?(a)", "*(a)", "a@(b@(c|d))", "x!(a)!(b)y", "\\*", "#x",
+             "!", "!!", "a/..", "../a", "*.*", ".*"]
+
+    def rand_path(pool, lo, hi):
+        n = random.randint(lo, hi)
+        s = "/".join(random.choice(pool) for _ in range(n))
+        if random.random() < 0.15:
+            s = "/" + s
+        if random.random() < 0.15:
+            s += "/"
+        if random.random() < 0.1:
+            s = s.replace("/", "//", 1)
+        return s
+
+    cases = [(rand_path(atoms, 0, 5), rand_path(atoms + globs, 0, 5))
+             for _ in range(3000)]
+    script = (
+        f"const mm = require({_MM_PATH!r});"
+        "const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));"
+        "console.log(JSON.stringify(cases.map(([s,p]) => {"
+        "  try { return mm.minimatch(s, p, {dot: true}); }"
+        "  catch (e) { return null; }})));"
+    )
+    out = subprocess.run(
+        ["node", "-e", script], input=_json.dumps(cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    ref = _json.loads(out.stdout)
+    diverging = [
+        (cases[i], glob_match(*cases[i]), ref[i])
+        for i in range(len(cases))
+        if ref[i] is not None and glob_match(*cases[i]) != ref[i]
+    ]
+    assert diverging == [], diverging[:20]
 
 
 def test_brace_expand_shapes():
