@@ -210,3 +210,68 @@ def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         toks.withColumn("th60", th)
         .select(F.col(id_col), sim.alias("simhash60"), F.size("th60").alias("n_tokens"))
     )
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level EXACT-substring dedup — the fifth dedup family.
+
+    The reference point is the ExactSubstr dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, public), which finds verbatim passages repeated
+    across a corpus with a suffix array. A suffix array is a single-node
+    data structure; the Spark-native restatement fingerprints every
+    ``stride``-th window of ``window`` whitespace tokens and groups on the
+    fingerprint: any window whose digest occurs >= ``min_count`` times is
+    a duplicated passage (stride trades recall granularity for cost; with
+    stride=1 it is exhaustive over token offsets).
+
+    Scale shape: window construction is pure JVM higher-order functions
+    (split -> sequence -> transform(slice + md5) -> posexplode), so ONLY
+    (doc_id, 16-byte digest, token_start) rows ever reach the shuffle —
+    never window text. The groupBy gets map-side partial aggregation; the
+    dup-digest join back is a semi-join on the digest (candidates ~
+    O(true duplicate windows)). At 100 TB the shuffle is O(tokens/stride)
+    fixed-width rows.
+
+    Returns (doc_id, token_start, digest, n_occurrences, n_docs) for every
+    window that is part of a duplicated passage.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    starts = F.when(
+        F.size("tk") >= window,
+        F.sequence(F.lit(0), F.size("tk") - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    win = (
+        docs.select(F.col(id_col), toks.alias("tk"))
+        .select(F.col(id_col), F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("tk"), i + F.lit(1), F.lit(window)))
+                ),
+            )
+        ).alias("w_idx", "digest"))
+        .select(
+            F.col(id_col),
+            (F.col("w_idx") * stride).cast("bigint").alias("token_start"),
+            "digest",
+        )
+    )
+    dup = (
+        win.groupBy("digest")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    return win.join(dup, "digest").select(
+        id_col, "token_start", "digest", "n_occurrences", "n_docs"
+    )

@@ -470,3 +470,33 @@ _TEMPLATE_RENDER_EXPECTED: list[dict] = [
 
 def sql_template_render() -> str:
     return values_sql(_TEMPLATE_RENDER_EXPECTED, _TEMPLATE_RENDER_COLUMNS)
+
+
+# ------------------------------------------------------- duplicate passages
+
+def sql_duplicate_passages(
+    window: int = 8, stride: int = 4, min_count: int = 2, max_doc_id: int = 200
+) -> str:
+    """Full SQL restatement of ``dedup.duplicate_passages`` (passage-level
+    exact-substring dedup): identical whitespace tokenization, window
+    construction and md5 fingerprints, so this is a true value oracle."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+  FROM documents WHERE doc_id < {max_doc_id}),
+win AS (
+  SELECT doc_id,
+         CAST((i-1)*{stride} AS BIGINT) AS token_start,
+         md5(array_to_string(
+             list_slice(t, (i-1)*{stride}+1, (i-1)*{stride}+{window}), ' ')) AS digest
+  FROM toks, UNNEST(generate_series(
+      1, CASE WHEN len(t) >= {window}
+              THEN (len(t)-{window})//{stride} + 1 ELSE 0 END)) AS u(i)),
+dup AS (
+  SELECT digest,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM win GROUP BY digest HAVING count(*) >= {min_count})
+SELECT w.doc_id, w.token_start, w.digest, d.n_occurrences, d.n_docs
+FROM win w JOIN dup d USING (digest)
+"""

@@ -1844,6 +1844,21 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_duplicate_passages(spark, sf_dir):
+    """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
+    2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
+    8-token windows at stride 4 across the first 200 docs.
+
+    NOT in the driver contract — the contract is deliberately capped at the
+    driver's 50-entry check window (VERDICT r3 ask #1); this query lives in
+    EXTRA_QUERIES and is oracle-verified by the same local gate
+    (verify_against_duckdb / tests/test_queries_oracle.py)."""
+    from anycrawl_spark.operators.dedup import duplicate_passages
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return duplicate_passages(docs, window=8, stride=4, min_count=2)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1931,7 +1946,9 @@ def verify_against_duckdb(spark, sf_dir: str, names=None) -> list[tuple[str, str
         return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
     failures: list[tuple[str, str]] = []
-    for name, fn in QUERIES.items():
+    all_queries = {**QUERIES, **EXTRA_QUERIES}
+    all_oracles = {**ORACLES, **EXTRA_ORACLES}
+    for name, fn in all_queries.items():
         if names and name not in names:
             continue
         try:
@@ -1939,7 +1956,7 @@ def verify_against_duckdb(spark, sf_dir: str, names=None) -> list[tuple[str, str
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             continue
-        sql = ORACLES.get(name)
+        sql = all_oracles.get(name)
         if sql is None:
             if len(sdf) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
@@ -2027,3 +2044,19 @@ ORACLES["q_crawl_round"] = _mir.sql_crawl_round(n_jobs=2, limit=20, max_rounds=2
 ORACLES["q_media_features"] = _mir.sql_media_features(max_doc_id=50, dim=8)
 ORACLES["q_ann_lsh"] = _mir.sql_ann_lsh(dim=64, k=10, bits=4, round_dp=4)
 ORACLES["q_template_render"] = _mir.sql_template_render()
+
+
+# --------------------------------------------------------------------------
+# Extra oracle-backed queries BEYOND the driver's 50-entry contract window.
+# The driver checks exactly the first 50 registry entries, so these are kept
+# out of queries()/oracle_sql() on purpose and verified by the local gate
+# (verify_against_duckdb, run in tests/test_queries_oracle.py).
+
+EXTRA_QUERIES = {
+    "q_duplicate_passages": q_duplicate_passages,
+}
+EXTRA_ORACLES = {
+    "q_duplicate_passages": _mir.sql_duplicate_passages(
+        window=8, stride=4, min_count=2, max_doc_id=200
+    ),
+}

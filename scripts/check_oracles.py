@@ -15,12 +15,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:]) or None
 
-    from anycrawl_spark.queries import QUERIES, verify_against_duckdb
+    from anycrawl_spark.queries import EXTRA_QUERIES, QUERIES, verify_against_duckdb
     from anycrawl_spark.session import get_spark
 
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     failures = verify_against_duckdb(spark, sf_dir, only)
-    n = len([q for q in QUERIES if only is None or q in only])
+    n = len([q for q in {**QUERIES, **EXTRA_QUERIES} if only is None or q in only])
     spark.stop()
     print(f"{n - len(failures)}/{n} queries OK")
     for name, msg in failures:

@@ -101,3 +101,36 @@ def test_simhash_hamming_locality(spark):
         d_far = hamming(out[0], out[2])
         assert d_near < d_far, (fn.__name__, d_near, d_far)
         assert d_near <= 12, (fn.__name__, d_near)
+
+
+def test_duplicate_passages_hand_case(spark):
+    """Passage-level exact-substring dedup: doc1[0:4]==doc2[2:6] and
+    doc1[2:6]==doc2[4:8] are the only duplicated stride-aligned windows;
+    doc3 shares nothing."""
+    from anycrawl_spark.operators.dedup import duplicate_passages
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y a b c d e f"), (3, "q r s t u v w z")],
+        "doc_id long, text string",
+    )
+    out = duplicate_passages(docs, window=4, stride=2, min_count=2).collect()
+    got = sorted((r.doc_id, r.token_start, r.n_occurrences, r.n_docs) for r in out)
+    assert got == [(1, 0, 2, 2), (1, 2, 2, 2), (2, 2, 2, 2), (2, 4, 2, 2)]
+    # digests pair up across docs: doc1@0 == doc2@2 ("a b c d")
+    by = {(r.doc_id, r.token_start): r.digest for r in out}
+    assert by[(1, 0)] == by[(2, 2)] and by[(1, 2)] == by[(2, 4)]
+    # a doc shorter than the window produces no rows and no crash
+    short = spark.createDataFrame([(9, "a b"), (10, "a b")], "doc_id long, text string")
+    assert duplicate_passages(short, window=4, stride=2).count() == 0
+
+
+def test_duplicate_passages_exact_dup_docs_fully_flagged(spark):
+    """Two byte-identical docs: every stride window is duplicated."""
+    from anycrawl_spark.operators.dedup import duplicate_passages
+
+    t = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    out = duplicate_passages(docs, window=8, stride=4, min_count=2).collect()
+    # starts 0,4,8,12 per doc -> 8 rows, all n_occurrences=2, n_docs=2
+    assert len(out) == 8
+    assert all(r.n_occurrences == 2 and r.n_docs == 2 for r in out)
