@@ -219,6 +219,7 @@ def duplicate_passages(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    digest: str = "xxhash64",
 ) -> DataFrame:
     """Passage-level EXACT-substring dedup — the fifth dedup family.
 
@@ -233,16 +234,26 @@ def duplicate_passages(
     stride=1 it is exhaustive over token offsets).
 
     Scale shape: window construction is pure JVM higher-order functions
-    (split -> sequence -> transform(slice + md5) -> posexplode), so ONLY
-    (doc_id, 16-byte digest, token_start) rows ever reach the shuffle —
-    never window text. The groupBy gets map-side partial aggregation; the
-    dup-digest join back is a semi-join on the digest (candidates ~
-    O(true duplicate windows)). At 100 TB the shuffle is O(tokens/stride)
-    fixed-width rows.
+    (split -> sequence -> transform(slice + hash) -> posexplode), so ONLY
+    (doc_id, digest, token_start) rows ever reach the shuffle — never
+    window text. The digests are near-unique, so map-side partial
+    aggregation cannot shrink the shuffle: its size is O(tokens/stride)
+    fixed-width rows and the per-row width is the lever. The default
+    ``digest="xxhash64"`` ships an 8-byte long (~24 B/row: at a 25T-token
+    100 TB corpus with stride 5 that is ~120 TB of shuffle — heavy but
+    linear and embarrassingly partitioned; double the stride to halve it).
+    ``digest="md5"`` ships the 32-char hex string instead (~2.3x the
+    shuffle) and exists because DuckDB computes identical md5 — it is the
+    oracle-checkable variant (q_duplicate_passages); both variants share
+    every other plan node. The dup-digest join back is on the digest
+    (candidates ~ O(true duplicate windows)).
 
     Returns (doc_id, token_start, digest, n_occurrences, n_docs) for every
     window that is part of a duplicated passage.
     """
+    if digest not in ("xxhash64", "md5"):
+        raise ValueError(f"digest must be 'xxhash64' or 'md5', got {digest!r}")
+    hash_fn = F.md5 if digest == "md5" else F.xxhash64
     toks = F.split(F.col(text_col), r"\s+")
     starts = F.when(
         F.size("tk") >= window,
@@ -253,7 +264,7 @@ def duplicate_passages(
         .select(F.col(id_col), F.posexplode(
             F.transform(
                 starts,
-                lambda i: F.md5(
+                lambda i: hash_fn(
                     F.concat_ws(" ", F.slice(F.col("tk"), i + F.lit(1), F.lit(window)))
                 ),
             )

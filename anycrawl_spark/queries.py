@@ -1856,7 +1856,7 @@ def q_duplicate_passages(spark, sf_dir):
     from anycrawl_spark.operators.dedup import duplicate_passages
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return duplicate_passages(docs, window=8, stride=4, min_count=2)
+    return duplicate_passages(docs, window=8, stride=4, min_count=2, digest="md5")
 
 
 # ---------------------------------------------------------------------------

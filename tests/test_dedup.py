@@ -134,3 +134,11 @@ def test_duplicate_passages_exact_dup_docs_fully_flagged(spark):
     # starts 0,4,8,12 per doc -> 8 rows, all n_occurrences=2, n_docs=2
     assert len(out) == 8
     assert all(r.n_occurrences == 2 and r.n_docs == 2 for r in out)
+    # digest variants flag the same (doc, offset) set: xxhash64 is the
+    # scale default (8-byte shuffle rows), md5 the oracle-checkable form
+    md5_out = duplicate_passages(docs, window=8, stride=4, digest="md5").collect()
+    assert {(r.doc_id, r.token_start) for r in md5_out} == \
+        {(r.doc_id, r.token_start) for r in out}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        duplicate_passages(docs, digest="sha1")
