@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines over ``documents``.
 
-Four families, each scale-designed:
+Five families, each scale-designed:
 
 - **exact**: md5-fingerprint groupBy, keep min doc_id. One shuffle on the
   16-byte hash; at 100 TB the shuffle carries (hash, doc_id) only — never the
@@ -15,8 +15,14 @@ Four families, each scale-designed:
 - **n-gram Jaccard**: exact verify kernel used by LSH; also exposed directly
   with a length-bucket blocking key for small candidate sets.
 
-MinHash/exact/jaccard are DuckDB-oracle-checkable (md5 on both engines);
-SimHash uses xxhash64 (JVM) => rows-only check.
+- **passage-level exact-substring** (``duplicate_passages``): Lee et al.
+  2021 ExactSubstr recast as stride-window fingerprint groupBy — finds
+  verbatim passages REPEATED WITHIN otherwise-distinct documents, which
+  none of the doc-level families can.
+
+MinHash/exact/jaccard/passage are DuckDB-oracle-checkable (md5 on both
+engines); SimHash uses xxhash64 (JVM) => value-checked via the md5
+variant.
 """
 
 from __future__ import annotations
@@ -248,13 +254,24 @@ def duplicate_passages(
     every other plan node. The dup-digest join back is on the digest
     (candidates ~ O(true duplicate windows)).
 
+    Collision honesty: both digests make this APPROXIMATE-exact — at 5e12
+    windows a 64-bit digest expects ~n^2/2^65 = ~7e5 colliding unrelated
+    window PAIRS (md5: ~0). Before deleting text on the output, recheck
+    candidates against the window text (a join back to ``docs`` on
+    (doc_id, token_start) — O(flagged windows), not O(corpus)).
+
+    Tokenization is the explicit class ``[ \t\n\x0B\f\r]+`` rather
+    than ``\s`` because Java and RE2 disagree on ``\s`` membership
+    (Java includes vertical tab, RE2 does not) — the oracle splits with
+    the byte-identical RE2 class.
+
     Returns (doc_id, token_start, digest, n_occurrences, n_docs) for every
     window that is part of a duplicated passage.
     """
     if digest not in ("xxhash64", "md5"):
         raise ValueError(f"digest must be 'xxhash64' or 'md5', got {digest!r}")
     hash_fn = F.md5 if digest == "md5" else F.xxhash64
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.split(F.col(text_col), "[ \t\n\x0B\f\r]+")
     starts = F.when(
         F.size("tk") >= window,
         F.sequence(F.lit(0), F.size("tk") - window, F.lit(stride)),

@@ -149,11 +149,18 @@ def detect_host_skew(
     """
     if upper_bound is not None and upper_bound < threshold_rows:
         return False
+    row = skew_sample_counts(pending, sample_mod).agg(F.max("count")).first()
+    return int(row[0] or 0) * sample_mod >= threshold_rows
+
+
+def skew_sample_counts(pending: DataFrame, sample_mod: int) -> DataFrame:
+    """The detector's sampled per-(job, host) count pipeline — factored out
+    so the plan audit (scripts/explain_plans.py check 12) inspects the
+    OPERATOR's own plan, not a hand-rebuilt copy."""
     df = pending
     if sample_mod > 1:
         df = df.filter(F.pmod(F.col("url_hash"), F.lit(sample_mod)) == 0)
-    row = df.groupBy("job_id", "host").count().agg(F.max("count")).first()
-    return int(row[0] or 0) * sample_mod >= threshold_rows
+    return df.groupBy("job_id", "host").count()
 
 
 def apply_politeness_auto(

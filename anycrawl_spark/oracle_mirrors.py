@@ -482,7 +482,8 @@ def sql_duplicate_passages(
     construction and md5 fingerprints, so this is a true value oracle."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+  SELECT doc_id,
+         regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS t
   FROM documents WHERE doc_id < {max_doc_id}),
 win AS (
   SELECT doc_id,

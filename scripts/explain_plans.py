@@ -155,10 +155,12 @@ def main() -> int:
     #     media_ref strings (the distinct), never payload bytes — media
     #     bytes stay inside the narrow Arrow maps
     p = plan_of(QUERIES["q_media_features"](spark, SF))
-    exch_args = re.findall(r"^\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p, re.M)
+    exch_args = re.findall(
+        r"^\(\d+\) (?:Broadcast)?Exchange\nInput \[\d+\]: \[([^\]]*)\]", p, re.M
+    )
     check("q_media_features",
           all("payload" not in a for a in exch_args),
-          "no exchange ever carries payload bytes")
+          "no exchange (shuffle OR broadcast) ever carries payload bytes")
     check("q_media_features",
           len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 2,
           "materialize + decode are narrow Arrow maps (2 stages, fixture-side; production reads bytes from storage into ONE stage)")
@@ -166,21 +168,22 @@ def main() -> int:
 
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
-    #     shuffle carries partial counts, not rows)
-    from anycrawl_spark.operators.gates import detect_host_skew  # noqa: F401
+    #     shuffle carries partial counts, not rows). Audits the OPERATOR's
+    #     own pipeline builder, not a hand-rebuilt copy.
+    from anycrawl_spark.operators.gates import skew_sample_counts
 
-    sample = (
-        pending.filter(F.pmod(F.col("url_hash"), F.lit(64)) == 0)
-        .groupBy("job_id", "host").count()
-        .agg(F.max("count"))
-    )
-    p = plan_of(sample)
-    first_exchange = p.find("Exchange")
-    first_filter = p.find("Filter")
+    p = plan_of(skew_sample_counts(pending, 64).agg(F.max("count")))
+
+    def node_no(name: str) -> int:
+        m = re.search(rf"^\((\d+)\) {name}\b", p, re.M)
+        return int(m.group(1)) if m else -1
+
     check("skew_detection", "partial_count" in p or "partial_max" in p,
           "two-phase aggregation (map-side partial counts)")
+    # detail sections are numbered leaf-first, so filter-below-shuffle
+    # means the Filter node number is SMALLER than the first Exchange's
     check("skew_detection",
-          0 <= first_exchange < first_filter or "PushedFilters" in p,
+          0 < node_no("Filter") < node_no("Exchange"),
           "sample filter applied below the shuffle")
     sections.append(("skew_detection", p))
 

@@ -5,7 +5,9 @@ MINIMATCH_GOLDENS were generated against the real public minimatch library
 ^10.0.3 whose glob semantics are identical) with ``minimatch(s, pattern,
 {dot: true})`` — exactly the call the reference's preNavHook makes. A
 4000-case random fuzz against the same library also passed at generation
-time; these 79 pin the interesting edges permanently.
+time; these pin the interesting edges permanently (79 original + the
+round-4 additions below, regenerated after the v9 parity deep-dive; a
+skippable live differential fuzz runs whenever node is present).
 """
 
 import json
@@ -182,7 +184,6 @@ def test_glob_match_differential_fuzz_vs_real_minimatch():
     same one the goldens were generated from). 3000 cases spanning paths,
     dot segments, multi-slashes, braces, classes and (nested/negation)
     extglobs — any divergence prints the failing triples."""
-    import json as _json
     import random
     import subprocess
 
@@ -216,10 +217,14 @@ def test_glob_match_differential_fuzz_vs_real_minimatch():
         "  catch (e) { return null; }})));"
     )
     out = subprocess.run(
-        ["node", "-e", script], input=_json.dumps(cases),
+        ["node", "-e", script], input=json.dumps(cases),
         capture_output=True, text=True, timeout=120,
     )
-    ref = _json.loads(out.stdout)
+    assert out.returncode == 0, out.stderr[:500]
+    ref = json.loads(out.stdout)
+    # guard against a vacuous pass (e.g. an incompatible minimatch whose
+    # every call throws and maps to null)
+    assert sum(r is not None for r in ref) > len(cases) * 0.9
     diverging = [
         (cases[i], glob_match(*cases[i]), ref[i])
         for i in range(len(cases))
