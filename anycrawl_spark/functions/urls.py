@@ -56,7 +56,10 @@ def canonicalize_url_host(url: str) -> tuple[str | None, str | None]:
     """
     if not url:
         return None, None
-    url = fix_malformed(url.strip())
+    # drop the fragment BEFORE trimming: a whitespace run just before '#'
+    # must not survive into the canonical path (idempotency — the second
+    # canonicalization would strip it as trailing whitespace)
+    url = fix_malformed(url.split("#", 1)[0].strip())
     try:
         parts = urlsplit(url)
     except ValueError:
