@@ -218,6 +218,106 @@ def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One hash-min round: every vertex takes min(own label, neighbour labels).
+
+    Shape (audited in scripts/explain_plans.py): shuffle join on dst + a
+    two-phase groupBy(src) min — fixed-width id/label columns only — then a
+    left join back onto labels. Pure JVM; no python stage."""
+    nbr_min = (
+        edges.join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.min("dlabel").alias("nbr_min"))
+    )
+    return labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left").select(
+        "id",
+        F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS (connected components).
+
+    The pair-producing families (LSH+Jaccard verify, embedding near-dup,
+    SimHash buckets) emit edges; an actual dedup pass needs components:
+    if A~B and B~C, then {A, B, C} is ONE cluster and exactly one document
+    survives. This is the keep/drop decision stage of the pipeline —
+    cluster_id = min member id, is_canonical marks the survivor (the
+    min-id keep rule every family here already uses).
+
+    Algorithm: hash-min label propagation. Every vertex starts labelled
+    with its own id; each round every vertex takes the min of its own
+    label and its neighbours' labels; converged when no label changes.
+    Rounds needed = max component DIAMETER, and near-dup components are
+    near-cliques (LSH+verify emits most intra-cluster pairs directly), so
+    2-4 rounds is typical regardless of corpus size. For adversarial
+    long-chain graphs the O(log n)-round alternating large-star/small-star
+    algorithm (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond", public) is the known upgrade — not needed for dedup graphs,
+    documented so the trade-off is explicit.
+
+    Scale shape, per round: ONE shuffle join of edges with labels on the
+    dst id + ONE groupBy(src) min — both carry two fixed-width columns,
+    never text; plus one O(V) convergence count. The label frame is
+    ``localCheckpoint``-ed each round to truncate lineage (iterative plans
+    otherwise grow unboundedly); on a real cluster with a checkpoint dir,
+    reliable ``checkpoint`` is the drop-in upgrade. Edges are persisted
+    once and reused every round. No driver-side collect anywhere — the
+    convergence signal is a count, not the data.
+
+    Raises RuntimeError if not converged within ``max_iters`` (silent
+    partial clusters would under-delete duplicates).
+
+    Returns (id_col, cluster_id, cluster_size, is_canonical) for every
+    document that appears in >= 1 pair (singletons are their own trivial
+    cluster and never reach this operator).
+    """
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    edges = sym.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iters):
+        new_labels = _propagate_round(edges, labels).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters; raise max_iters or use "
+            "large-star/small-star)"
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def duplicate_passages(
     docs: DataFrame,
     window: int = 20,
@@ -227,7 +327,7 @@ def duplicate_passages(
     text_col: str = "text",
     digest: str = "xxhash64",
 ) -> DataFrame:
-    """Passage-level EXACT-substring dedup — the fifth dedup family.
+    r"""Passage-level EXACT-substring dedup — the fifth dedup family.
 
     The reference point is the ExactSubstr dedup of Lee et al. 2021
     ("Deduplicating Training Data Makes Language Models Better",

@@ -1859,6 +1859,89 @@ def q_duplicate_passages(spark, sf_dir):
     return duplicate_passages(docs, window=8, stride=4, min_count=2, digest="md5")
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs resolved into duplicate CLUSTERS (connected components
+    via hash-min label propagation, ``operators/dedup.duplicate_clusters``) —
+    the keep/drop decision stage of the dedup pipeline. The planted corpus
+    forms 3-doc components: doc i (<20) gets a -3-token mutation at i+10000
+    and a -6-token mutation at i+20000, so {i, i+10000, i+20000} must
+    assemble into ONE cluster (transitively, even where an individual edge
+    is sub-threshold), cluster_id = i, is_canonical only on i.
+
+    NOT in the driver contract — the contract is capped at the driver's
+    50-entry check window (VERDICT r3 ask #1); verified by the local oracle
+    gate (verify_against_duckdb / tests/test_queries_oracle.py) against a
+    DuckDB recursive-CTE transitive closure."""
+    from anycrawl_spark.operators.dedup import duplicate_clusters, near_duplicates
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+
+    def _mut(offset: int, drop: int):
+        return d.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(F.size(toks) - drop, F.lit(1)))
+            ).alias("text"),
+        )
+
+    corpus = d.unionByName(_mut(10000, 3)).unionByName(_mut(20000, 6))
+    pairs = near_duplicates(corpus, threshold=0.5, bands=12)
+    return duplicate_clusters(pairs)
+
+
+# Exact all-pairs restatement of the same pipeline + WITH RECURSIVE
+# transitive closure: components = min reachable id per vertex.
+SQL_DUP_CLUSTERS = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 20),
+tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM base),
+mut1 AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(tk[1:greatest(len(tk) - 3, 1)], ' ') AS text FROM tokd),
+mut2 AS (
+  SELECT doc_id + 20000 AS doc_id,
+         array_to_string(tk[1:greatest(len(tk) - 6, 1)], ' ') AS text FROM tokd),
+alldocs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT doc_id, text FROM mut1
+  UNION ALL SELECT doc_id, text FROM mut2),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+                                 FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)])
+         END AS sh
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM alldocs)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4)
+        >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -2054,9 +2137,11 @@ ORACLES["q_template_render"] = _mir.sql_template_render()
 
 EXTRA_QUERIES = {
     "q_duplicate_passages": q_duplicate_passages,
+    "q_dup_clusters": q_dup_clusters,
 }
 EXTRA_ORACLES = {
     "q_duplicate_passages": _mir.sql_duplicate_passages(
         window=8, stride=4, min_count=2, max_doc_id=200
     ),
+    "q_dup_clusters": SQL_DUP_CLUSTERS,
 }

@@ -187,6 +187,29 @@ def main() -> int:
           "sample filter applied below the shuffle")
     sections.append(("skew_detection", p))
 
+    # 13. duplicate-cluster label propagation (r4): one hash-min round —
+    #     audits the operator's own _propagate_round (not a hand-copy).
+    #     Pure JVM (no python stage), two-phase min (map-side partial),
+    #     no cartesian; the loop in duplicate_clusters localCheckpoints
+    #     between rounds so this IS the whole steady-state per-round plan.
+    from anycrawl_spark.operators.dedup import _propagate_round
+
+    edges = pending.select(
+        F.col("url_hash").alias("src"), (F.col("url_hash") % 97).alias("dst")
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    p = plan_of(_propagate_round(edges, labels))
+    check("dup_clusters_round",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "label propagation is pure JVM (no python stage)")
+    check("dup_clusters_round", "partial_min" in p,
+          "two-phase min (map-side partial aggregation)")
+    check("dup_clusters_round", "Cartesian" not in p,
+          "no cartesian anywhere in the round")
+    sections.append(("dup_clusters_round", p))
+
     spark.stop()
 
     lines = ["# PLANS.md — physical-plan audit (generated by scripts/explain_plans.py)", ""]

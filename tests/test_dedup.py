@@ -142,3 +142,53 @@ def test_duplicate_passages_exact_dup_docs_fully_flagged(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         duplicate_passages(docs, digest="sha1")
+
+
+# --- duplicate_clusters (connected components over pairs) -------------------
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["id_a", "id_b"]))
+
+
+def test_duplicate_clusters_chain_transitivity(spark):
+    """A 5-vertex chain (diameter 4) needs >1 propagation round; the whole
+    chain must land in one cluster rooted at the min id."""
+    from anycrawl_spark.operators.dedup import duplicate_clusters
+
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+    out = {r.doc_id: r for r in duplicate_clusters(pairs).collect()}
+    assert {r.cluster_id for r in out.values() if r.doc_id <= 5} == {1}
+    assert all(out[i].cluster_size == 5 for i in (1, 2, 3, 4, 5))
+    assert out[10].cluster_id == 10 and out[10].cluster_size == 2
+    assert {i for i, r in out.items() if r.is_canonical} == {1, 10}
+
+
+def test_duplicate_clusters_symmetric_and_duplicate_edges(spark):
+    """Repeated and reversed input pairs collapse to the same components."""
+    from anycrawl_spark.operators.dedup import duplicate_clusters
+
+    pairs = _pairs(spark, [(7, 3), (3, 7), (3, 7), (3, 9)])
+    out = {r.doc_id: (r.cluster_id, r.cluster_size) for r in duplicate_clusters(pairs).collect()}
+    assert out == {3: (3, 3), 7: (3, 3), 9: (3, 3)}
+
+
+def test_duplicate_clusters_string_ids(spark):
+    """Labels are generic: string doc ids order lexicographically."""
+    from anycrawl_spark.operators.dedup import duplicate_clusters
+
+    pairs = _pairs(spark, [("b", "c"), ("a", "c")])
+    out = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """A diameter-4 chain cannot converge in 2 rounds (hash-min moves the min
+    one hop per round, plus the final no-change round) — must raise, never
+    return partial clusters."""
+    import pytest
+
+    from anycrawl_spark.operators.dedup import duplicate_clusters
+
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=2)
