@@ -214,6 +214,42 @@ def make_robots_filter(robots_rules_by_host: dict[str, list[tuple[str, str]]]):
     return robots_allowed
 
 
+def make_robots_text_gate(texts_by_host: dict[str, str], agent: str):
+    """Arrow gate over RAW robots.txt texts (RFC 9309, functions/robots.py).
+
+    Texts are per-HOST config (broadcast-sized: O(hosts), not O(urls));
+    they are parsed ONCE here on the driver. Per candidate the decision
+    picks the cheapest kernel: wildcard-free hosts compile down to the
+    engine's longest-prefix kernel (``robots_decision`` — the exact path
+    the crawl engine/simulator already share), hosts with ``*``/``$``
+    patterns run the full RFC longest-match wildcard matcher. Hosts with
+    no robots.txt or no applicable group default to allowed.
+
+    Returns a struct UDF: (allowed boolean, kernel string, crawl_delay
+    double) over (host, url) — kernel is 'prefix'/'rfc'/'none' so callers
+    (and the q_robots_gate oracle) can see which path decided.
+    """
+    from anycrawl_spark.functions.robots import compile_robots, robots_allowed_rfc
+
+    compiled = compile_robots(texts_by_host, agent)
+    prefix, rfc, delays = compiled["prefix"], compiled["rfc"], compiled["delays"]
+
+    @F.pandas_udf("allowed boolean, kernel string, crawl_delay double")
+    def robots_text_gate(host: pd.Series, url: pd.Series) -> pd.DataFrame:
+        out = []
+        for h, u in zip(host, url):
+            path = robots_path(u)
+            if h in prefix:
+                out.append((robots_decision(prefix[h], path), "prefix", delays.get(h)))
+            elif h in rfc:
+                out.append((robots_allowed_rfc(rfc[h], path), "rfc", delays.get(h)))
+            else:
+                out.append((True, "none", delays.get(h)))
+        return pd.DataFrame(out, columns=["allowed", "kernel", "crawl_delay"])
+
+    return robots_text_gate
+
+
 def make_job_gate(jobs: list[dict]):
     """Vectorized per-job candidate gate: scope keys + path patterns.
 

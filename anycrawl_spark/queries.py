@@ -1942,6 +1942,80 @@ FROM comp c JOIN sizes s USING (cluster_id)
 """
 
 
+def q_robots_gate(spark, sf_dir):
+    """RFC 9309 robots.txt gating over RAW robots.txt text
+    (functions/robots.py parse + group-select + wildcard longest-match;
+    operators/gates.make_robots_text_gate). Fixture texts exercise: the
+    wildcard-free compile-down to the engine's longest-prefix kernel, the
+    ``*``/``$`` RFC matcher with allow/disallow specificity ties, agent-
+    specific group selection (product token 'anycrawl'), inapplicable
+    groups, missing robots.txt, and crawl-delay extraction.
+
+    NOT in the driver contract (50-entry window); value-checked by the
+    local gate against a HAND-ENUMERATED oracle (every expected row
+    derived by hand from RFC 9309 §2.2, same convention as
+    q_template_render's oracle)."""
+    from anycrawl_spark.operators.gates import make_robots_text_gate
+
+    texts = {
+        "a.example": "User-agent: *\nDisallow: /private\nAllow: /private/ok\n",
+        "b.example": (
+            "User-agent: *\nDisallow: /*.php$\nAllow: /files\nCrawl-delay: 4\n"
+        ),
+        "c.example": (
+            "User-agent: anycrawl\nDisallow: /\nUser-agent: *\nDisallow: /none\n"
+        ),
+        "e.example": "User-agent: otherbot\nDisallow: /\n",
+    }
+    cands = [
+        ("a.example", "https://a.example/"),
+        ("a.example", "https://a.example/private"),
+        ("a.example", "https://a.example/private/ok"),
+        ("a.example", "https://a.example/privateer"),
+        ("a.example", "https://a.example/public"),
+        ("b.example", "https://b.example/x.php"),
+        ("b.example", "https://b.example:8443/x.php5"),
+        ("b.example", "https://b.example/files/x.php"),
+        ("b.example", "https://b.example/files/doc.html"),
+        ("b.example", "https://b.example/y"),
+        ("c.example", "https://c.example/"),
+        ("c.example", "https://c.example/anything"),
+        ("d.example", "https://d.example/whatever"),
+        ("e.example", "https://e.example/whatever"),
+    ]
+    gate = make_robots_text_gate(texts, agent="AnyCrawl/1.0")
+    df = spark.createDataFrame(cands, "host string, url string")
+    return df.withColumn("g", gate("host", "url")).select(
+        "host", "url", "g.allowed", "g.kernel", "g.crawl_delay"
+    )
+
+
+# Hand-derived expected rows (RFC 9309 §2.2 semantics, worked by hand):
+# a.example compiles to the prefix kernel; b.example needs the RFC matcher
+# (/*.php$ wildcard; note /files/x.php matches BOTH rules and the longer
+# disallow (7) beats allow (6)); c.example selects the 'anycrawl' group
+# (disallow all, wildcard-free => prefix kernel); d has no robots.txt and
+# e's only group is inapplicable => default allowed, kernel 'none'.
+SQL_ROBOTS_GATE = """
+SELECT * FROM (VALUES
+  ('a.example', 'https://a.example/',               true,  'prefix', CAST(NULL AS DOUBLE)),
+  ('a.example', 'https://a.example/private',        false, 'prefix', CAST(NULL AS DOUBLE)),
+  ('a.example', 'https://a.example/private/ok',     true,  'prefix', CAST(NULL AS DOUBLE)),
+  ('a.example', 'https://a.example/privateer',      false, 'prefix', CAST(NULL AS DOUBLE)),
+  ('a.example', 'https://a.example/public',         true,  'prefix', CAST(NULL AS DOUBLE)),
+  ('b.example', 'https://b.example/x.php',          false, 'rfc',    4.0),
+  ('b.example', 'https://b.example:8443/x.php5',    true,  'rfc',    4.0),
+  ('b.example', 'https://b.example/files/x.php',    false, 'rfc',    4.0),
+  ('b.example', 'https://b.example/files/doc.html', true,  'rfc',    4.0),
+  ('b.example', 'https://b.example/y',              true,  'rfc',    4.0),
+  ('c.example', 'https://c.example/',               false, 'prefix', CAST(NULL AS DOUBLE)),
+  ('c.example', 'https://c.example/anything',       false, 'prefix', CAST(NULL AS DOUBLE)),
+  ('d.example', 'https://d.example/whatever',       true,  'none',   CAST(NULL AS DOUBLE)),
+  ('e.example', 'https://e.example/whatever',       true,  'none',   CAST(NULL AS DOUBLE))
+) AS t(host, url, allowed, kernel, crawl_delay)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -2138,10 +2212,12 @@ ORACLES["q_template_render"] = _mir.sql_template_render()
 EXTRA_QUERIES = {
     "q_duplicate_passages": q_duplicate_passages,
     "q_dup_clusters": q_dup_clusters,
+    "q_robots_gate": q_robots_gate,
 }
 EXTRA_ORACLES = {
     "q_duplicate_passages": _mir.sql_duplicate_passages(
         window=8, stride=4, min_count=2, max_doc_id=200
     ),
     "q_dup_clusters": SQL_DUP_CLUSTERS,
+    "q_robots_gate": SQL_ROBOTS_GATE,
 }

@@ -1,0 +1,169 @@
+"""RFC 9309 robots.txt parser + matcher tests.
+
+The precedence/anchor cases are hand-written from the published RFC 9309
+examples (§2.2.2 / §5) and the documented behavior of Google's public
+robotstxt matcher — no reference-repo counterpart exists (robots gating is
+rebuild-added functionality, SURVEY §2.3 J6).
+"""
+
+from anycrawl_spark.crawl.params import robots_decision
+from anycrawl_spark.functions.robots import (
+    as_prefix_rules,
+    compile_robots,
+    match_pattern,
+    parse_robots_txt,
+    product_token,
+    robots_allowed_rfc,
+    select_group,
+)
+
+SAMPLE = """
+# global comment
+Sitemap: https://example.com/sitemap.xml
+
+User-agent: FooBot
+Disallow: /private/        # trailing comment
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: BarBot
+User-agent: BazBot
+Disallow: /bar
+Unknown-directive: whatever
+
+Disallow: /ignored-no-group-restart
+User-agent: *
+Disallow: /all
+Sitemap: https://example.com/extra.xml
+"""
+
+
+def test_parse_groups_and_globals():
+    p = parse_robots_txt(SAMPLE)
+    assert [g["agents"] for g in p["groups"]][:3] == [["foobot"], ["barbot", "bazbot"], ["*"]]
+    foo = p["groups"][0]
+    assert foo["rules"] == [("disallow", "/private/"), ("allow", "/private/ok")]
+    assert foo["crawl_delay"] == 2.5
+    # the dangling Disallow after a rules block starts NO new group — but it
+    # also does not belong to BarBot's group (a rules line after rules with
+    # no new user-agent line stays in the current group per the RFC grammar)
+    assert ("disallow", "/ignored-no-group-restart") in p["groups"][1]["rules"]
+    assert p["sitemaps"] == [
+        "https://example.com/sitemap.xml",
+        "https://example.com/extra.xml",
+    ]
+
+
+def test_parse_edge_cases():
+    # rules before any user-agent line are ignored; empty patterns dropped
+    p = parse_robots_txt("Disallow: /early\nUser-agent: a\nDisallow:\nAllow: /x")
+    assert p["groups"] == [{"agents": ["a"], "rules": [("allow", "/x")], "crawl_delay": None}]
+    # keys are case-insensitive, values keep case
+    p = parse_robots_txt("USER-AGENT: FooBot\nDISALLOW: /CaseSensitivePath")
+    assert p["groups"][0] == {
+        "agents": ["foobot"],
+        "rules": [("disallow", "/CaseSensitivePath")],
+        "crawl_delay": None,
+    }
+    assert parse_robots_txt("")["groups"] == []
+    assert parse_robots_txt(None)["groups"] == []
+
+
+def test_product_token():
+    assert product_token("FooBot/2.1 (+http://foo.example)") == "foobot"
+    assert product_token("  Mozilla/5.0") == "mozilla"
+    assert product_token("***") == ""
+
+
+def test_group_selection_longest_prefix_token():
+    txt = (
+        "User-agent: *\nDisallow: /star\n"
+        "User-agent: foo\nDisallow: /foo\n"
+        "User-agent: foobot\nDisallow: /foobot\n"
+    )
+    p = parse_robots_txt(txt)
+    # longest matching token wins: foobot > foo > *
+    assert select_group(p, "FooBot/1.0")["rules"] == [("disallow", "/foobot")]
+    # 'foo' itself matches only the 'foo' group (foobot is not a prefix of foo)
+    assert select_group(p, "foo")["rules"] == [("disallow", "/foo")]
+    # unknown crawler falls back to *
+    assert select_group(p, "OtherBot")["rules"] == [("disallow", "/star")]
+    # equally-specific groups merge their rules (RFC "combine")
+    p2 = parse_robots_txt(
+        "User-agent: a\nDisallow: /one\nUser-agent: a\nAllow: /two\nCrawl-delay: 7\n"
+    )
+    merged = select_group(p2, "a")
+    assert merged["rules"] == [("disallow", "/one"), ("allow", "/two")]
+    assert merged["crawl_delay"] == 7.0
+    assert select_group(parse_robots_txt("User-agent: x\nDisallow: /"), "y") is None
+
+
+def test_pattern_matching():
+    assert match_pattern("/fish", "/fish.html")          # implicit prefix
+    assert match_pattern("/fish", "/fishheads/yes.html")
+    assert not match_pattern("/fish", "/Fish.asp")       # paths are case-sensitive
+    assert match_pattern("/fish*.php", "/fishheads/catfish.php?x=1")
+    assert match_pattern("/*.php", "/folder/any.php")
+    assert not match_pattern("/*.php$", "/file.php5")    # $ anchors the end
+    assert match_pattern("/*.php$", "/file.php")
+    assert match_pattern("/fish*", "/fish")
+    # '$' not at the end is a literal octet
+    assert match_pattern("/a$b", "/a$b/c")
+    assert not match_pattern("/a$b", "/ab")
+
+
+def test_precedence_rfc_examples():
+    # RFC 9309 §5.2-style cases: most specific (longest) match wins
+    rules = [("allow", "/example/page/"), ("disallow", "/example/page/index.html")]
+    assert not robots_allowed_rfc(rules, "/example/page/index.html")
+    assert robots_allowed_rfc(rules, "/example/page/other.html")
+    # equal length => allow wins
+    assert robots_allowed_rfc([("allow", "/folder"), ("disallow", "/folder")], "/folder/page")
+    # /page (len 5) vs /*.ph (len 5): tie => allow
+    assert robots_allowed_rfc([("allow", "/page"), ("disallow", "/*.ph")], "/page.php5")
+    # /page (5) vs /*.html (7): longer disallow wins
+    assert not robots_allowed_rfc([("allow", "/page"), ("disallow", "/*.html")], "/page.html")
+    # allow /$ + disallow /: only the exact root is allowed
+    rules = [("allow", "/$"), ("disallow", "/")]
+    assert robots_allowed_rfc(rules, "/")
+    assert not robots_allowed_rfc(rules, "/page")
+    # no matching rule => allowed
+    assert robots_allowed_rfc([("disallow", "/x")], "/y")
+    assert robots_allowed_rfc([], "/anything")
+
+
+def test_prefix_compile_down_matches_engine_kernel():
+    """Wildcard-free rulesets must decide identically under the RFC matcher
+    and the engine's longest-prefix kernel (crawl/params.robots_decision) —
+    the compile-down path swaps kernels without changing decisions."""
+    rules = [
+        ("disallow", "/private/"),
+        ("allow", "/private/ok"),
+        ("disallow", "/tmp"),
+        ("allow", "/tmp/keep/deeper"),
+    ]
+    assert as_prefix_rules(rules) == rules
+    paths = [
+        "/", "/private/", "/private/x", "/private/ok", "/private/okay/2",
+        "/tmp", "/tmp/keep", "/tmp/keep/deeper/file", "/other",
+    ]
+    for path in paths:
+        assert robots_allowed_rfc(rules, path) == robots_decision(rules, path), path
+    assert as_prefix_rules([("disallow", "/a*b")]) is None
+    assert as_prefix_rules([("disallow", "/a$")]) is None
+
+
+def test_compile_robots_splits_kernels():
+    texts = {
+        "plain.example": "User-agent: *\nDisallow: /private\nAllow: /private/ok\n",
+        "wild.example": "User-agent: *\nDisallow: /*.php$\nCrawl-delay: 3\n",
+        "empty.example": "User-agent: otherbot\nDisallow: /\n",
+        "sitemapped.example": "Sitemap: https://s.example/s.xml\nUser-agent: *\nDisallow:\n",
+    }
+    c = compile_robots(texts, "FooBot/1.0")
+    assert c["prefix"] == {"plain.example": [("disallow", "/private"), ("allow", "/private/ok")]}
+    assert c["rfc"] == {"wild.example": [("disallow", "/*.php$")]}
+    assert c["delays"] == {"wild.example": 3.0}
+    assert c["sitemaps"] == {"sitemapped.example": ["https://s.example/s.xml"]}
+    # 'empty.example' has no applicable group for FooBot => absent everywhere
+    assert "empty.example" not in c["prefix"] and "empty.example" not in c["rfc"]
