@@ -192,3 +192,48 @@ def test_duplicate_clusters_nonconvergence_raises(spark):
     pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(pairs, max_iters=2)
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Randomized cross-check: components from label propagation must equal a
+    pure-Python union-find on the same edge set (fixed seed, mixed topology —
+    cliques, chains, stars, isolated pairs)."""
+    import random
+
+    from anycrawl_spark.operators.dedup import duplicate_clusters
+
+    rng = random.Random(20260818)
+    nodes = list(range(200))
+    edges = []
+    # random sparse edges -> long chains + odd shapes
+    for _ in range(120):
+        a, b = rng.sample(nodes, 2)
+        edges.append((min(a, b), max(a, b)))
+    # a guaranteed 12-node chain (diameter 11) and an 8-clique
+    chain = rng.sample(range(200, 260), 12)
+    edges += list(zip(chain, chain[1:]))
+    clique = rng.sample(range(300, 340), 8)
+    edges += [(min(a, b), max(a, b)) for i, a in enumerate(clique) for b in clique[i + 1:]]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    out = {r.doc_id: r for r in duplicate_clusters(_pairs(spark, edges)).collect()}
+    assert {k: v.cluster_id for k, v in out.items()} == expected
+    from collections import Counter
+
+    sizes = Counter(expected.values())
+    assert all(r.cluster_size == sizes[r.cluster_id] for r in out.values())
+    assert all(r.is_canonical == (k == r.cluster_id) for k, r in out.items())
