@@ -207,6 +207,46 @@ def _run_phase_subprocess(name: str) -> dict:
             os.unlink(out_path)
 
 
+def _calib_kernel(_i: int) -> int:
+    """Fixed integer LCG+xorshift pass over a 4M-int64 array — ALU + DRAM
+    bound, deterministic, no I/O. ~0.3-0.6 s single-core on a quiet box."""
+    import numpy as np
+
+    a = np.arange(4_000_000, dtype=np.uint64)
+    for _ in range(24):
+        a = a * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+        a ^= a >> np.uint64(33)
+    return int(a[0] & np.uint64(0x7FFFFFFF))
+
+
+def machine_calibration() -> dict:
+    """Pure-CPU probe (no Spark): pins MACHINE speed at bench time.
+
+    Co-tenant interference has swung identical-code walls 30-50% between
+    rounds (r3 crawl_e2e 92 s -> r4 118-137 s with per-query times near
+    flat; BENCH/BASELINE.md noise notes) — recording a fixed workload's
+    wall next to the Spark walls makes cross-round comparisons
+    attributable. single = one-core kernel; multi = the same kernel in
+    CPUS forked processes at once (DRAM-bandwidth + scheduler pressure,
+    the regime Spark's many-small-jobs phases live in).
+    """
+    import multiprocessing as mp
+    import statistics
+
+    _calib_kernel(0)  # untimed warmup: cold numpy import + page faults
+    singles = []
+    for _ in range(3):
+        t0 = time.time()
+        _calib_kernel(0)
+        singles.append(time.time() - t0)
+    single = round(statistics.median(singles), 3)
+    t0 = time.time()
+    with mp.get_context("fork").Pool(CPUS) as pool:
+        pool.map(_calib_kernel, range(CPUS))
+    multi = round(time.time() - t0, 3)
+    return {"calib_single_sec": single, "calib_multi_sec": multi}
+
+
 def _scalars(d: dict) -> dict:
     """Scalar fields only — arrays/nested dicts go to the detail file, not
     the stdout line (VERDICT r3 #2: the r3 line outgrew the driver's tail
@@ -216,10 +256,12 @@ def _scalars(d: dict) -> dict:
 
 def bench_default() -> dict:
     t0 = time.time()
+    calib_pre = machine_calibration()
     q = _run_phase_subprocess("queries")
     c = _run_phase_subprocess("crawl")
     k = _run_phase_subprocess("kernel")
     s = _run_phase_subprocess("soak")
+    calib_post = machine_calibration()
     total = round(time.time() - t0, 2)
     queries = q["queries"]
     queries["frontier_kernel"] = k["frontier"]["wall_sec"]
@@ -251,6 +293,8 @@ def bench_default() -> dict:
         "frontier": _scalars(k["frontier"]),
         "crawl": _scalars(c["crawl"]),
         "soak": _scalars(s["soak"]),
+        "calib": {f"{k}_pre": v for k, v in calib_pre.items()}
+        | {f"{k}_post": v for k, v in calib_post.items()},
         "detail_file": "BENCH/last_run_detail.json",
     }
 
@@ -271,6 +315,7 @@ def _run_pair(pair: tuple[int, int], nruns: int) -> dict:
     from anycrawl_spark.session import get_spark
 
     results: dict[int, dict] = {}
+    calib = machine_calibration()  # machine state at run time (noise audit)
     for cores in pair:
         _wait_jvm_quiesce()
         spark = get_spark(f"bench-scale-{cores}", cores=cores, shuffle_partitions=cores * 2)
@@ -312,6 +357,7 @@ def _run_pair(pair: tuple[int, int], nruns: int) -> dict:
         f"fetch_pages_per_sec_{hi}": fhi["pages_per_sec"],
         "fetch_speedup": round(flo["wall_sec"] / fhi["wall_sec"], 2),
         "fetch_efficiency": fetch_eff,
+        "calib": calib,
     }
 
 
@@ -365,6 +411,8 @@ methodology as --scaling; median-of-5.
 Raw kernel walls: local[2] {k2['all_walls']}, local[8] {k8['all_walls']}.
 Raw fetch+extract walls: local[2] {f2['all_walls']}, local[8] {f8['all_walls']}.
 (scheduled {k8['n_scheduled']:,}; fresh-after-dedup {k8['n_fresh']:,})
+Machine calibration at run time (fixed pure-CPU probe; quiet-box reference
+~0.27 s single / ~2.6 s multi): {s.get('calib')}.
 
 Run with `python bench.py --gate`.
 """
