@@ -64,16 +64,23 @@ class ReferenceSimulator:
     ):
         self.params = params or CrawlParams()
         self.web = web
+        # mirrors CrawlEngine: wildcard rows (raw-robots.txt */$ patterns)
+        # route to the RFC 9309 kernel, mixed hosts fold entirely into it
         self.robots_by_host: dict[str, list[tuple[str, str]]] = {}
+        self.robots_rfc_by_host: dict[str, list[tuple[str, str]]] = {}
         self.delay_by_host: dict[str, int] = {}
         for r in robots:
-            self.robots_by_host.setdefault(r["host"], []).append(
-                (r["rule"], r["path_prefix"])
+            target = (
+                self.robots_rfc_by_host if r.get("wildcard") else self.robots_by_host
             )
+            target.setdefault(r["host"], []).append((r["rule"], r["path_prefix"]))
             if r.get("crawl_delay_ms"):
                 self.delay_by_host[r["host"]] = max(
                     self.delay_by_host.get(r["host"], 0), r["crawl_delay_ms"]
                 )
+        for h in list(self.robots_rfc_by_host):
+            if h in self.robots_by_host:
+                self.robots_rfc_by_host[h] += self.robots_by_host.pop(h)
         self.states: dict[str, SimJobState] = {}
         self.progress_rows: list[dict] = []
         for job in jobs:
@@ -91,9 +98,14 @@ class ReferenceSimulator:
     def _robots_ok(self, url: str) -> bool:
         host = url_host(url)
         rules = self.robots_by_host.get(host)
-        if not rules:
-            return True
-        return robots_decision(rules, robots_path(url))
+        if rules:
+            return robots_decision(rules, robots_path(url))
+        rfc = self.robots_rfc_by_host.get(host)
+        if rfc:
+            from anycrawl_spark.functions.robots import robots_allowed_rfc
+
+            return robots_allowed_rfc(rfc, robots_path(url))
+        return True
 
     def run(self) -> None:
         for rnd in range(self.params.max_rounds):

@@ -101,18 +101,32 @@ class CrawlEngine:
             auto_skew_threshold if auto_skew_threshold is not None
             else AUTO_SKEW_THRESHOLD_ROWS
         )
-        # small driver-side policy state (broadcast-sized; jobs dim, J3)
+        # small driver-side policy state (broadcast-sized; jobs dim, J3).
+        # Rows marked wildcard=True (from functions/robots.py
+        # robots_rows_from_texts — raw robots.txt with */$ patterns) route to
+        # the RFC 9309 longest-match kernel; plain rows stay on the
+        # longest-prefix fast path. A host lives in exactly one dict.
         self.robots_by_host: dict[str, list[tuple[str, str]]] = {}
+        self.robots_rfc_by_host: dict[str, list[tuple[str, str]]] = {}
         self.host_delays: dict[str, int] = {}
         for r in robots:
-            self.robots_by_host.setdefault(r["host"], []).append(
-                (r["rule"], r["path_prefix"])
+            target = (
+                self.robots_rfc_by_host if r.get("wildcard") else self.robots_by_host
             )
+            target.setdefault(r["host"], []).append((r["rule"], r["path_prefix"]))
             if r.get("crawl_delay_ms"):
                 self.host_delays[r["host"]] = max(
                     self.host_delays.get(r["host"], 0), r["crawl_delay_ms"]
                 )
-        self._candidate_gate = make_candidate_gate(jobs, self.robots_by_host)
+        for h in list(self.robots_rfc_by_host):
+            # mixed host: precedence spans the whole ruleset, so the RFC
+            # kernel (a superset of prefix matching on literal patterns)
+            # takes all of it
+            if h in self.robots_by_host:
+                self.robots_rfc_by_host[h] += self.robots_by_host.pop(h)
+        self._candidate_gate = make_candidate_gate(
+            jobs, self.robots_by_host, self.robots_rfc_by_host
+        )
         self.max_depth_by_job = {j["job_id"]: j["max_depth"] for j in jobs}
         self.limit_by_job = {j["job_id"]: j["limit"] for j in jobs}
         # mutable per-job counters (recovered from progress on resume)
@@ -212,9 +226,14 @@ class CrawlEngine:
 
         host = url_host(url)
         rules = self.robots_by_host.get(host)
-        if not rules:
-            return True
-        return robots_decision(rules, robots_path(url))
+        if rules:
+            return robots_decision(rules, robots_path(url))
+        rfc = self.robots_rfc_by_host.get(host)
+        if rfc:
+            from anycrawl_spark.functions.robots import robots_allowed_rfc
+
+            return robots_allowed_rfc(rfc, robots_path(url))
+        return True
 
     # ----------------------------------------------------- shard maintenance
 

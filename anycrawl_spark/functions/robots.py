@@ -187,6 +187,54 @@ def as_prefix_rules(rules: list[tuple[str, str]]) -> list[tuple[str, str]] | Non
     return list(rules)
 
 
+def robots_rows_from_texts(texts_by_host: dict[str, str], agent: str) -> list[dict]:
+    """Compile raw robots.txt texts into the crawl engine's rule-row format.
+
+    ``CrawlEngine`` / ``ReferenceSimulator`` consume ``{host, rule,
+    path_prefix, crawl_delay_ms}`` rows (the pre-parsed shape
+    ``synth.robots_rules`` emits). This is the bridge from REAL robots.txt
+    text: parse + group-select once per host, emit prefix rows for
+    wildcard-free hosts and ``wildcard: True`` rows (``path_prefix`` holds
+    the raw RFC pattern) for hosts that use ``*``/``$`` — the engine routes
+    those to :func:`robots_allowed_rfc` instead of the prefix kernel.
+    Crawl-delay seconds become ``crawl_delay_ms`` and feed the politeness
+    token table unchanged.
+    """
+    rows: list[dict] = []
+    compiled = compile_robots(texts_by_host, agent)
+    delay_ms = {h: int(round(d * 1000)) for h, d in compiled["delays"].items()}
+    for host, rules in compiled["prefix"].items():
+        for rule, pattern in rules:
+            rows.append(
+                {
+                    "host": host,
+                    "rule": rule,
+                    "path_prefix": pattern,
+                    "crawl_delay_ms": delay_ms.get(host, 0),
+                }
+            )
+    for host, rules in compiled["rfc"].items():
+        for rule, pattern in rules:
+            rows.append(
+                {
+                    "host": host,
+                    "rule": rule,
+                    "path_prefix": pattern,
+                    "crawl_delay_ms": delay_ms.get(host, 0),
+                    "wildcard": True,
+                }
+            )
+    # delay-only hosts (a crawl-delay but zero surviving rules) still need a
+    # row so the politeness table hears about them
+    for host, ms in delay_ms.items():
+        if host not in compiled["prefix"] and host not in compiled["rfc"]:
+            rows.append(
+                {"host": host, "rule": "allow", "path_prefix": "/",
+                 "crawl_delay_ms": ms}
+            )
+    return rows
+
+
 def compile_robots(texts_by_host: dict[str, str], agent: str) -> dict:
     """Parse every host's robots.txt once and split hosts by kernel.
 

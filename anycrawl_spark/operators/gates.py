@@ -306,16 +306,26 @@ def make_job_gate(jobs: list[dict]):
     return job_gate
 
 
-def make_candidate_gate(jobs: list[dict], robots_rules_by_host: dict[str, list[tuple[str, str]]]):
+def make_candidate_gate(
+    jobs: list[dict],
+    robots_rules_by_host: dict[str, list[tuple[str, str]]],
+    robots_rfc_by_host: dict[str, list[tuple[str, str]]] | None = None,
+):
     """ONE fused pandas UDF for the whole candidate gate chain:
     canonicalize -> host/scope keys -> strategy filter -> path patterns ->
     robots. Three python stages collapsed into one Arrow round trip (the
     chained-UDF version costs 2 extra serialization passes over every link
     per round).
 
+    ``robots_rfc_by_host`` carries hosts whose robots.txt uses ``*``/``$``
+    wildcards (functions/robots.py) — those run the RFC 9309 longest-match
+    kernel; everything else stays on the prefix fast path. Both dims are
+    broadcast-sized (per-host config).
+
     Returns a struct column fn: (job_id, url) -> struct<url, host, keep>.
     """
     from anycrawl_spark.crawl.params import robots_decision
+    from anycrawl_spark.functions.robots import robots_allowed_rfc
     from anycrawl_spark.functions.urls import (
         canonicalize_url, registrable_domain, url_host, url_origin,
     )
@@ -333,6 +343,7 @@ def make_candidate_gate(jobs: list[dict], robots_rules_by_host: dict[str, list[t
             "seed_origin": url_origin(seed) if seed else None,
         }
     robots = {h: list(rs) for h, rs in robots_rules_by_host.items()}
+    robots_rfc = {h: list(rs) for h, rs in (robots_rfc_by_host or {}).items()}
 
     out_type = T.StructType(
         [
@@ -373,6 +384,10 @@ def make_candidate_gate(jobs: list[dict], robots_rules_by_host: dict[str, list[t
                 rs = robots.get(h)
                 if rs:
                     ok = robots_decision(rs, robots_path(cu))
+                elif robots_rfc:
+                    rr = robots_rfc.get(h)
+                    if rr:
+                        ok = robots_allowed_rfc(rr, robots_path(cu))
             urls.append(cu); hosts.append(h); keeps.append(bool(ok))
         return pd.DataFrame({"url": urls, "host": hosts, "keep": keeps})
 

@@ -167,3 +167,59 @@ def test_compile_robots_splits_kernels():
     assert c["sitemaps"] == {"sitemapped.example": ["https://s.example/s.xml"]}
     # 'empty.example' has no applicable group for FooBot => absent everywhere
     assert "empty.example" not in c["prefix"] and "empty.example" not in c["rfc"]
+
+
+def test_crawl_from_robots_texts_parity(spark, tmp_path):
+    """E2E: a crawl gated by RAW robots.txt TEXT (wildcard + literal rules on
+    the seed host, so the whole ruleset folds into the RFC kernel) must stay
+    engine==simulator, every fetched URL must satisfy the RFC decision, the
+    wildcard rule must actually bite, and the text's crawl-delay must land in
+    the politeness token table."""
+    from anycrawl_spark import synth
+    from anycrawl_spark.crawl.params import CrawlParams, robots_path
+    from anycrawl_spark.crawl.simulator import ReferenceSimulator
+    from anycrawl_spark.crawl.superstep import CrawlEngine
+    from anycrawl_spark.functions.robots import robots_rows_from_texts
+    from anycrawl_spark.functions.urls import url_host
+
+    job = dict(synth.seed_jobs(1)[0], limit=40, max_depth=6)
+    seed_host = url_host(job["seed_url"])
+    texts = {
+        seed_host: (
+            "User-agent: anycrawl\n"
+            "Disallow: /p/*7$\n"     # wildcard: any page path ending in 7
+            "Disallow: /p/1\n"       # literal prefix: /p/1, /p/1x, /p/1xx
+            "Allow: /p/15\n"         # re-allows /p/15*
+            "Crawl-delay: 0.2\n"
+        ),
+        "unrelated.example": "User-agent: *\nDisallow: /\n",
+    }
+    rows = robots_rows_from_texts(texts, "AnyCrawl/1.0 (+https://example)")
+    # the compiled rows are wildcard-marked as a whole-host property
+    seed_rows = [r for r in rows if r["host"] == seed_host]
+    assert len(seed_rows) == 3 and all(r.get("wildcard") for r in seed_rows)
+    assert all(r["crawl_delay_ms"] == 200 for r in seed_rows)
+    params = CrawlParams(max_rounds=20)
+    sim = ReferenceSimulator([job], rows, params)
+    sim.run()
+    eng = CrawlEngine(spark, str(tmp_path / "rb"), [job], rows, params, num_buckets=4)
+    eng.init_state()
+    eng.run()
+    jid = job["job_id"]
+    assert eng.seen_sets()[jid] == sim.seen_sets()[jid]
+    assert eng.terminal_status()[jid] == sim.terminal_status()[jid]
+
+    # mixed literal+wildcard host folded entirely into the RFC kernel
+    assert seed_host in eng.robots_rfc_by_host and seed_host not in eng.robots_by_host
+    rules = eng.robots_rfc_by_host[seed_host]
+    fetched = sorted(eng.terminal_status()[jid])
+    assert len(fetched) > 10
+    for url in fetched:
+        path = robots_path(url)
+        assert robots_allowed_rfc(rules, path), f"robots violation: {url}"
+        assert not path.endswith("7"), url
+        assert not (path.startswith("/p/1") and not path.startswith("/p/15")), url
+    # the allow-override is reachable in this web: some /p/15* page was seen
+    assert any(robots_path(u).startswith("/p/15") for u in eng.seen_sets()[jid])
+    # crawl-delay seconds -> politeness ms
+    assert eng.host_delays[seed_host] == 200
