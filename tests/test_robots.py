@@ -223,3 +223,58 @@ def test_crawl_from_robots_texts_parity(spark, tmp_path):
     assert any(robots_path(u).startswith("/p/15") for u in eng.seen_sets()[jid])
     # crawl-delay seconds -> politeness ms
     assert eng.host_delays[seed_host] == 200
+
+
+# ---------------------------------------------------------------- fuzz layer
+
+def _brute_match(pattern: str, path: str) -> bool:
+    """Independent oracle for RFC pattern matching: recursive descent, no
+    regex. '*' matches any run (including empty); trailing '$' anchors;
+    everything else is a literal octet; match starts at path[0]."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+
+    def rec(i: int, j: int) -> bool:
+        if i == len(body):
+            return j == len(path) if anchored else True
+        if body[i] == "*":
+            return any(rec(i + 1, k) for k in range(j, len(path) + 1))
+        return j < len(path) and path[j] == body[i] and rec(i + 1, j + 1)
+
+    return rec(0, 0)
+
+
+def test_match_pattern_fuzz_vs_brute():
+    import random
+
+    from anycrawl_spark.functions.robots import match_pattern
+
+    rng = random.Random(20260818)
+    alphabet = "/ab1.*$?"
+    for _ in range(4000):
+        pattern = "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+        path = "/" + "".join(rng.choice("/ab1.$?") for _ in range(rng.randint(0, 8)))
+        assert match_pattern(pattern, path) == _brute_match(pattern, path), (
+            pattern, path,
+        )
+
+
+def test_wildcard_free_rfc_equals_prefix_kernel_fuzz():
+    """For any wildcard-free ruleset the RFC longest-match decision must equal
+    the engine's longest-prefix kernel on every path (this equivalence is what
+    licenses the compile-down in compile_robots)."""
+    import random
+
+    rng = random.Random(99)
+    for _ in range(1500):
+        rules = [
+            (
+                rng.choice(["allow", "disallow"]),
+                "/" + "".join(rng.choice("ab1/.") for _ in range(rng.randint(0, 5))),
+            )
+            for _ in range(rng.randint(1, 6))
+        ]
+        path = "/" + "".join(rng.choice("ab1/.") for _ in range(rng.randint(0, 8)))
+        assert robots_allowed_rfc(rules, path) == robots_decision(rules, path), (
+            rules, path,
+        )
