@@ -75,6 +75,25 @@ def robots_path(url: str) -> str:
         return "/"
 
 
+def robots_target(url: str) -> str:
+    """URL -> RFC 9309 match target: path plus ``?query`` when present.
+
+    RFC 9309 §2.2.2 matches rules against the path AND optional query —
+    ``Disallow: /*.php$`` must NOT block ``/x.php?id=1`` (the target ends
+    in the query), and ``Disallow: /*?sessionid=`` can only ever match
+    with the query attached. For ``?``-free patterns this decides
+    identically to the bare path, so the prefix kernel keeps its
+    semantics on every pre-parsed ruleset."""
+    from urllib.parse import urlsplit
+
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return "/"
+    path = parts.path or "/"
+    return f"{path}?{parts.query}" if parts.query else path
+
+
 def robots_decision(rules: list[tuple[str, str]], path: str) -> bool:
     """Longest-prefix-match allow/disallow; allowed by default.
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from anycrawl_spark import synth
-from anycrawl_spark.crawl.params import CrawlParams, is_retryable, robots_decision, robots_path
+from anycrawl_spark.crawl.params import CrawlParams, is_retryable, robots_decision, robots_target
 from anycrawl_spark.functions.patterns import compile_patterns, url_passes
 from anycrawl_spark.functions.urls import (
     canonicalize_url,
@@ -99,12 +99,12 @@ class ReferenceSimulator:
         host = url_host(url)
         rules = self.robots_by_host.get(host)
         if rules:
-            return robots_decision(rules, robots_path(url))
+            return robots_decision(rules, robots_target(url))
         rfc = self.robots_rfc_by_host.get(host)
         if rfc:
             from anycrawl_spark.functions.robots import robots_allowed_rfc
 
-            return robots_allowed_rfc(rfc, robots_path(url))
+            return robots_allowed_rfc(rfc, robots_target(url))
         return True
 
     def run(self) -> None:

@@ -222,17 +222,17 @@ class CrawlEngine:
         self.store.commit_round(-1)
 
     def _robots_ok_driver(self, url: str) -> bool:
-        from anycrawl_spark.crawl.params import robots_decision, robots_path
+        from anycrawl_spark.crawl.params import robots_decision, robots_target
 
         host = url_host(url)
         rules = self.robots_by_host.get(host)
         if rules:
-            return robots_decision(rules, robots_path(url))
+            return robots_decision(rules, robots_target(url))
         rfc = self.robots_rfc_by_host.get(host)
         if rfc:
             from anycrawl_spark.functions.robots import robots_allowed_rfc
 
-            return robots_allowed_rfc(rfc, robots_path(url))
+            return robots_allowed_rfc(rfc, robots_target(url))
         return True
 
     # ----------------------------------------------------- shard maintenance

@@ -41,6 +41,7 @@ user-agent matching).
 
 from __future__ import annotations
 
+import math
 import re
 from functools import lru_cache
 
@@ -92,6 +93,11 @@ def parse_robots_txt(text: str) -> dict:
                 sitemaps.append(value)
             # sitemap is a non-group record: does not end agent stacking
             continue
+        if key not in ("allow", "disallow", "crawl-delay"):
+            # RFC 9309 §2.2.4: unrecognized records (Host:, Clean-param:, …)
+            # must not interfere with parsing — in particular they must not
+            # split a stacked user-agent run into two groups
+            continue
         stacking_agents = False
         if cur is None:
             continue  # rules before any user-agent line: ignored
@@ -100,9 +106,13 @@ def parse_robots_txt(text: str) -> dict:
                 cur["rules"].append((key, value))
         elif key == "crawl-delay":
             try:
-                cur["crawl_delay"] = float(value)
+                delay = float(value)
             except ValueError:
-                pass
+                continue
+            # 'inf'/'nan' parse as floats but would blow up the ms
+            # conversion (and are hostile-input nonsense anyway)
+            if math.isfinite(delay):
+                cur["crawl_delay"] = delay
     return {"groups": groups, "sitemaps": sitemaps}
 
 
@@ -142,20 +152,41 @@ def select_group(parsed: dict, agent: str) -> dict | None:
 
 
 @lru_cache(maxsize=4096)
-def _compile_pattern(pattern: str) -> "re.Pattern[str]":
-    """robots pattern -> anchored regex: ``*`` -> ``.*``, trailing ``$`` ->
-    end anchor, everything else literal. Match is from the START of the
-    path (patterns are implicitly left-anchored)."""
+def _compile_pattern(pattern: str) -> tuple[tuple[str, ...], bool]:
+    """robots pattern -> (literal segments split on ``*``, end-anchored?).
+    A trailing ``$`` anchors at the end; elsewhere ``$`` is a literal."""
     anchored_end = pattern.endswith("$")
     body = pattern[:-1] if anchored_end else pattern
-    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
-    return re.compile(rx + (r"\Z" if anchored_end else ""))
+    return tuple(body.split("*")), anchored_end
 
 
-def match_pattern(pattern: str, path: str) -> bool:
-    """Does an RFC 9309 pattern match a URL path (+``?query`` if the
-    pattern targets the query)?"""
-    return _compile_pattern(pattern).match(path) is not None
+def match_pattern(pattern: str, target: str) -> bool:
+    """Does an RFC 9309 pattern match a URL's path+query match target?
+
+    Greedy leftmost segment scan — LINEAR in len(target), deliberately not
+    ``*``->``.*`` regex, whose backtracking is exponential on multi-star
+    patterns (a hostile ``/*a*a*...*a$`` robots.txt would wedge the
+    candidate-gate executor task for that host's URLs). Greedy is exact
+    here: with only ``*`` wildcards, placing each literal segment at its
+    leftmost occurrence never forecloses a later match; the end anchor is
+    checked against the fixed tail instead of scanned.
+    """
+    parts, anchored = _compile_pattern(pattern)
+    if not target.startswith(parts[0]):
+        return False
+    if len(parts) == 1:
+        return target == parts[0] if anchored else True
+    i = len(parts[0])
+    middle, last = parts[1:-1], parts[-1]
+    for seg in middle:
+        idx = target.find(seg, i)
+        if idx < 0:
+            return False
+        i = idx + len(seg)
+    if anchored:
+        return len(target) - len(last) >= i and target.endswith(last)
+    idx = target.find(last, i)
+    return idx >= 0
 
 
 def robots_allowed_rfc(rules: list[tuple[str, str]], path: str) -> bool:

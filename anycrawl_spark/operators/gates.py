@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from anycrawl_spark.crawl.params import CrawlParams, robots_decision, robots_path
+from anycrawl_spark.crawl.params import CrawlParams, robots_decision, robots_target
 from anycrawl_spark.functions.patterns import compile_patterns, url_passes
 from anycrawl_spark.functions.urls import (
     registrable_domain_udf,
@@ -208,7 +208,7 @@ def make_robots_filter(robots_rules_by_host: dict[str, list[tuple[str, str]]]):
             if not rs:
                 out.append(True)
                 continue
-            out.append(robots_decision(rs, robots_path(u)))
+            out.append(robots_decision(rs, robots_target(u)))
         return pd.Series(out)
 
     return robots_allowed
@@ -238,7 +238,7 @@ def make_robots_text_gate(texts_by_host: dict[str, str], agent: str):
     def robots_text_gate(host: pd.Series, url: pd.Series) -> pd.DataFrame:
         out = []
         for h, u in zip(host, url):
-            path = robots_path(u)
+            path = robots_target(u)
             if h in prefix:
                 out.append((robots_decision(prefix[h], path), "prefix", delays.get(h)))
             elif h in rfc:
@@ -383,11 +383,11 @@ def make_candidate_gate(
             if ok:
                 rs = robots.get(h)
                 if rs:
-                    ok = robots_decision(rs, robots_path(cu))
+                    ok = robots_decision(rs, robots_target(cu))
                 elif robots_rfc:
                     rr = robots_rfc.get(h)
                     if rr:
-                        ok = robots_allowed_rfc(rr, robots_path(cu))
+                        ok = robots_allowed_rfc(rr, robots_target(cu))
             urls.append(cu); hosts.append(h); keeps.append(bool(ok))
         return pd.DataFrame({"url": urls, "host": hosts, "keep": keeps})
 

@@ -1949,7 +1949,9 @@ def q_robots_gate(spark, sf_dir):
     wildcard-free compile-down to the engine's longest-prefix kernel, the
     ``*``/``$`` RFC matcher with allow/disallow specificity ties, agent-
     specific group selection (product token 'anycrawl'), inapplicable
-    groups, missing robots.txt, and crawl-delay extraction.
+    groups, missing robots.txt, crawl-delay extraction, and the RFC match
+    TARGET being path+query ($-anchored patterns must not block
+    query-bearing URLs; /*?sessionid= patterns only match with the query).
 
     NOT in the driver contract (50-entry window); value-checked by the
     local gate against a HAND-ENUMERATED oracle (every expected row
@@ -1966,6 +1968,7 @@ def q_robots_gate(spark, sf_dir):
             "User-agent: anycrawl\nDisallow: /\nUser-agent: *\nDisallow: /none\n"
         ),
         "e.example": "User-agent: otherbot\nDisallow: /\n",
+        "f.example": "User-agent: *\nDisallow: /*?sessionid=\n",
     }
     cands = [
         ("a.example", "https://a.example/"),
@@ -1982,6 +1985,14 @@ def q_robots_gate(spark, sf_dir):
         ("c.example", "https://c.example/anything"),
         ("d.example", "https://d.example/whatever"),
         ("e.example", "https://e.example/whatever"),
+        # RFC 9309 matches path + optional QUERY: an end-anchored /*.php$
+        # must not block /x.php?id=1, and query-targeting patterns like
+        # /*?sessionid= only ever match with the query attached
+        ("a.example", "https://a.example/private?x=1"),
+        ("b.example", "https://b.example/x.php?id=1"),
+        ("f.example", "https://f.example/page?sessionid=abc"),
+        ("f.example", "https://f.example/page?other=1"),
+        ("f.example", "https://f.example/sessionid="),
     ]
     gate = make_robots_text_gate(texts, agent="AnyCrawl/1.0")
     df = spark.createDataFrame(cands, "host string, url string")
@@ -2011,7 +2022,12 @@ SELECT * FROM (VALUES
   ('c.example', 'https://c.example/',               false, 'prefix', CAST(NULL AS DOUBLE)),
   ('c.example', 'https://c.example/anything',       false, 'prefix', CAST(NULL AS DOUBLE)),
   ('d.example', 'https://d.example/whatever',       true,  'none',   CAST(NULL AS DOUBLE)),
-  ('e.example', 'https://e.example/whatever',       true,  'none',   CAST(NULL AS DOUBLE))
+  ('e.example', 'https://e.example/whatever',       true,  'none',   CAST(NULL AS DOUBLE)),
+  ('a.example', 'https://a.example/private?x=1',        false, 'prefix', CAST(NULL AS DOUBLE)),
+  ('b.example', 'https://b.example/x.php?id=1',         true,  'rfc',    4.0),
+  ('f.example', 'https://f.example/page?sessionid=abc', false, 'rfc',    CAST(NULL AS DOUBLE)),
+  ('f.example', 'https://f.example/page?other=1',       true,  'rfc',    CAST(NULL AS DOUBLE)),
+  ('f.example', 'https://f.example/sessionid=',         true,  'rfc',    CAST(NULL AS DOUBLE))
 ) AS t(host, url, allowed, kernel, crawl_delay)
 """
 

@@ -255,14 +255,17 @@ def _scalars(d: dict) -> dict:
 
 
 def bench_default() -> dict:
-    t0 = time.time()
+    # calibration stays OUTSIDE the timed span: total must remain
+    # comparable with pre-calibration rounds (it measures the workload,
+    # not the measurement)
     calib_pre = machine_calibration()
+    t0 = time.time()
     q = _run_phase_subprocess("queries")
     c = _run_phase_subprocess("crawl")
     k = _run_phase_subprocess("kernel")
     s = _run_phase_subprocess("soak")
-    calib_post = machine_calibration()
     total = round(time.time() - t0, 2)
+    calib_post = machine_calibration()
     queries = q["queries"]
     queries["frontier_kernel"] = k["frontier"]["wall_sec"]
     queries["crawl_e2e"] = c["crawl"]["wall_sec"]

@@ -176,7 +176,7 @@ def test_crawl_from_robots_texts_parity(spark, tmp_path):
     wildcard rule must actually bite, and the text's crawl-delay must land in
     the politeness token table."""
     from anycrawl_spark import synth
-    from anycrawl_spark.crawl.params import CrawlParams, robots_path
+    from anycrawl_spark.crawl.params import CrawlParams, robots_target
     from anycrawl_spark.crawl.simulator import ReferenceSimulator
     from anycrawl_spark.crawl.superstep import CrawlEngine
     from anycrawl_spark.functions.robots import robots_rows_from_texts
@@ -215,12 +215,12 @@ def test_crawl_from_robots_texts_parity(spark, tmp_path):
     fetched = sorted(eng.terminal_status()[jid])
     assert len(fetched) > 10
     for url in fetched:
-        path = robots_path(url)
+        path = robots_target(url)
         assert robots_allowed_rfc(rules, path), f"robots violation: {url}"
         assert not path.endswith("7"), url
         assert not (path.startswith("/p/1") and not path.startswith("/p/15")), url
     # the allow-override is reachable in this web: some /p/15* page was seen
-    assert any(robots_path(u).startswith("/p/15") for u in eng.seen_sets()[jid])
+    assert any(robots_target(u).startswith("/p/15") for u in eng.seen_sets()[jid])
     # crawl-delay seconds -> politeness ms
     assert eng.host_delays[seed_host] == 200
 
@@ -250,10 +250,10 @@ def test_match_pattern_fuzz_vs_brute():
     from anycrawl_spark.functions.robots import match_pattern
 
     rng = random.Random(20260818)
-    alphabet = "/ab1.*$?"
-    for _ in range(4000):
-        pattern = "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
-        path = "/" + "".join(rng.choice("/ab1.$?") for _ in range(rng.randint(0, 8)))
+    alphabet = "/ab1.*$?**"  # star-weighted: multi-wildcard shapes matter most
+    for _ in range(6000):
+        pattern = "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        path = "/" + "".join(rng.choice("/ab1.$?") for _ in range(rng.randint(0, 10)))
         assert match_pattern(pattern, path) == _brute_match(pattern, path), (
             pattern, path,
         )
@@ -278,3 +278,67 @@ def test_wildcard_free_rfc_equals_prefix_kernel_fuzz():
         assert robots_allowed_rfc(rules, path) == robots_decision(rules, path), (
             rules, path,
         )
+
+
+def test_match_target_includes_query():
+    """RFC 9309 matches path + optional query: $-anchored patterns must not
+    block query-bearing URLs, and query-targeting patterns can only match
+    with the query attached (found by review; previously the query was
+    stripped before matching)."""
+    from anycrawl_spark.crawl.params import robots_target
+
+    assert robots_target("https://h/x.php?id=1") == "/x.php?id=1"
+    assert robots_target("https://h/x.php") == "/x.php"
+    assert robots_target("https://h:8443/") == "/"
+    assert robots_target("https://h") == "/"
+    assert not robots_allowed_rfc([("disallow", "/*.php$")], robots_target("https://h/x.php"))
+    assert robots_allowed_rfc([("disallow", "/*.php$")], robots_target("https://h/x.php?id=1"))
+    rules = [("disallow", "/*?sessionid=")]
+    assert not robots_allowed_rfc(rules, robots_target("https://h/p?sessionid=a"))
+    assert robots_allowed_rfc(rules, robots_target("https://h/p?other=1"))
+    assert robots_allowed_rfc(rules, robots_target("https://h/sessionid="))
+
+
+def test_multi_star_pattern_is_linear_time():
+    """The matcher must stay linear on hostile multi-wildcard patterns — the
+    '*'->'.*' regex translation backtracks exponentially here (>10 s before
+    the rewrite; found by review)."""
+    import time
+
+    from anycrawl_spark.functions.robots import match_pattern
+
+    pattern = "/" + "*a" * 14 + "$"
+    path = "/" + "a" * 2000 + "b"
+    t0 = time.time()
+    assert not match_pattern(pattern, path)
+    assert match_pattern("/" + "*a" * 14, "/" + "a" * 2000)
+    assert time.time() - t0 < 0.1
+    # brute-force agreement on dense-star shapes the random fuzz rarely hits
+    for pat, tgt in [
+        ("/*a*a*a$", "/xaxaxa"), ("/*a*a*a$", "/xaxax"), ("/a**b", "/ab"),
+        ("/**", "/"), ("/*$", "/anything"), ("/a*", "/a"), ("/a*b*", "/aXbY"),
+    ]:
+        assert match_pattern(pat, tgt) == _brute_match(pat, tgt), (pat, tgt)
+
+
+def test_parse_hostile_inputs():
+    """Non-finite crawl-delays are rejected at parse time (int(inf*1000)
+    blew up the row bridge; found by review), and unknown directives must
+    not split a stacked user-agent run (RFC 9309 §2.2.4; found by review)."""
+    from anycrawl_spark.functions.robots import robots_rows_from_texts
+
+    p = parse_robots_txt("User-agent: a\nCrawl-delay: inf\nDisallow: /x")
+    assert p["groups"][0]["crawl_delay"] is None
+    p = parse_robots_txt("User-agent: a\nCrawl-delay: nan\n")
+    assert p["groups"][0]["crawl_delay"] is None
+    rows = robots_rows_from_texts(
+        {"h": "User-agent: *\nCrawl-delay: inf\nDisallow: /x\n"}, "bot"
+    )
+    assert rows == [{"host": "h", "rule": "disallow", "path_prefix": "/x", "crawl_delay_ms": 0}]
+    # Host:/Clean-param:-style unknown records between user-agent lines keep
+    # the stack intact: one group, both agents, the rule applies to both
+    p = parse_robots_txt("User-agent: a\nHost: example.com\nUser-agent: b\nDisallow: /x")
+    assert p["groups"] == [
+        {"agents": ["a", "b"], "rules": [("disallow", "/x")], "crawl_delay": None}
+    ]
+    assert select_group(p, "a")["rules"] == [("disallow", "/x")]
