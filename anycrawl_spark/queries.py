@@ -2001,6 +2001,118 @@ def q_robots_gate(spark, sf_dir):
     )
 
 
+def q_sitemap_seeds(spark, sf_dir):
+    """Sitemap ingestion (sitemaps.org protocol; functions/sitemaps.py +
+    sources/sitemaps.py): fetched sitemap bodies -> deduplicated frontier
+    seeds. The fixture corpus exercises: XML urlset (lastmod/changefreq/
+    priority parsing, invalid values -> defaults, closed changefreq
+    vocabulary), the location-scope rule (robots-submitted = host scope;
+    plain documents = directory scope), sitemapindex one-level child
+    resolution with the child checked against its OWN strict scope,
+    cross-host index children distrusted, txt format (absolute URLs only),
+    gzip transport (magic-byte sniff), a malformed-XML document isolated to
+    an error row, and cross-sitemap per-URL dedup (highest priority, then
+    lowest source URL wins).
+
+    NOT in the driver contract (50-entry window); value-checked by the
+    local gate against a HAND-ENUMERATED oracle (every expected row worked
+    by hand from the protocol rules, same convention as q_robots_gate)."""
+    import gzip as _gzip
+
+    from anycrawl_spark.sources.sitemaps import sitemap_seeds
+
+    NS = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    s_main = (
+        f'<?xml version="1.0" encoding="UTF-8"?>\n<urlset{NS}>\n'
+        "<url><loc>https://s.example/a</loc><lastmod>2026-01-02</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>\n"
+        "<url><loc>https://s.example/dir/b</loc><changefreq>SOMETIMES"
+        "</changefreq><priority>2.0</priority></url>\n"
+        "<url><loc>https://other.example/x</loc></url>\n"
+        "<url><loc>https://s.example/a</loc><priority>0.1</priority></url>\n"
+        "</urlset>"
+    )
+    s_other = (
+        f"<urlset{NS}><url><loc>https://s.example/a</loc>"
+        "<priority>0.3</priority><lastmod>2026-02-01</lastmod></url></urlset>"
+    )
+    t_index = (
+        f"<sitemapindex{NS}>"
+        "<sitemap><loc>https://t.example/maps/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://cdn.example/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    t_child = (
+        f"<urlset{NS}>"
+        "<url><loc>https://t.example/maps/p1</loc><priority>0.9</priority></url>"
+        "<url><loc>https://t.example/p2</loc></url>"
+        "</urlset>"
+    )
+    cdn_child = (
+        f"<urlset{NS}><url><loc>https://cdn.example/evil</loc>"
+        "<priority>1.0</priority></url></urlset>"
+    )
+    u_txt = "https://u.example/x\nnot-a-url\n\nhttps://u.example/y\n"
+    v_gz = _gzip.compress(
+        (
+            f"<urlset{NS}><url><loc>https://v.example/gz1</loc>"
+            "<lastmod>2026-03-04T05:06:07+00:00</lastmod>"
+            "<changefreq>weekly</changefreq><priority>0.7</priority></url></urlset>"
+        ).encode(),
+        mtime=0,
+    )
+    w_bad = b"<urlset><url><loc>https://w.example/broken"
+
+    corpus_rows = [
+        ("https://s.example/sitemap.xml", s_main.encode()),
+        ("https://s.example/other.xml", s_other.encode()),
+        ("https://t.example/sitemap_index.xml", t_index.encode()),
+        ("https://t.example/maps/s1.xml", t_child.encode()),
+        ("https://cdn.example/s2.xml", cdn_child.encode()),
+        ("https://u.example/sitemap.txt", u_txt.encode()),
+        ("https://v.example/sitemap.xml.gz", v_gz),
+        ("https://w.example/sitemap.xml", w_bad),
+    ]
+    submitted = {
+        "https://s.example/sitemap.xml",
+        "https://s.example/other.xml",
+        "https://t.example/sitemap_index.xml",
+        "https://u.example/sitemap.txt",
+        "https://v.example/sitemap.xml.gz",
+        "https://w.example/sitemap.xml",
+    }
+    corpus = spark.createDataFrame(corpus_rows, "sitemap_url string, body binary")
+    return sitemap_seeds(corpus, submitted)
+
+
+# Hand-derived expected rows (sitemaps.org protocol, worked by hand):
+# s.example is robots-submitted => host scope, so /a and /dir/b qualify but
+# other.example/x does not; /a is listed three times across two trusted
+# sitemaps and the (0.8, sitemap.xml) row wins the dedup (highest priority);
+# invalid priority 2.0 -> default 0.5 and invalid changefreq -> NULL;
+# t.example's index is submitted so its same-host child s1.xml is trusted,
+# but the child's OWN strict directory scope (/maps/) excludes /p2, and the
+# cross-host cdn.example child is distrusted entirely; u's txt sitemap keeps
+# only absolute-URL lines; v's gzip body is sniffed and parsed; w's
+# truncated XML yields an error row and no seeds.
+SQL_SITEMAP_SEEDS = """
+SELECT * FROM (VALUES
+  ('https://s.example/a',       's.example', '2026-01-02',
+   'daily', CAST(0.8 AS DOUBLE), 'https://s.example/sitemap.xml'),
+  ('https://s.example/dir/b',   's.example', CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(0.5 AS DOUBLE), 'https://s.example/sitemap.xml'),
+  ('https://t.example/maps/p1', 't.example', NULL,
+   NULL, CAST(0.9 AS DOUBLE), 'https://t.example/maps/s1.xml'),
+  ('https://u.example/x',       'u.example', NULL,
+   NULL, CAST(0.5 AS DOUBLE), 'https://u.example/sitemap.txt'),
+  ('https://u.example/y',       'u.example', NULL,
+   NULL, CAST(0.5 AS DOUBLE), 'https://u.example/sitemap.txt'),
+  ('https://v.example/gz1',     'v.example', '2026-03-04T05:06:07+00:00',
+   'weekly', CAST(0.7 AS DOUBLE), 'https://v.example/sitemap.xml.gz')
+) AS t(url, host, lastmod, changefreq, priority, source_sitemap)
+"""
+
+
 # Hand-derived expected rows (RFC 9309 §2.2 semantics, worked by hand):
 # a.example compiles to the prefix kernel; b.example needs the RFC matcher
 # (/*.php$ wildcard; note /files/x.php matches BOTH rules and the longer
@@ -2229,6 +2341,7 @@ EXTRA_QUERIES = {
     "q_duplicate_passages": q_duplicate_passages,
     "q_dup_clusters": q_dup_clusters,
     "q_robots_gate": q_robots_gate,
+    "q_sitemap_seeds": q_sitemap_seeds,
 }
 EXTRA_ORACLES = {
     "q_duplicate_passages": _mir.sql_duplicate_passages(
@@ -2236,4 +2349,5 @@ EXTRA_ORACLES = {
     ),
     "q_dup_clusters": SQL_DUP_CLUSTERS,
     "q_robots_gate": SQL_ROBOTS_GATE,
+    "q_sitemap_seeds": SQL_SITEMAP_SEEDS,
 }

@@ -210,6 +210,32 @@ def main() -> int:
           "no cartesian anywhere in the round")
     sections.append(("dup_clusters_round", p))
 
+    # 14. sitemap ingestion (r4): bodies are parsed in ONE Arrow stage whose
+    #     output is cached (InMemoryRelation), so the index->child trust
+    #     self-join does NOT re-parse bodies; the trust join broadcasts the
+    #     O(sitemap docs) children side; the per-URL dedup rank is pushed
+    #     below its shuffle (map-side WindowGroupLimit), so the only O(urls)
+    #     exchange carries at most one row per (partition, loc).
+    from anycrawl_spark.queries import EXTRA_QUERIES
+
+    p = plan_of(EXTRA_QUERIES["q_sitemap_seeds"](spark, SF))
+    check("q_sitemap_seeds",
+          len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1,
+          "ONE Arrow parse stage (bodies parsed exactly once)")
+    check("q_sitemap_seeds", "InMemoryRelation" in p,
+          "parse output cached for the index->child self-join (no body re-parse)")
+    check("q_sitemap_seeds",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+          "trust join is broadcast (children side is O(sitemap docs))")
+    loc_ex = re.search(
+        r"^\((\d+)\) Exchange\nInput[^\n]*\nArguments: hashpartitioning\(loc", p, re.M
+    )
+    wgl = [int(n) for n in re.findall(r"^\((\d+)\) WindowGroupLimit", p, re.M)]
+    check("q_sitemap_seeds",
+          bool(wgl) and loc_ex is not None and min(wgl) < int(loc_ex.group(1)),
+          "dedup rank pushed below the loc shuffle (map-side WindowGroupLimit)")
+    sections.append(("q_sitemap_seeds", p))
+
     spark.stop()
 
     lines = ["# PLANS.md — physical-plan audit (generated by scripts/explain_plans.py)", ""]
