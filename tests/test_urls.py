@@ -32,6 +32,37 @@ from anycrawl_spark.functions.urls import (
         ("https:/example.com/a", "https://example.com/a"),
         # trailing dot host
         ("http://example.com./a", "http://example.com/a"),
+        # --- WHATWG-aligned behaviors (differential-fuzzed vs Node) ---
+        # special-authority-ignore-slashes: 0/1/3 slashes and backslashes
+        ("http:example.com/a", "http://example.com/a"),
+        ("http:///example.com/a", "http://example.com/a"),
+        ("http:\\\\example.com\\a\\b", "http://example.com/a/b"),
+        # dot segments resolve, including percent-encoded spellings
+        ("http://e.com/a/../b/./c", "http://e.com/b/c"),
+        ("http://e.com/a/%2e%2e/b/%2E/c", "http://e.com/b/c"),
+        ("http://e.com/a/..", "http://e.com/"),
+        ("http://e.com/a/.", "http://e.com/a/"),
+        ("http://e.com/..", "http://e.com/"),
+        # WHATWG path percent-encode set (space " < > ` { } + non-ASCII);
+        # ' | ^ stay verbatim; existing % bytes are never touched
+        ('http://e.com/a b/"x"/<y>/`/{z}', "http://e.com/a%20b/%22x%22/%3Cy%3E/%60/%7Bz%7D"),
+        ("http://e.com/café", "http://e.com/caf%C3%A9"),
+        ("http://e.com/'/|/^/%41/%zz/%", "http://e.com/'/|/^/%41/%zz/%"),
+        # spaces before a fragment are PATH content (WHATWG trims only the
+        # whole-input ends), and tab/CR/LF vanish anywhere
+        ("http://e.com/a  #f", "http://e.com/a%20%20"),
+        ("ht\ttp://e\n.com/a\r", "http://e.com/a"),
+        # IPv6 hosts keep brackets; address canonicalizes to shortest form
+        ("http://[::1]:8080/a", "http://[::1]:8080/a"),
+        ("HTTP://[2001:DB8:0:0:0:0:0:1]/a", "http://[2001:db8::1]/a"),
+        ("https://[::1]:443/a", "https://[::1]/a"),
+        # ends-in-number hosts parse as IPv4 (hex/octal/short forms)
+        ("http://0x7f.1/a", "http://127.0.0.1/a"),
+        ("http://0177.0.0.1/a", "http://127.0.0.1/a"),
+        ("http://2130706433/a", "http://127.0.0.1/a"),
+        # percent-encoded hosts decode; IDN hosts punycode
+        ("http://host%41.com/a", "http://hosta.com/a"),
+        ("http://münchen.de/a", "http://xn--mnchen-3ya.de/a"),
     ],
 )
 def test_canonicalize(raw, expected):
@@ -39,10 +70,132 @@ def test_canonicalize(raw, expected):
 
 
 @pytest.mark.parametrize(
+    "raw",
+    [
+        # WHATWG-fatal ports: out of range, non-digit, interior whitespace
+        "http://e.com:65536/a",
+        "http://e.com:bogus/a",
+        "http://e.com:80 /a",
+        "http://e.com:+80/a",
+        # ends-in-number hosts that fail the IPv4 parser are fatal
+        "http://192.168.1.256/a",
+        "http://1.2.3.4.5/a",
+        # forbidden host code points
+        "http://ex ample.com/a",
+        "http://ex|ample.com/a",
+        # invalid IPv6
+        "http://[::zz]/a",
+    ],
+)
+def test_canonicalize_rejects_whatwg(raw):
+    assert canonicalize_url(raw) is None
+
+
+def test_canonicalize_idempotent_on_fuzz_corpus():
+    """canon(canon(u)) == canon(u) over the same structured generator the
+    node differential fuzz uses — canonical forms must be fixed points."""
+    import random
+
+    random.seed(20260818)
+    for _ in range(4000):
+        u = _gen_fuzz_url(random)
+        c = canonicalize_url(u)
+        if c is not None:
+            assert canonicalize_url(c) == c, (u, c, canonicalize_url(c))
+
+
+@pytest.mark.parametrize(
     "raw", ["", "javascript:void(0)", "mailto:x@y.z", "#", "ftp://x/y", "not a url"]
 )
 def test_canonicalize_rejects(raw):
     assert canonicalize_url(raw) is None
+
+
+# Structured URL generator shared by the idempotency property and the node
+# differential fuzz: scheme soup, userinfo, hostile hosts (IDN, percent,
+# dotted numbers, IPv6, forbidden chars), ports, path atoms exercising dot
+# segments / backslashes / the percent-encode set, query/fragment noise.
+_FUZZ_SCHEMES = ["http://", "https://", "HTTP://", "Http://", "http:/",
+                 "https:/", "http:", "ftp://", "javascript:", "", "//",
+                 "http:\\\\", "http:///"]
+_FUZZ_USERINFO = ["", "", "", "", "user@", "user:pass@", "@", "a:b:c@"]
+_FUZZ_HOSTS = ["example.com", "Example.COM", "EXAMPLE.com", "sub.ex.co.uk",
+               "example.com.", "example..com", "127.0.0.1", "0x7f.1", "[::1]",
+               "[2001:db8::1]", "a_b.com", "xn--nxasmq6b.com", "ex ample.com",
+               "münchen.de", "e", ".", "..", "com.", "1.2.3.4.5",
+               "192.168.1.256", "host%41.com", "ex\tam\nple.com",
+               "ex\\ample.com", "example.com\\x"]
+_FUZZ_PORTS = ["", "", "", "", ":80", ":443", ":8080", ":0", ":65535",
+               ":65536", ":bogus", ":", ":008080", ":80 "]
+_FUZZ_PATHSEGS = ["a", "b", "A B", "..", ".", "...", "a.html", "%2e%2e",
+                  "%2E", "%41", "%zz", "%", "é", "a\\b", "\\", "a b", "~u",
+                  "a:b", "@x", "'", '"', "<x>", "|", "^", "`", "{}", "a?b",
+                  "  ", "a#b", "%20"]
+_FUZZ_QUERIES = ["", "", "", "?a=1&b=2", "?b=2&a=1", "?utm_source=x&a=1",
+                 "?UTM_X=1&z=2", "?a=%20&b=+", "?a=1&a=2", "?=x", "?a", "??",
+                 "?a=1;b=2", "?a=é", "?a=%zz", "?utm_", "?a==b", "?a&b&c"]
+_FUZZ_FRAGS = ["", "", "", "#f", "#", "#a#b", "#é"]
+_FUZZ_WS = ["", "", "", " ", "\t", "\n", "  \t"]
+
+
+def _gen_fuzz_url(rng) -> str:
+    s = (rng.choice(_FUZZ_WS) + rng.choice(_FUZZ_SCHEMES)
+         + rng.choice(_FUZZ_USERINFO) + rng.choice(_FUZZ_HOSTS)
+         + rng.choice(_FUZZ_PORTS))
+    n = rng.randint(0, 4)
+    if n or rng.random() < 0.8:
+        s += "/" + "/".join(rng.choice(_FUZZ_PATHSEGS) for _ in range(n))
+    if rng.random() < 0.1:
+        s += "/"
+    return s + rng.choice(_FUZZ_QUERIES) + rng.choice(_FUZZ_FRAGS) + rng.choice(_FUZZ_WS)
+
+
+@pytest.mark.skipif(not __import__("shutil").which("node"),
+                    reason="node not available")
+def test_canonicalize_differential_fuzz_vs_whatwg():
+    """Seeded differential check of the parsing projection against Node's
+    real WHATWG URL parser — the semantics the reference inherits through
+    Crawlee's computeUniqueKey (Base.ts:413-419 -> new URL). Documented
+    deviations are normalized before diffing: trailing host dots and IPv6
+    brackets fold on the node side; hosts that are ONLY dots are ours to
+    reject; the query projection is excluded (decode-sort-reencode + utm_*
+    strip is a documented rebuild decision)."""
+    import json
+    import random
+    import subprocess
+    from urllib.parse import urlsplit as _split
+
+    from anycrawl_spark.functions.urls import canonicalize_url_host
+
+    random.seed(20260818)
+    cases = [_gen_fuzz_url(random) for _ in range(4000)]
+    script = (
+        "const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));"
+        "console.log(JSON.stringify(cases.map(s => {"
+        "  try { const u = new URL(s.trim());"
+        "    return [u.protocol, u.hostname, u.port, u.pathname]; }"
+        "  catch (e) { return null; }})));"
+    )
+    out = subprocess.run(["node", "-e", script], input=json.dumps(cases),
+                         capture_output=True, text=True, timeout=120)
+    node = json.loads(out.stdout)
+    diverging = []
+    for s, nd in zip(cases, node):
+        canon, _h = canonicalize_url_host(s)
+        if nd is None or nd[0] not in ("http:", "https:"):
+            if canon is not None and nd is None:
+                diverging.append((s, canon, None))
+            continue
+        if canon is None:
+            if nd[1].strip(".") != "":  # dot-only hosts: documented fold
+                diverging.append((s, None, nd))
+            continue
+        p = _split(canon)
+        nhost = nd[1].strip("[]").rstrip(".").lower()
+        nport = None if nd[2] == "" else int(nd[2])
+        if p.hostname != nhost or p.port != nport or p.path != nd[3]:
+            diverging.append((s, (p.hostname, p.port, p.path), nd))
+    assert diverging == [], diverging[:15]
 
 
 def test_resolve():
