@@ -26,13 +26,21 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_INT_PREFIX = re.compile(r"^\s*[+-]?\d+")
+# JS ``parseInt`` trims per the ECMAScript WhiteSpace + LineTerminator sets
+# (TAB VT FF SP NBSP ZWNBSP + Zs + LF CR LS PS) and then takes ASCII digits
+# only.  Python's ``\s``/``\d`` are both WIDER (``\s`` adds \x1c-\x1f and
+# \x85; ``\d`` matches Unicode digits like U+0665), so a naive ``\s*\d+``
+# either crashes int() (``"\x1c24"``) or accepts digits the reference
+# rejects — found by differential fuzz vs the reference logic under node.
+_JS_WS = ("\t\n\v\f\r \xa0\u1680\u2000-\u200a"
+          "\u2028\u2029\u202f\u205f\u3000\ufeff")
+_INT_PREFIX = re.compile(rf"^[{_JS_WS}]*([+-]?[0-9]+)")
 
 
 def _parse_int(s: str) -> int | None:
     """JS ``parseInt(s, 10)``: longest leading integer prefix, NaN -> None."""
     m = _INT_PREFIX.match(s)
-    return int(m.group(0)) if m else None
+    return int(m.group(1)) if m else None
 
 
 def client_ip(headers: dict[str, str | list[str] | None], req_ip: str | None = None) -> str | None:
@@ -107,7 +115,12 @@ def _octet(col: Column, i: int) -> Column:
     """Lenient octet: leading integer prefix of the i-th dot part (mirrors
     parseInt for the digit-prefixed cases), NULL when absent/out of range."""
     part = F.get(F.split(col, r"\."), i)
-    digits = F.regexp_extract(part, r"^\s*\+?(\d+)", 1)
+    # the whitespace class and sign handling must mirror JS parseInt exactly
+    # (see _INT_PREFIX): Java's \s misses NBSP/Zs which JS trims, and a
+    # leading '-' must parse so that '-0' is a VALID octet (-0 passes the
+    # reference's 0..255 guard) while '-5' fails the range check.  Both were
+    # live divergences found by differential fuzz vs the node oracle.
+    digits = F.regexp_extract(part, f"^[{_JS_WS}]*([+-]?[0-9]+)", 1)
     # try_cast, not cast: under ANSI mode a plain cast THROWS on overflow-long
     # digit runs (e.g. a 25-digit octet) instead of yielding invalid
     v = F.when(digits != "", digits.try_cast("long"))

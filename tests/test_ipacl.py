@@ -1,8 +1,19 @@
 """IP allowlist parity (apps/api/src/utils/ipUtils.ts): header priority
 chain, exact/CIDR matching, parseInt leniency, the 33..128-prefix quirk,
-and expr↔mirror agreement on a grid."""
+expr↔mirror agreement on a grid, and a seeded differential fuzz that
+executes the reference's own source under node (loaded from the reference
+checkout at test time and mechanically type-stripped — no reference code
+lives in this repo; the fuzz skips when the checkout or node is absent)."""
+
+import json
+import pathlib
+import random
+import re
+import shutil
+import subprocess
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from anycrawl_spark.functions.ipacl import (
@@ -94,3 +105,152 @@ def test_expr_survives_ansi_overflow_octet(spark):
     df = spark.createDataFrame(pd.DataFrame({"ip": [ip]}))
     r = df.withColumn("ok", is_ip_allowed_expr(F.col("ip"), ["0.0.0.0/0"])).collect()[0]
     assert r.ok is False and not is_ip_allowed(ip, ["0.0.0.0/0"])
+
+
+# --- parseInt-exactness goldens (each was a live divergence found by the
+# node differential fuzz below; values confirmed against the reference
+# logic under node 20) ---
+
+PARSEINT_GOLDENS = [
+    # '-0' octet: parseInt('-0') = -0, which passes the 0..255 guard
+    # (ipUtils.ts:163) — so '-0.2.3.4' is a VALID address equal to 0.2.3.4
+    ("-0.2.3.4", ["0.2.3.0/24"], True),
+    # NBSP is JS parseInt whitespace (Zs): '\xa05' parses to 5
+    ("\xa05.2.3.4", ["5.2.3.0/24"], True),
+    # \x1c is Python-\s whitespace but NOT JS whitespace: parseInt -> NaN.
+    # Before the fix this CRASHED the Python kernel (int('\x1c5')).
+    ("\x1c5.2.3.4", ["5.2.3.0/24"], False),
+    # Unicode digits (U+0665) match Python \d but not JS parseInt
+    ("٥.2.3.4", ["5.2.3.0/24"], False),
+    ("+5.2.3.4", ["5.2.3.0/24"], True),   # explicit plus sign
+    ("-5.2.3.4", ["0.0.0.0/0"], False),   # negative fails 0..255
+    # '-0' prefix length: parseInt('-0') = -0 passes the 0..128 guard -> /0
+    ("9.9.9.9", ["1.2.3.4/-0"], True),
+]
+
+
+@pytest.mark.parametrize("ip,wl,want", PARSEINT_GOLDENS)
+def test_parseint_exactness_goldens(ip, wl, want):
+    assert is_ip_allowed(ip, wl) is want
+
+
+def test_parseint_goldens_expr_agrees(spark):
+    df = spark.createDataFrame(pd.DataFrame({"ip": [c[0] for c in PARSEINT_GOLDENS]}))
+    for ip, wl, want in PARSEINT_GOLDENS:
+        got = {r.ip: bool(r.ok) for r in df.withColumn(
+            "ok", is_ip_allowed_expr(F.col("ip"), wl)).collect()}
+        assert got[ip] is want, (ip, wl)
+
+
+# --- differential fuzz vs the reference's actual source under node ---
+#
+# The oracle is apps/api/src/utils/ipUtils.ts itself, read from the
+# reference checkout at test time.  Its TypeScript surface is
+# signature-only (parameter/return annotations + one express import +
+# `export` keywords), so a line-level mechanical strip turns it into the
+# JS that node 20 executes directly — parseInt leniency, BigInt mask
+# arithmetic, and the 33..128 throw-to-false path all run verbatim.
+
+_REF_IPUTILS_TS = pathlib.Path("/root/reference/apps/api/src/utils/ipUtils.ts")
+
+# matches `: Type` annotations on a `function ...(...)...{` line, where Type
+# is an identifier/union/array chain (`string | null`, `string[]`, `Request`)
+_TS_ANN = re.compile(r":\s*[A-Za-z_$][\w$]*(?:\[\])?(?:\s*\|\s*[A-Za-z_$][\w$]*(?:\[\])?)*")
+
+_DRIVER_JS = """
+const data = JSON.parse(require('fs').readFileSync(0, 'utf8'));
+console.log(JSON.stringify(data.map(c =>
+    c.kind === "allowed" ? isIpAllowed(c.ip, c.whitelist)
+                         : getClientIp({ headers: c.headers, ip: c.req_ip }))));
+"""
+
+
+def _load_reference_js() -> str:
+    lines = []
+    for line in _REF_IPUTILS_TS.read_text().splitlines():
+        if line.startswith("import "):
+            continue
+        stripped = line.replace("export function", "function")
+        if re.match(r"\s*function\b", stripped):
+            stripped = _TS_ANN.sub("", stripped)
+        lines.append(stripped)
+    return "\n".join(lines) + _DRIVER_JS
+
+_OCTETS = [
+    "0", "1", "5", "9", "10", "00", "007", "255", "256", "-0", "-1", "+5",
+    "+0", " 5", "5 ", "5x", "1e2", "0x10", "", ".", "24abc", "2.5",
+    "\x1c5", "\xa05", "﻿5", " 5", " 5", "　5", "\t5",
+    "\v5", "٥", "1٥", "9" * 20, "9" * 40, "Infinity", "NaN",
+    "--5", "+-5", " +5", "+ 5", "0.0", "128", "254",
+]
+_PREFIXES = [
+    "0", "1", "8", "16", "24", "31", "32", "33", "64", "128", "129", "-0",
+    "-1", "+24", " 24", "24 ", "24abc", "1e2", "0x18", "", "abc",
+    "9" * 20, "\xa024", "\x1c24", "032", "2.9",
+]
+_HDR_VALS = [None, "", " ", "1.2.3.4", " 1.2.3.4 ", "a, b", ", 9.9.9.9",
+             " , 8.8.8.8", "1.2.3.4,5.6.7.8", ",", [], [""], ["5.6.7.8"],
+             ["", "7.7.7.7"], [" 9.8.7.6 , 1.1.1.1"], "\xa01.2.3.4\xa0"]
+
+
+def _rand_ip(rnd):
+    if rnd.random() < 0.05:
+        return rnd.choice(["", " ", "1.2.3.4.5", "1.2.3", "...", "1..3.4",
+                           ".1.2.3", "1.2.3.", "localhost", "::1",
+                           "0.0.0.0", "255.255.255.255"])
+    n = 4 if rnd.random() < 0.85 else rnd.choice([1, 2, 3, 5])
+    return ".".join(rnd.choice(_OCTETS) for _ in range(n))
+
+
+def _rand_pattern(rnd):
+    r = rnd.random()
+    if r < 0.35:
+        return _rand_ip(rnd)
+    net, pfx = _rand_ip(rnd), rnd.choice(_PREFIXES)
+    if r < 0.40:
+        return f"{net}/{pfx}/{rnd.choice(_PREFIXES)}"
+    if r < 0.45:
+        return f"/{pfx}"
+    if r < 0.50:
+        return f"{net}/"
+    return f"{net}/{pfx}"
+
+
+@pytest.mark.skipif(
+    not shutil.which("node") or not _REF_IPUTILS_TS.exists(),
+    reason="node or the reference checkout not available",
+)
+def test_ipacl_differential_fuzz_vs_reference_logic():
+    """Seeded fuzz of is_ip_allowed/client_ip vs the reference's own
+    source (type-stripped at load time) executed by node: adversarial
+    octets covering the parseInt whitespace set, signed zero, Unicode
+    digits, overflow digit runs, malformed CIDRs, and proxy-header
+    chains."""
+    rnd = random.Random(20260818)
+    cases = []
+    for _ in range(8000):
+        if rnd.random() < 0.8:
+            wl = (None if rnd.random() < 0.05 else [] if rnd.random() < 0.05
+                  else [_rand_pattern(rnd) for _ in range(rnd.randint(1, 4))])
+            cases.append({"kind": "allowed", "ip": _rand_ip(rnd),
+                          "whitelist": wl})
+        else:
+            headers = {h: rnd.choice(_HDR_VALS)
+                       for h in ("cf-connecting-ip", "x-forwarded-for",
+                                 "x-real-ip") if rnd.random() < 0.6}
+            headers = {k: v for k, v in headers.items() if v is not None}
+            cases.append({"kind": "client", "headers": headers,
+                          "req_ip": rnd.choice([None, "", "6.6.6.6"])})
+    out = subprocess.run(
+        ["node", "-e", _load_reference_js()], input=json.dumps(cases),
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[:500]
+    ref = json.loads(out.stdout)
+    diverging = []
+    for c, exp in zip(cases, ref):
+        got = (is_ip_allowed(c["ip"], c["whitelist"])
+               if c["kind"] == "allowed"
+               else client_ip(c["headers"], c["req_ip"]))
+        if got != exp:
+            diverging.append((c, exp, got))
+    assert diverging == [], diverging[:20]
