@@ -18,10 +18,13 @@ Two forms, same semantics:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from anycrawl_spark.functions.js import js_parse_int_number, js_trim
 
 
 def _js_truthy(v: object) -> bool:
@@ -30,13 +33,70 @@ def _js_truthy(v: object) -> bool:
     return not (v is None or v is False or v == 0 or v == "")
 
 
+def _js_get(obj: object, key: str) -> object:
+    """JS property access ``obj.key`` for payload values: dicts read the key,
+    null/undefined THROW (the reference relies on this — estimateTaskCredits
+    catches it and bills 1), any other primitive yields undefined (None)."""
+    if obj is None:
+        raise TypeError(f"Cannot read properties of null (reading '{key}')")
+    if isinstance(obj, dict):
+        return obj.get(key)
+    return None
+
+
+def _js_opt_get(obj: object, key: str) -> object:
+    """JS optional chaining ``obj?.key``: like _js_get but null-safe."""
+    return None if obj is None else _js_get(obj, key)
+
+
+def _js_spread(v: object) -> dict:
+    """JS object spread ``{...v}``: dicts copy; strings/arrays contribute
+    index keys ('0', '1', ...); null/undefined and other primitives spread
+    to nothing — NEVER a throw (unlike python ``{**v}``)."""
+    if isinstance(v, dict):
+        return dict(v)
+    if isinstance(v, (str, list)):
+        return {str(i): x for i, x in enumerate(v)}
+    return {}
+
+
 @dataclass(frozen=True)
 class CreditEnv:
-    """ANYCRAWL_PROXY_STEALTH_URL (csv), _STEALTH_CREDITS, _EXTRACT_JSON_CREDITS."""
+    """ANYCRAWL_PROXY_STEALTH_URL (csv), _STEALTH_CREDITS, _EXTRACT_JSON_CREDITS.
+
+    The credit knobs are ``int | float`` because the reference reads them with
+    ``Number.parseInt`` (credits.ts:70,79): a non-numeric env value is NaN,
+    which the JSON knob guards with Number.isFinite but the stealth surcharge
+    does NOT — a misconfigured stealth knob makes every stealth charge NaN,
+    and that propagation is part of the observable surface."""
 
     stealth_proxy_urls: tuple[str, ...] = ()
-    stealth_credits: int = 2          # credits.ts:70 default '2'
-    extract_json_credits: int = 0     # credits.ts:79 default '0'
+    stealth_credits: int | float = 2      # credits.ts:70 default '2'
+    extract_json_credits: int | float = 0  # credits.ts:79 default '0'
+
+
+def credit_env_from_env(env: dict[str, str | None]) -> CreditEnv:
+    """Build a CreditEnv from raw env-var strings, mirroring credits.ts
+    exactly: the URL list is split(','), JS-trimmed, filter(Boolean)
+    (credits.ts:50); each credit knob is ``Number.parseInt(value || default,
+    10)`` so empty/missing falls to the default and garbage parses to NaN."""
+    urls = tuple(
+        t
+        for t in (
+            js_trim(p)
+            for p in (env.get("ANYCRAWL_PROXY_STEALTH_URL") or "").split(",")
+        )
+        if t
+    )
+    return CreditEnv(
+        stealth_proxy_urls=urls,
+        stealth_credits=js_parse_int_number(
+            env.get("ANYCRAWL_PROXY_STEALTH_CREDITS") or "2"
+        ),
+        extract_json_credits=js_parse_int_number(
+            env.get("ANYCRAWL_EXTRACT_JSON_CREDITS") or "0"
+        ),
+    )
 
 
 def resolved_proxy_mode(proxy: str | None, env: CreditEnv = CreditEnv()) -> str:
@@ -64,11 +124,13 @@ def json_extraction_credits(
 ) -> int:
     """Extra credits when JSON extraction runs; doubled for extract_source=
     'html' (credits.ts:78-90). Requires BOTH json_options and 'json' in
-    formats, and a positive configured credit value. json_options goes
-    through JS Boolean() semantics (credits.ts:82): an empty object {} is
-    truthy there, so it must charge here too (python bool({}) would not)."""
+    formats, and a positive FINITE configured credit value — the reference
+    guards this knob with Number.isFinite (credits.ts:83), so a NaN env
+    value charges 0 here (unlike the unguarded stealth knob). json_options
+    goes through JS Boolean() semantics (credits.ts:82): an empty object {}
+    is truthy there, so it must charge here too (python bool({}) would not)."""
     has = _js_truthy(json_options) and bool(formats) and "json" in formats
-    if not has or env.extract_json_credits <= 0:
+    if not has or not math.isfinite(env.extract_json_credits) or env.extract_json_credits <= 0:
         return 0
     source = extract_source or "markdown"
     return env.extract_json_credits * 2 if source == "html" else env.extract_json_credits
@@ -132,26 +194,36 @@ def estimate_task_credits(
     """Pre-execution minimum-credit estimate (credits.ts:160-205): template
     resolution overrides the task type, merges reqOptions UNDER the payload,
     and adds pricing.perCall; scrape=1, search=pages(+limit if scraping),
-    crawl=limit (payload.limit, else payload.options.limit, else 10)."""
+    crawl=limit (payload.limit, else payload.options.limit, else 10).
+
+    Payload access uses JS property semantics (_js_get): with no template, a
+    null payload on the search/crawl branches THROWS in the reference
+    (``actualPayload.pages`` on null) and the catch bills 1 — while the
+    scrape branch never touches the payload and bills normally.  A template
+    is detected by JS truthiness ({} counts, credits.ts:177) and its merge
+    ``{...reqOptions, ...payload}`` spreads a null/primitive payload to
+    nothing.  Found by differential fuzz vs credits.ts under node."""
     try:
-        payload = payload or {}
         template_credits = 0
         actual_type, actual = task_type, payload
-        if template:
-            actual_type = template.get("templateType") or task_type
-            actual = {**(template.get("reqOptions") or {}), **payload}
-            template_credits = (template.get("pricing") or {}).get("perCall") or 0
+        if _js_truthy(template):
+            actual_type = _js_get(template, "templateType") or task_type
+            actual = {
+                **_js_spread(_js_get(template, "reqOptions") or {}),
+                **_js_spread(payload),
+            }
+            template_credits = _js_opt_get(_js_get(template, "pricing"), "perCall") or 0
         if actual_type == "scrape":
             base = 1
         elif actual_type == "search":
-            base = actual.get("pages") or 1
+            base = _js_get(actual, "pages") or 1
             # JS truthiness: {} counts as present, false/0/'' do not (ts:186)
-            if _js_truthy(actual.get("scrape_options")):
-                base += actual.get("limit") or 10
+            if _js_truthy(_js_get(actual, "scrape_options")):
+                base += _js_get(actual, "limit") or 10
         elif actual_type == "crawl":
             base = (
-                actual.get("limit")
-                or (actual.get("options") or {}).get("limit")
+                _js_get(actual, "limit")
+                or _js_opt_get(_js_get(actual, "options"), "limit")
                 or 10
             )
         else:

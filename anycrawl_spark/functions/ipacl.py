@@ -21,26 +21,16 @@ Reference quirks reproduced (each observable):
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# JS ``parseInt`` trims per the ECMAScript WhiteSpace + LineTerminator sets
-# (TAB VT FF SP NBSP ZWNBSP + Zs + LF CR LS PS) and then takes ASCII digits
-# only.  Python's ``\s``/``\d`` are both WIDER (``\s`` adds \x1c-\x1f and
-# \x85; ``\d`` matches Unicode digits like U+0665), so a naive ``\s*\d+``
-# either crashes int() (``"\x1c24"``) or accepts digits the reference
-# rejects — found by differential fuzz vs the reference logic under node.
-_JS_WS = ("\t\n\v\f\r \xa0\u1680\u2000-\u200a"
-          "\u2028\u2029\u202f\u205f\u3000\ufeff")
-_INT_PREFIX = re.compile(rf"^[{_JS_WS}]*([+-]?[0-9]+)")
-
-
-def _parse_int(s: str) -> int | None:
-    """JS ``parseInt(s, 10)``: longest leading integer prefix, NaN -> None."""
-    m = _INT_PREFIX.match(s)
-    return int(m.group(1)) if m else None
+# JS parseInt/trim exactness (whitespace + ASCII-digit sets) lives in the
+# shared js module — every octet and prefix length below goes through it,
+# and header values are trimmed with the JS set, not Python's wider one
+# (.strip() would eat \x1c-\x1f which String.prototype.trim keeps).
+from anycrawl_spark.functions.js import JS_WS_CLASS
+from anycrawl_spark.functions.js import js_parse_int as _parse_int
+from anycrawl_spark.functions.js import js_trim
 
 
 def client_ip(headers: dict[str, str | list[str] | None], req_ip: str | None = None) -> str | None:
@@ -53,15 +43,15 @@ def client_ip(headers: dict[str, str | list[str] | None], req_ip: str | None = N
         return v
     cf = first(headers.get("cf-connecting-ip"))
     if cf:
-        return cf.strip()
+        return js_trim(cf)
     fwd = first(headers.get("x-forwarded-for"))
     if fwd:
-        hop = fwd.split(",")[0].strip()
+        hop = js_trim(fwd.split(",")[0])
         if hop:
             return hop
     real = first(headers.get("x-real-ip"))
     if real:
-        return real.strip()
+        return js_trim(real)
     return req_ip or None
 
 
@@ -120,7 +110,7 @@ def _octet(col: Column, i: int) -> Column:
     # leading '-' must parse so that '-0' is a VALID octet (-0 passes the
     # reference's 0..255 guard) while '-5' fails the range check.  Both were
     # live divergences found by differential fuzz vs the node oracle.
-    digits = F.regexp_extract(part, f"^[{_JS_WS}]*([+-]?[0-9]+)", 1)
+    digits = F.regexp_extract(part, f"^[{JS_WS_CLASS}]*([+-]?[0-9]+)", 1)
     # try_cast, not cast: under ANSI mode a plain cast THROWS on overflow-long
     # digit runs (e.g. a 25-digit octet) instead of yielding invalid
     v = F.when(digits != "", digits.try_cast("long"))

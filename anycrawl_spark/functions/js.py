@@ -1,0 +1,76 @@
+"""ECMAScript numeric/string primitives shared by the parity kernels.
+
+The reference is TypeScript: request payloads and env knobs flow through JS
+``parseInt`` and ``String.prototype.trim``, whose whitespace and digit sets
+differ from Python's ``str.strip()``/``\\s``/``\\d`` in both directions —
+Python's ``\\s`` adds ``\\x1c``-``\\x1f`` and ``\\x85`` (not JS whitespace)
+and ``\\d`` matches Unicode digits like U+0665 (parseInt takes ASCII only),
+while JS trims NBSP / the Zs category / ZWNBSP which ``\\s`` in Java regexes
+misses.  Each divergence here was found live by differential fuzz against
+node oracles executing the reference's own sources (tests/node_oracle.py).
+
+Two parseInt forms:
+
+- :func:`js_parse_int` — the exact mathematical integer (arbitrary
+  precision), for range-guard call sites (IP octets, CIDR prefix lengths)
+  where only comparisons against small bounds matter.
+- :func:`js_parse_int_number` — IEEE-754 double semantics: JS ``parseInt``
+  returns a Number, so 20-digit strings round to the nearest double and
+  ~310+-digit strings overflow to Infinity; NaN maps to ``float('nan')``.
+  For call sites whose result feeds arithmetic (credit formulas).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ECMAScript WhiteSpace + LineTerminator: TAB LF VT FF CR SP NBSP OGHAM
+# EN-QUAD..HAIR-SPACE LS PS NNBSP MMSP IDEOGRAPHIC-SPACE ZWNBSP.
+_WS_CODEPOINTS = (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0xA0, 0x1680,
+    *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000, 0xFEFF,
+)
+JS_WS_CHARS = "".join(map(chr, _WS_CODEPOINTS))
+
+# the same set as a regex character-class body: none of these codepoints is a
+# class metacharacter, so the literal chars are valid in both Python re and
+# Java regex (Spark regexp_extract stays in parity with the python kernels)
+JS_WS_CLASS = JS_WS_CHARS
+
+_INT_PREFIX = re.compile(rf"^[{JS_WS_CLASS}]*([+-]?[0-9]+)")
+
+
+def js_trim(s: str) -> str:
+    """``String.prototype.trim``: strips exactly the JS whitespace set."""
+    return s.strip(JS_WS_CHARS)
+
+
+def js_parse_int(s: str) -> int | None:
+    """``parseInt(s, 10)`` as an exact integer; NaN -> ``None``.
+
+    Signed zero note: parseInt('-0') is JS ``-0``, which compares equal to 0
+    everywhere the kernels use it, so plain ``0`` is returned.
+    """
+    m = _INT_PREFIX.match(s)
+    return int(m.group(1)) if m else None
+
+
+_MAX_SAFE = 2**53
+
+
+def js_parse_int_number(s: str) -> int | float:
+    """``parseInt(s, 10)`` with JS Number (double) semantics.
+
+    Returns an exact ``int`` while representable (<= 2^53), else the nearest
+    double (rounding exactly as JS does for long digit strings, Infinity past
+    ~1.8e308); ``float('nan')`` when no digits parse.
+    """
+    n = js_parse_int(s)
+    if n is None:
+        return float("nan")
+    if abs(n) <= _MAX_SAFE:
+        return n
+    try:
+        return float(n)
+    except OverflowError:
+        return float("inf") if n > 0 else float("-inf")

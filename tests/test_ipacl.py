@@ -5,16 +5,13 @@ executes the reference's own source under node (loaded from the reference
 checkout at test time and mechanically type-stripped — no reference code
 lives in this repo; the fuzz skips when the checkout or node is absent)."""
 
-import json
-import pathlib
 import random
-import re
-import shutil
-import subprocess
 
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
+
+from node_oracle import have_node_oracle, run_reference_js
 
 from anycrawl_spark.functions.ipacl import (
     client_ip,
@@ -145,17 +142,11 @@ def test_parseint_goldens_expr_agrees(spark):
 # --- differential fuzz vs the reference's actual source under node ---
 #
 # The oracle is apps/api/src/utils/ipUtils.ts itself, read from the
-# reference checkout at test time.  Its TypeScript surface is
-# signature-only (parameter/return annotations + one express import +
-# `export` keywords), so a line-level mechanical strip turns it into the
-# JS that node 20 executes directly — parseInt leniency, BigInt mask
-# arithmetic, and the 33..128 throw-to-false path all run verbatim.
+# reference checkout at test time and type-stripped by tests/node_oracle —
+# parseInt leniency, BigInt mask arithmetic, and the 33..128
+# throw-to-false path all run verbatim under node.
 
-_REF_IPUTILS_TS = pathlib.Path("/root/reference/apps/api/src/utils/ipUtils.ts")
-
-# matches `: Type` annotations on a `function ...(...)...{` line, where Type
-# is an identifier/union/array chain (`string | null`, `string[]`, `Request`)
-_TS_ANN = re.compile(r":\s*[A-Za-z_$][\w$]*(?:\[\])?(?:\s*\|\s*[A-Za-z_$][\w$]*(?:\[\])?)*")
+_IPUTILS = "apps/api/src/utils/ipUtils.ts"
 
 _DRIVER_JS = """
 const data = JSON.parse(require('fs').readFileSync(0, 'utf8'));
@@ -163,18 +154,6 @@ console.log(JSON.stringify(data.map(c =>
     c.kind === "allowed" ? isIpAllowed(c.ip, c.whitelist)
                          : getClientIp({ headers: c.headers, ip: c.req_ip }))));
 """
-
-
-def _load_reference_js() -> str:
-    lines = []
-    for line in _REF_IPUTILS_TS.read_text().splitlines():
-        if line.startswith("import "):
-            continue
-        stripped = line.replace("export function", "function")
-        if re.match(r"\s*function\b", stripped):
-            stripped = _TS_ANN.sub("", stripped)
-        lines.append(stripped)
-    return "\n".join(lines) + _DRIVER_JS
 
 _OCTETS = [
     "0", "1", "5", "9", "10", "00", "007", "255", "256", "-0", "-1", "+5",
@@ -190,7 +169,9 @@ _PREFIXES = [
 ]
 _HDR_VALS = [None, "", " ", "1.2.3.4", " 1.2.3.4 ", "a, b", ", 9.9.9.9",
              " , 8.8.8.8", "1.2.3.4,5.6.7.8", ",", [], [""], ["5.6.7.8"],
-             ["", "7.7.7.7"], [" 9.8.7.6 , 1.1.1.1"], "\xa01.2.3.4\xa0"]
+             ["", "7.7.7.7"], [" 9.8.7.6 , 1.1.1.1"], "\xa01.2.3.4\xa0",
+             # \x1c: Python-strip whitespace that JS trim PRESERVES
+             "\x1c1.2.3.4\x1c", ["\x1c2.2.2.2"]]
 
 
 def _rand_ip(rnd):
@@ -217,7 +198,7 @@ def _rand_pattern(rnd):
 
 
 @pytest.mark.skipif(
-    not shutil.which("node") or not _REF_IPUTILS_TS.exists(),
+    not have_node_oracle(_IPUTILS),
     reason="node or the reference checkout not available",
 )
 def test_ipacl_differential_fuzz_vs_reference_logic():
@@ -241,11 +222,7 @@ def test_ipacl_differential_fuzz_vs_reference_logic():
             headers = {k: v for k, v in headers.items() if v is not None}
             cases.append({"kind": "client", "headers": headers,
                           "req_ip": rnd.choice([None, "", "6.6.6.6"])})
-    out = subprocess.run(
-        ["node", "-e", _load_reference_js()], input=json.dumps(cases),
-        capture_output=True, text=True, timeout=120)
-    assert out.returncode == 0, out.stderr[:500]
-    ref = json.loads(out.stdout)
+    ref = run_reference_js(_IPUTILS, _DRIVER_JS, cases)
     diverging = []
     for c, exp in zip(cases, ref):
         got = (is_ip_allowed(c["ip"], c["whitelist"])
