@@ -23,8 +23,11 @@ segment shapes (``*``, ``*.ext``, ``?``-runs, ``*.*``, ``.*`` — which
 carry their own, subtly different, dot/empty rules), ``**`` globstar (zero
 or more whole segments, never ``.``/``..``; ``**`` inside a segment
 degrades to ``*``), and the no-traversal guard on magic segments. ``dot``
-restrictions are omitted because the reference always passes
-``{dot: true}``. The unit goldens in tests/test_capture.py were generated
+is a parameter: capture rules use ``{dot: true}`` (the reference's option
+here), while the template domain validator calls plain ``minimatch(...)``
+whose default is ``dot: false`` (star/qmark/globstar skip dot-leading
+segments, mirrored per ast.js/index.js v9). The unit goldens in
+tests/test_capture.py were generated
 against the real minimatch 9.0.5 (node); a 38,000-case random differential
 fuzz against the same library passed with zero divergences at generation
 time.
@@ -224,19 +227,20 @@ def _empty_ext(inner: str) -> bool:
     return acc_empty
 
 
-def _alt_to_regex(alt: str, at_start: bool, at_end: bool) -> str:
+def _alt_to_regex(alt: str, at_start: bool, at_end: bool, dot: bool) -> str:
     """One extglob alternative, with v9's portion-start semantics when the
     extglob spans the segment edge: a lone '*' needs one char and magic
-    dot-capable starts get the no-traversal guard (ast.js:436-452)."""
+    dot-capable starts get the no-traversal (dot:true) or no-dot
+    (dot:false) guard (ast.js:436-452)."""
     if at_start and at_end and alt == "*":
-        return _START_NO_TRAVERSAL + "[^/]+?"
-    src, _, alt_ext = _segment_to_regex(alt)
-    if at_start and not alt_ext and _needs_dot_guard(src):
-        src = _START_NO_TRAVERSAL + src
+        return (_START_NO_TRAVERSAL if dot else _START_NO_DOT) + "[^/]+?"
+    src, _, alt_ext = _segment_to_regex(alt, dot)
+    if at_start and not alt_ext:
+        src = _start_guard(src, dot) + src
     return src
 
 
-def _segment_to_regex(seg: str) -> tuple[str, str | None, bool]:
+def _segment_to_regex(seg: str, dot: bool) -> tuple[str, str | None, bool]:
     """One path segment (no '/') -> (regex fragment, literal text,
     starts-with-extglob flag).
 
@@ -282,7 +286,7 @@ def _segment_to_regex(seg: str) -> tuple[str, str | None, bool]:
             at_start = i == 0
             at_end = j == len(seg) - 1
             alts = [
-                _alt_to_regex(a, at_start, at_end)
+                _alt_to_regex(a, at_start, at_end, dot)
                 for a in _split_top_pipe(inner)
             ]
             if c == "!":
@@ -291,18 +295,38 @@ def _segment_to_regex(seg: str) -> tuple[str, str | None, bool]:
                 # matches 'a.b' (the binding fails) but not 'a'. A body
                 # whose tail is empty (#emptyExt) is exactly [^/]+?.
                 rest_src = (
-                    _segment_to_regex(seg[j + 1 :])[0] if j + 1 < len(seg) else ""
+                    _segment_to_regex(seg[j + 1 :], dot)[0] if j + 1 < len(seg) else ""
                 )  # recursive: nested negations fold their own tails
+                # dot:false + negation at segment start: the matcher star
+                # gets startNoDot (ast.js:500,505 — both the emptyExt and
+                # the '))'+star close insert it when isStart && !dot)
+                nodot = _START_NO_DOT if at_start and not dot else ""
                 if _empty_ext(inner):
-                    out.append("[^/]+?" + rest_src)
+                    out.append(nodot + "[^/]+?" + rest_src)
                 else:
                     looka = "|".join(f"{a}{rest_src}(?:$|\\/)" for a in alts)
-                    out.append(f"(?:(?!(?:{looka}))[^/]*?){rest_src}")
+                    out.append(f"(?:(?!(?:{looka})){nodot}[^/]*?){rest_src}")
                 # rest consumed into the negation
                 return "".join(out), None, starts_with_ext
             body = "|".join(alts)
             if c == "@":
                 out.append(f"(?:{body})")
+            elif c in "*+" and not dot:
+                # ast.js:473-495 bodyDotAllowed: a repeated extglob with
+                # dot:false computes its body twice — first iteration in
+                # no-dot mode, further iterations dot-allowed — so *(?)
+                # matches 'a.b' but not '.ab'. Close: '+' drops its
+                # quantifier, '*' becomes '?' (found by the dot:false
+                # minimatch differential fuzz).
+                body_dot = "|".join(
+                    _alt_to_regex(a, at_start, at_end, True)
+                    for a in _split_top_pipe(inner)
+                )
+                if body_dot == body:
+                    out.append(f"(?:{body}){c}")
+                else:
+                    opt = "?" if c == "*" else ""
+                    out.append(f"(?:(?:{body})(?:{body_dot})*?){opt}")
             else:  # + * ?
                 out.append(f"(?:{body}){c}")
             i = j + 1
@@ -347,48 +371,54 @@ _STAR_DOT_STAR_RE = re.compile(r"^\*+\.\*+$")
 _DOT_STAR_RE = re.compile(r"^\.\*+$")
 
 _APS = ("[", ".")
+_START_NO_DOT = r"(?!\.)"
 
 
-def _needs_dot_guard(src: str) -> bool:
-    """ast.js:438-448 needNoTrav (dot:true): guard '.'/'..' only when the
-    compiled source could match a leading dot — starts with '[' or '.',
-    or with escaped dots followed by one."""
-    return (
-        src[:1] in _APS
+def _start_guard(src: str, dot: bool) -> str:
+    """ast.js:438-451: with dot:true, guard '.'/'..' (needNoTrav) when the
+    compiled source could match a leading dot — starts with '[' or '.', or
+    with escaped dots followed by one; the escaped-dot clauses apply in
+    BOTH modes. With dot:false, a dot-capable magic start instead gets the
+    no-DOT guard (needNoDot), so '*'/'[a]' never match dotfiles."""
+    trav = (
+        (dot and src[:1] in _APS)
         or (src.startswith("\\.") and src[2:3] in _APS)
         or (src.startswith("\\.\\.") and src[4:5] in _APS)
     )
+    if trav:
+        return r"(?!\.\.?$)"
+    if not dot and src[:1] in _APS:
+        return _START_NO_DOT
+    return ""
 
 
-def _compile_segment(seg: str):
+def _compile_segment(seg: str, dot: bool):
     """"**" sentinel for a whole-`**` segment; a fast-path tuple for v9's
-    shortcut shapes; ("lit", text) for magic-free segments (compared by
+    shortcut shapes (each exists in a dot and a no-dot variant,
+    index.js:22-68); ("lit", text) for magic-free segments (compared by
     string equality, as minimatch keeps them); else a compiled regex with
-    the start-no-traversal guard ('.'/'..' are never matched by magic, even
-    with dot:true — ast.js:435 'for explosively exponential reasons').
-    A fragment that fails to compile matches literally."""
+    the start guard ('.'/'..' are never matched by magic even with
+    dot:true — ast.js:435 'for explosively exponential reasons'; dotfiles
+    are excluded entirely with dot:false). A fragment that fails to
+    compile matches literally."""
     if seg == "**":
         return "**"
     if _STAR_RE.match(seg):
-        return ("star",)
+        return ("star", dot)
     m = _STAR_EXT_RE.match(seg)
     if m:
-        return ("ends", m.group(1))
+        return ("ends", m.group(1), dot)
     m = _QMARKS_RE.match(seg)
     if m:
-        return ("qmarks", len(seg), m.group(2) or "")
+        return ("qmarks", len(seg), m.group(2) or "", dot)
     if _STAR_DOT_STAR_RE.match(seg):
-        return ("stardotstar",)
+        return ("stardotstar", dot)
     if _DOT_STAR_RE.match(seg):
         return ("dotstar",)
-    src, lit, starts_with_ext = _segment_to_regex(seg)
+    src, lit, starts_with_ext = _segment_to_regex(seg, dot)
     if lit is not None:
         return ("lit", lit)
-    guard = (
-        r"(?!\.\.?$)"
-        if not starts_with_ext and _needs_dot_guard(src)
-        else ""
-    )
+    guard = "" if starts_with_ext else _start_guard(src, dot)
     try:
         return re.compile("^" + guard + src + "$")
     except re.error:
@@ -401,37 +431,50 @@ def _seg_hit(p, f: str) -> bool:
     kind = p[0]
     if kind == "lit":  # plain string equality
         return f == p[1]
-    if kind == "star":  # starTestDot
-        return f != "" and f != "." and f != ".."
-    if kind == "ends":  # starDotExtTestDot: bare endsWith, no dot guard
-        return f.endswith(p[1])
-    if kind == "qmarks":  # qmarksTestDot: total-length + suffix + not-dots
-        return len(f) == p[1] and f not in (".", "..") and f.endswith(p[2])
-    if kind == "stardotstar":  # starDotStarTestDot
-        return f not in (".", "..") and "." in f
-    # "dotstar": dotStarTest
+    if kind == "star":  # starTestDot / starTest
+        if p[1]:
+            return f != "" and f != "." and f != ".."
+        return f != "" and not f.startswith(".")
+    if kind == "ends":  # starDotExtTestDot (bare endsWith) / starDotExtTest
+        if p[2]:
+            return f.endswith(p[1])
+        return not f.startswith(".") and f.endswith(p[1])
+    if kind == "qmarks":  # qmarksTestDot / qmarksTest
+        if p[3]:
+            return len(f) == p[1] and f not in (".", "..") and f.endswith(p[2])
+        return len(f) == p[1] and not f.startswith(".") and f.endswith(p[2])
+    if kind == "stardotstar":  # starDotStarTestDot / starDotStarTest
+        if p[1]:
+            return f not in (".", "..") and "." in f
+        return not f.startswith(".") and "." in f
+    # "dotstar": dotStarTest (same in both modes — the dot is explicit)
     return f not in (".", "..") and f.startswith(".")
 
 
-def _match_one(file_segs: list[str], pat_segs: list, fi: int = 0, pi: int = 0) -> bool:
-    """minimatch matchOne over pre-compiled pattern segments (dot:true,
-    partial:false) — a semantic mirror of the public source's end
+def _match_one(file_segs: list[str], pat_segs: list, fi: int = 0, pi: int = 0,
+               dot: bool = True) -> bool:
+    """minimatch matchOne over pre-compiled pattern segments
+    (partial:false) — a semantic mirror of the public source's end
     conditions: a trailing ``**`` needs at least the '/' before it in the
     file (``a/**`` matches ``a/`` but NOT ``a``) and never swallows '.' or
-    '..' segments; pattern-exhausted with file left matches only a single
-    trailing empty segment (``a/*`` matches ``a/b/``)."""
+    '..' segments (nor ANY dot-leading segment with dot:false);
+    pattern-exhausted with file left matches only a single trailing empty
+    segment (``a/*`` matches ``a/b/``)."""
+    def blocked(f: str) -> bool:
+        return f in (".", "..") or (not dot and f.startswith("."))
+
     fl, pl = len(file_segs), len(pat_segs)
     while fi < fl and pi < pl:
         p = pat_segs[pi]
         if p == "**":
             pr = pi + 1
             if pr == pl:
-                # trailing globstar swallows the rest — except '.'/'..'
-                return all(f not in (".", "..") for f in file_segs[fi:])
+                # trailing globstar swallows the rest — except dot segments
+                return all(not blocked(f) for f in file_segs[fi:])
             for swallow in range(fi, fl):  # fr < fl, as in the source
-                if _match_one(file_segs, pat_segs, swallow, pr):
+                if _match_one(file_segs, pat_segs, swallow, pr, dot):
                     return True
-                if file_segs[swallow] in (".", ".."):
+                if blocked(file_segs[swallow]):
                     break  # ** can stop BEFORE a dot segment, never cross it
             return False
         if not _seg_hit(p, file_segs[fi]):
@@ -466,7 +509,7 @@ def _level_one(parts: list[str]) -> list[str]:
 
 
 @lru_cache(maxsize=4096)
-def _compile_glob(pattern: str):
+def _compile_glob(pattern: str, dot: bool = True):
     """pattern -> None (comment: never matches) | (negate, "") for the
     whole-empty pattern (matches only "") | (negate, expansions) where each
     expansion is a tuple of compiled segments. Cached so the per-response
@@ -491,18 +534,21 @@ def _compile_glob(pattern: str):
             # set in v9 ('{a,}' never matches ''), unlike the '!' case above
             continue
         segs = _level_one(_SLASHES.split(exp))
-        expansions.append(tuple(_compile_segment(seg) for seg in segs))
+        expansions.append(tuple(_compile_segment(seg, dot) for seg in segs))
     return (negate, tuple(expansions))
 
 
-def glob_match(s: str, pattern: str) -> bool:
-    """``minimatch(s, pattern, { dot: true })``.
+def glob_match(s: str, pattern: str, dot: bool = True) -> bool:
+    """``minimatch(s, pattern, { dot })`` — dot:true is the capture-rule
+    option (EngineConfigurator.ts); dot:false is the library default used
+    by the template domain validator (domainValidator.ts calls plain
+    ``minimatch(value, pattern)``).
 
     Both the pattern AND the subject split on runs of slashes
     (`slashSplit = /\\/+/` applies to both sides in the library, so
     ``https://a.com/x`` has three segments on each side and consecutive
     slashes coalesce)."""
-    compiled = _compile_glob(pattern)
+    compiled = _compile_glob(pattern, dot)
     if compiled is None:
         return False
     negate, expansions = compiled
@@ -510,7 +556,7 @@ def glob_match(s: str, pattern: str) -> bool:
         result = s == ""
     else:
         file_segs = _SLASHES.split(s)
-        result = any(_match_one(file_segs, list(exp)) for exp in expansions)
+        result = any(_match_one(file_segs, list(exp), dot=dot) for exp in expansions)
     return result != negate
 
 

@@ -74,3 +74,43 @@ def js_parse_int_number(s: str) -> int | float:
         return float(n)
     except OverflowError:
         return float("inf") if n > 0 else float("-inf")
+
+
+def js_number_to_string(v: float) -> str:
+    """ECMAScript ``String(Number)`` (Number::toString, radix 10): shortest
+    round-trip digits, decimal notation for exponents in (-7, 21], exponent
+    notation outside — 1e21 prints as '1e+21' but 1e20 spells out, 1e-7
+    prints as '1e-7' (no zero-padded exponent) while 1e-6 spells '0.000001'.
+    ``String(-0)`` is '0'."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    if v == 0:
+        return "0"  # covers -0.0
+    sign = "-" if v < 0 else ""
+    r = repr(abs(v))  # shortest round-trip, same digits JS picks
+    if "e" in r:
+        mant, exp = r.split("e")
+        e = int(exp)
+    else:
+        mant, e = r, 0
+    point = mant.index(".") if "." in mant else len(mant)
+    n = point + e  # value = 0.<digits> * 10^n
+    # normalize: strip leading zeros (adjusting n) and trailing zeros
+    raw = mant.replace(".", "")
+    lead = len(raw) - len(raw.lstrip("0"))
+    digits = raw.lstrip("0").rstrip("0")
+    n -= lead
+    k = len(digits)
+    if k <= n <= 21:
+        return sign + digits + "0" * (n - k)
+    if 0 < n <= 21:
+        return sign + digits[:n] + "." + digits[n:]
+    if -6 < n <= 0:
+        return sign + "0." + "0" * (-n) + digits
+    exp_part = n - 1
+    head = digits[0] + ("." + digits[1:] if k > 1 else "")
+    return f"{sign}{head}e{'+' if exp_part >= 0 else '-'}{abs(exp_part)}"

@@ -33,6 +33,8 @@ import math
 import re
 from urllib.parse import quote
 
+from anycrawl_spark.functions.js import js_number_to_string, js_trim
+
 # encodeURIComponent's unreserved set (ECMA-262 18.2.6.4)
 _ENCODE_URI_COMPONENT_SAFE = "-_.!~*'()"
 
@@ -53,40 +55,54 @@ class _Missing:
 MISSING = _Missing()
 
 
+def _js_prop(obj, key: str):
+    """JS property access ``obj[key]`` for JSON values: dicts read the key;
+    arrays and strings expose canonical digit indices and ``length``;
+    everything else (numbers, booleans) has no own properties. Returns
+    ``MISSING`` for JS ``undefined``. (node fuzz: the variable mapper's
+    existing-value check reads THROUGH arrays/strings — 'a.length' on
+    ``{"a": [1, 2]}`` is 2, not undefined.)"""
+    if isinstance(obj, dict):
+        return obj.get(key, MISSING)
+    if isinstance(obj, (list, str)):
+        if key == "length":
+            return len(obj)
+        if key.isdigit() and key == str(int(key)) and int(key) < len(obj):
+            return obj[int(key)]
+    return MISSING
+
+
 def get_by_path(obj, path: str):
-    """Dot-path lookup (urlTemplate.ts:5-14); absent key -> ``MISSING``,
-    explicit null stays ``None``."""
+    """Dot-path lookup (urlTemplate.ts:5-14) with JS property-access
+    semantics per segment; absent key -> ``MISSING``, explicit null stays
+    ``None``."""
     if not obj or not path:
         return MISSING
     cur = obj
     for part in path.split("."):
-        if cur is None or not isinstance(cur, dict):
+        if cur is None or cur is MISSING:
             return MISSING
-        cur = cur.get(part, MISSING)
-        if cur is MISSING:
-            return MISSING
-    return cur
+        cur = _js_prop(cur, part)
+    return cur if cur is not MISSING else MISSING
 
 
 def to_string_value(v) -> str:
-    """JS ``String()`` / ``JSON.stringify`` coercion (urlTemplate.ts:16-25)."""
+    """JS ``String()`` / ``JSON.stringify`` coercion (urlTemplate.ts:16-25).
+    Numbers use the full ECMAScript Number::toString algorithm (exponent
+    thresholds at 1e21/1e-7, no zero-padded exponents — node fuzz);
+    containers stringify compactly with JS number formatting inside."""
     if v is None:
         return ""
     if isinstance(v, str):
         return v
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (int, float)):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            if math.isinf(v):
-                return "Infinity" if v > 0 else "-Infinity"
-            if v.is_integer():
-                return str(int(v))  # String(2.0) === "2"
+    if isinstance(v, float):
+        return js_number_to_string(v)
+    if isinstance(v, int):
         return str(v)
     try:
-        return json.dumps(v, separators=(",", ":"))
+        return _js_json(v)
     except (TypeError, ValueError):
         return str(v)
 
@@ -153,10 +169,41 @@ def _js_typeof_ok(value, expected: str) -> bool:
 
 _URL_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
+# WHATWG "special" schemes require a parseable authority; any other scheme
+# takes an opaque path and new URL() virtually never fails past the scheme
+_SPECIAL_SCHEMES = frozenset({"http", "https", "ws", "wss", "ftp"})
+
 
 def _is_js_url(v: str) -> bool:
-    """``new URL(v)`` succeeds iff the string carries an explicit scheme."""
-    return bool(_URL_SCHEME_RE.match(v))
+    """``new URL(v)`` success: an explicit scheme is required; for special
+    schemes (http/https/ws/wss/ftp) the authority must also parse per WHATWG
+    (reusing the C1 canonicalizer's host/port validation — a space in the
+    host or an out-of-range port throws in JS). One canonicalizer deviation
+    is compensated: dot-only hosts ('http://..') are VALID in node but the
+    dedup canonicalizer folds trailing dots and so rejects them."""
+    m = _URL_SCHEME_RE.match(v)
+    if not m:
+        return False
+    scheme = v[: m.end() - 1].lower()
+    if scheme in _SPECIAL_SCHEMES:
+        from urllib.parse import urlsplit
+
+        from anycrawl_spark.functions.urls import canonicalize_url
+
+        if canonicalize_url("http:" + v[m.end():]) is not None:
+            return True
+        try:
+            netloc = urlsplit("http:" + v[m.end():].replace("\\", "/")).netloc
+        except ValueError:
+            return False
+        hostpart = netloc.rpartition("@")[2]
+        host, _, port = hostpart.partition(":")
+        return (
+            bool(host)
+            and set(host) == {"."}
+            and (not port or (port.isdigit() and int(port) <= 65535))
+        )
+    return True
 
 
 def validate_variables(definitions, provided, request_data=None) -> list[str]:
@@ -197,23 +244,81 @@ def validate_variables(definitions, provided, request_data=None) -> list[str]:
             elif not _is_js_url(value):
                 errors.append(f"Variable '{name}' must be a valid URL")
         elif expected == "enum":
+            # templateHandler.ts:705-718: `values` must be a non-empty ARRAY;
+            # else fall back to options[].value keeping explicit nulls
+            # (opt?.value === undefined is filtered, null survives into the
+            # allowed list and the message) — node fuzz divergences
             allowed = definition.get("values")
-            if not allowed:
-                allowed = [
-                    o.get("value")
-                    for o in definition.get("options") or []
-                    if isinstance(o, dict) and o.get("value") is not None
-                ]
-            if not allowed:
+            if not isinstance(allowed, list) or not allowed:
+                options = definition.get("options")
+                if isinstance(options, list):
+                    allowed = [
+                        o["value"]
+                        for o in options
+                        if isinstance(o, dict) and "value" in o
+                    ]
+            if not isinstance(allowed, list) or not allowed:
                 errors.append(f"Variable '{name}' enum has no values defined")
-            elif value not in allowed:
-                vals = ", ".join(json.dumps(v) for v in allowed)
+            elif not _js_strict_includes(allowed, value):
+                vals = ", ".join(_js_json(v) for v in allowed)
                 errors.append(
-                    f"Variable '{name}' must be one of [{vals}], got {json.dumps(value)}"
+                    f"Variable '{name}' must be one of [{vals}], got {_js_json(value)}"
                 )
         else:
-            errors.append(f"Variable '{name}' has unknown type '{expected}'")
+            # JS string interpolation: a MISSING type prints as 'undefined',
+            # an explicit null as 'null', other non-strings via String()
+            # (node fuzz: python 'None' diverged on both)
+            if "type" not in definition:
+                label = "undefined"
+            elif expected is None:
+                label = "null"
+            else:
+                label = to_string_value(expected)
+            errors.append(f"Variable '{name}' has unknown type '{label}'")
     return errors
+
+
+def _js_strict_includes(allowed: list, value) -> bool:
+    """``Array.prototype.includes`` (SameValueZero): booleans never equal
+    numbers (1 !== true), and objects/arrays compare by IDENTITY — a
+    JSON-distinct dict never matches (python ``in`` would use ==)."""
+    for a in allowed:
+        if isinstance(value, (dict, list)) or isinstance(a, (dict, list)):
+            if a is value:
+                return True
+            continue
+        if isinstance(value, bool) != isinstance(a, bool):
+            continue
+        if (value is None) != (a is None):
+            continue
+        if value == a:
+            return True
+    return False
+
+
+def _js_json(v) -> str:
+    """``JSON.stringify`` with ECMAScript number formatting throughout:
+    integral doubles print without '.0', exponent thresholds/format follow
+    Number::toString (JSON.stringify(1e-7) === '1e-7'), separators are
+    compact, non-finite numbers become null, strings stay unicode."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return js_number_to_string(v) if math.isfinite(v) else "null"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, list):
+        return "[" + ",".join(_js_json(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{json.dumps(str(k), ensure_ascii=False)}:{_js_json(val)}"
+            for k, val in v.items()
+        ) + "}"
+    raise TypeError(f"not JSON-serializable: {type(v)}")
 
 
 def _js_typeof(v) -> str:
@@ -253,9 +358,55 @@ def get_nested_value(obj, path: str):
     return None if v is MISSING else v
 
 
+def _js_is_index(seg: str) -> bool:
+    return seg.isdigit() and seg == str(int(seg))
+
+
+def _js_set_prop(cur, seg: str, value):
+    """JS assignment ``cur[seg] = value`` for JSON containers, returning the
+    value now reachable at ``cur[seg]`` (for descent). On ARRAYS: canonical
+    digit indices set/extend elements (holes serialize as null, so they are
+    filled with None); ``length`` assignment resizes or throws RangeError
+    exactly like JS; any other key becomes a non-index property that
+    JSON.stringify drops — modelled as a DETACHED dict so deeper writes
+    vanish from the output the same way. (node fuzz: a mapping target of
+    'a.b' with ``{"a": [0]}`` must leave the array untouched, not replace
+    it.)"""
+    if isinstance(cur, dict):
+        cur[seg] = value
+        return value
+    if isinstance(cur, list):
+        if seg == "length":
+            n = None
+            if isinstance(value, bool):
+                n = int(value)
+            elif isinstance(value, int) and value >= 0:
+                n = value
+            elif isinstance(value, float) and value >= 0 and value.is_integer():
+                n = int(value)
+            elif isinstance(value, str) and value.isdigit():
+                n = int(value)
+            if n is None:
+                raise ValueError("Invalid array length")  # JS RangeError
+            del cur[n:]
+            cur.extend([None] * (n - len(cur)))
+            return value
+        if _js_is_index(seg):
+            idx = int(seg)
+            if idx < len(cur):
+                cur[idx] = value
+            else:
+                cur.extend([None] * (idx - len(cur)))
+                cur.append(value)
+            return value
+        return value  # non-index array property: invisible to JSON
+    return value  # primitives silently ignore property writes
+
+
 def set_nested_value(target: dict, path: str, value) -> None:
     """templateHandler.ts:599-621 — create intermediate dicts, overwrite
-    non-dict intermediates."""
+    non-OBJECT intermediates (JS ``typeof``: arrays are objects, so the walk
+    descends INTO arrays instead of clobbering them — node fuzz)."""
     if not path:
         return
     segments = [s for s in path.split(".")]
@@ -264,12 +415,19 @@ def set_nested_value(target: dict, path: str, value) -> None:
         seg = segments.pop(0)
         if not seg:
             continue
-        if not isinstance(cur.get(seg), dict):
-            cur[seg] = {}
-        cur = cur[seg]
+        nxt = _js_prop(cur, seg)
+        if not isinstance(nxt, (dict, list)):
+            fresh: dict = {}
+            # on arrays with a non-index key this attaches nothing — deeper
+            # writes land in the detached dict and drop out of the JSON,
+            # exactly like JS non-index array properties under stringify
+            _js_set_prop(cur, seg, fresh)
+            cur = fresh
+        else:
+            cur = nxt
     final = segments.pop() if segments else None
     if final:
-        cur[final] = value
+        _js_set_prop(cur, final, value)
 
 
 def map_variables_to_request_data(variables, definitions, request_data) -> dict:
@@ -316,7 +474,13 @@ def deep_merge_options_with_template(request_options: dict, template_options: di
 
 # -------------------------------------------------------------- transforms
 
-_JS_FLAGS = {"i": re.I, "m": re.M, "s": re.S, "g": 0, "u": 0}
+# JS RegExp flag characters: unknown or DUPLICATE flags make `new RegExp`
+# throw (caught by applyTransform -> extraction skipped entirely), so the
+# validity gate must run before any matching (node fuzz: 'x'/'gg' diverged).
+# 'd'/'u'/'v' don't change match results for the shared pattern dialect;
+# 'y' (sticky) anchors matching at position 0.
+_JS_FLAG_CHARS = frozenset("dgimsuvy")
+_JS_FLAG_MAP = {"i": re.I, "m": re.M, "s": re.S}
 
 
 def _js_global_replace(tpl: str, needle: str, replacement: str) -> str:
@@ -365,22 +529,56 @@ def apply_transform(value: str, transform, placeholder: str) -> str:
     re_cfg = transform.get("regexExtract")
     if re_cfg and re_cfg.get("pattern"):
         try:
+            flag_str = re_cfg.get("flags") or ""
+            if (
+                any(ch not in _JS_FLAG_CHARS for ch in flag_str)
+                or len(set(flag_str)) != len(flag_str)
+            ):
+                raise re.error("invalid RegExp flags")  # new RegExp throws
             flags = 0
-            for ch in re_cfg.get("flags") or "":
-                flags |= _JS_FLAGS.get(ch, 0)
-            m = re.search(re_cfg["pattern"], subject, flags)
+            for ch in flag_str:
+                flags |= _JS_FLAG_MAP.get(ch, 0)
+            rex = re.compile(re_cfg["pattern"], flags)
+            sticky, global_ = "y" in flag_str, "g" in flag_str
+            if global_:
+                # JS String.match with /g returns the array of FULL matches
+                # (no groups), so `group` indexes MATCHES there (node fuzz)
+                if sticky:
+                    matches, pos = [], 0
+                    while (mm := rex.match(subject, pos)) is not None:
+                        matches.append(mm.group(0))
+                        pos = mm.end() + (mm.end() == pos)  # empty-match step
+                        if pos > len(subject):
+                            break
+                else:
+                    matches = [mm.group(0) for mm in rex.finditer(subject)]
+                m = bool(matches)
+            else:
+                m = rex.match(subject) if sticky else rex.search(subject)
             if m:
                 group = re_cfg.get("group")
-                n_groups = m.re.groups + 1
-                if isinstance(group, int) and not isinstance(group, bool) \
-                        and 0 <= group < n_groups:
-                    subject = m.group(group)
-                    if subject is None:
-                        subject = m.group(0)
+                # Number.isInteger accepts integral FLOATS (2.0) — JSON
+                # numbers arrive as either (node fuzz: group=2.0 diverged)
+                is_int = (
+                    isinstance(group, (int, float))
+                    and not isinstance(group, bool)
+                    and float(group).is_integer()
+                )
+                idx = int(group) if is_int else 0
+                if global_:
+                    subject = matches[idx] if 0 <= idx < len(matches) else matches[0]
                 else:
-                    subject = m.group(0)
+                    n_groups = m.re.groups + 1
+                    if 0 <= idx < n_groups:
+                        subject = m.group(idx)
+                        if subject is None:
+                            subject = m.group(0)
+                    else:
+                        subject = m.group(0)
                 if re_cfg.get("trim") is not False:
-                    subject = subject.strip()
+                    # JS String.prototype.trim, not python strip (node fuzz:
+                    # \x1c survives a JS trim)
+                    subject = js_trim(subject)
         except re.error:
             pass  # invalid regex config — fall back to the original subject
     mode = transform.get("mode")
@@ -420,8 +618,9 @@ def validate_template_only_fields(request_keys, template_type: str) -> list[str]
 
 
 def resolve_price(pricing, currency: str = "credits") -> float:
-    """templateHandler.ts:446-455 — perCall credits when configured."""
-    per_call = (pricing or {}).get("perCall")
+    """templateHandler.ts:446-455 — perCall credits when configured.
+    A non-dict pricing reads as undefined fields in JS (never a crash)."""
+    per_call = pricing.get("perCall") if isinstance(pricing, dict) else None
     if (
         isinstance(per_call, (int, float))
         and not isinstance(per_call, bool)
@@ -465,9 +664,12 @@ def parse_domain_restriction(allowed):
 
 
 def _glob_match(value: str, pattern: str) -> bool:
-    from anycrawl_spark.functions.patterns import glob_to_regex
+    """Plain ``minimatch(value, pattern)`` — domainValidator.ts calls the
+    library with DEFAULT options (dot:false), unlike the capture rules'
+    {dot: true}; negation ('!x'), classes and extglobs all apply."""
+    from anycrawl_spark.functions.capture import glob_match
 
-    return re.fullmatch(glob_to_regex(pattern), value) is not None
+    return glob_match(value, pattern, dot=False)
 
 
 def validate_pattern(value: str, restriction, field_name: str = "value"):
@@ -475,11 +677,11 @@ def validate_pattern(value: str, restriction, field_name: str = "value"):
     allowedKeywords; value and patterns compare lowercased/trimmed."""
     if not restriction or not restriction.get("patterns"):
         return True, None
-    v = value.lower().strip()
+    v = js_trim(value.lower())
     for pattern in restriction["patterns"]:
         if not pattern:
             continue
-        p = pattern.lower().strip()
+        p = js_trim(pattern.lower())
         if restriction["type"] == "exact":
             if v == p:
                 return True, None
@@ -522,8 +724,9 @@ def validate_domain(url: str, restriction):
         return True, None
     try:
         target, origin, hostname, pathname, tail = _normalize_url_for_comparison(url)
-    except ValueError as e:
-        return False, f"Invalid URL format: {e}"
+    except ValueError:
+        # node's TypeError carries exactly 'Invalid URL' as its message
+        return False, "Invalid URL format: Invalid URL"
     for pattern in restriction["patterns"]:
         if not pattern:
             continue

@@ -43,7 +43,10 @@ added semantics (99k vs 88k URLs/s/core, 200k-URL corpus).
 
 from __future__ import annotations
 
+import codecs
 import re
+import unicodedata
+from functools import lru_cache
 from urllib.parse import parse_qsl, unquote, urlencode, urljoin, urlsplit
 
 import pandas as pd
@@ -129,6 +132,30 @@ def _canon_ipv4(host: str) -> str | None:
     return f"{ip >> 24}.{(ip >> 16) & 255}.{(ip >> 8) & 255}.{ip & 255}"
 
 
+@lru_cache(maxsize=4096)
+def _valid_punycode_label(label: str) -> bool:
+    """Approximate UTS46 toUnicode validation of an ``xn--`` label (node
+    rejects invalid ACE labels — 'xn--', 'xn--a', 'xn--zzzzzz' all throw):
+    the punycode body must decode, yield something non-empty with no
+    control/unassigned/format code points, and round-trip back to the same
+    label through the IDNA codec. UTS46's disallowed-assigned table is not
+    in the stdlib, so a few exotic labels node rejects pass here
+    (documented approximation; found by the template-url node fuzz)."""
+    body = label[4:]
+    if not body:
+        return False
+    try:
+        decoded = codecs.decode(body, "punycode")
+    except UnicodeError:
+        return False
+    if not decoded or any(unicodedata.category(ch)[0] == "C" for ch in decoded):
+        return False
+    try:
+        return decoded.encode("idna").decode("ascii") == label
+    except UnicodeError:
+        return False
+
+
 def _canon_host(host: str) -> str | None:
     """Canonical domain/IPv4 per WHATWG host parsing (sans IPv6 — the
     caller handles bracket hosts): percent-decode, forbidden-code-point
@@ -151,6 +178,10 @@ def _canon_host(host: str) -> str | None:
             try:
                 host = host.encode("idna").decode("ascii")
             except UnicodeError:
+                return None
+    if "xn--" in host:  # guarded: substring miss keeps the hot path intact
+        for lab in host.split("."):
+            if lab.startswith("xn--") and not _valid_punycode_label(lab):
                 return None
     label = host.rpartition(".")[2]
     # every ends-in-number form (dec/hex/octal) starts with a digit — the
@@ -266,6 +297,7 @@ def canonicalize_url_host(url: str) -> tuple[str | None, str | None]:
         host = parts.hostname  # lowercased; IPv6 comes back bracket-stripped
         if not host:
             return None, None
+        hostpart = raw_netloc.rpartition("@")[2]
         if ":" in host:  # bracket host: canonical IPv6 (shortest) or bust
             try:
                 import ipaddress
@@ -274,10 +306,13 @@ def canonicalize_url_host(url: str) -> tuple[str | None, str | None]:
             except ValueError:
                 return None, None
             # canonical IPv6 keeps ':' — the shared tail re-brackets it
+        elif hostpart.startswith("["):
+            # WHATWG: a bracket host MUST parse as IPv6 — [v1.x] and
+            # [1.2.3.4] both throw in node (template-url node fuzz)
+            return None, None
         # WHATWG: a non-numeric or out-of-range port is fatal. Python's
         # parts.port is too lenient (int() strips whitespace, accepts
         # '+80'), so the raw port text must be digits-only as well.
-        hostpart = raw_netloc.rpartition("@")[2]
         port_text = hostpart.rpartition("]")[2] if "]" in hostpart else hostpart
         port_text = port_text.rpartition(":")[2] if ":" in port_text else ""
         if port_text and not port_text.isdigit():

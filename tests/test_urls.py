@@ -124,7 +124,10 @@ _FUZZ_HOSTS = ["example.com", "Example.COM", "EXAMPLE.com", "sub.ex.co.uk",
                "[2001:db8::1]", "a_b.com", "xn--nxasmq6b.com", "ex ample.com",
                "münchen.de", "e", ".", "..", "com.", "1.2.3.4.5",
                "192.168.1.256", "host%41.com", "ex\tam\nple.com",
-               "ex\\ample.com", "example.com\\x"]
+               "ex\\ample.com", "example.com\\x",
+               # non-IPv6 bracket hosts and invalid ACE labels throw in node
+               "[v1.x]", "[1.2.3.4]", "[::zz]", "xn--", "xn--a.com",
+               "xn--zzzzzz.com", "xn--9ca.fr", "a.xn--0.b"]
 _FUZZ_PORTS = ["", "", "", "", ":80", ":443", ":8080", ":0", ":65535",
                ":65536", ":bogus", ":", ":008080", ":80 "]
 _FUZZ_PATHSEGS = ["a", "b", "A B", "..", ".", "...", "a.html", "%2e%2e",
