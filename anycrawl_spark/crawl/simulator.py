@@ -19,7 +19,12 @@ from dataclasses import dataclass, field
 
 from anycrawl_spark import synth
 from anycrawl_spark.crawl.params import CrawlParams, is_retryable, robots_decision, robots_target
-from anycrawl_spark.functions.patterns import compile_patterns, url_passes
+from anycrawl_spark.functions.patterns import (
+    compile_exclude_patterns,
+    compile_include_patterns,
+    should_scrape_url,
+    url_passes,
+)
 from anycrawl_spark.functions.urls import (
     canonicalize_url,
     registrable_domain,
@@ -41,6 +46,7 @@ class SimJobState:
     succeeded: int = 0
     failed: int = 0
     finalized: bool = False
+    scraped: set = field(default_factory=set)      # fetched urls passing F2
 
 
 def _scope_ok(url: str, seed_url: str, strategy: str) -> bool:
@@ -85,8 +91,8 @@ class ReferenceSimulator:
         self.progress_rows: list[dict] = []
         for job in jobs:
             st = SimJobState(job=dict(job))
-            st.job["_include"] = compile_patterns(job.get("include_paths"))
-            st.job["_exclude"] = compile_patterns(job.get("exclude_paths"))
+            st.job["_include"] = compile_include_patterns(job.get("include_paths"))
+            st.job["_exclude"] = compile_exclude_patterns(job.get("exclude_paths"))
             seed = canonicalize_url(job["seed_url"])
             if seed is not None and self._robots_ok(seed):
                 st.seen[seed] = (0, 0)
@@ -162,6 +168,8 @@ class ReferenceSimulator:
                 st.status[url] = "fetched"
                 st.done += 1
                 st.succeeded += 1
+                if should_scrape_url(url, st.job.get("scrape_paths")):
+                    st.scraped.add(url)
                 fresh += self._expand(st, url, depth, seq)
             elif is_retryable(status) and attempt + 1 < self.params.max_attempts:
                 st.pending.append(
@@ -185,7 +193,7 @@ class ReferenceSimulator:
                 continue
             if not _scope_ok(cand, job["seed_url"], job["strategy"]):
                 continue
-            if not url_passes(cand, job["_include"], job["_exclude"]):
+            if not url_passes(cand, job["_include"], job["_exclude"], current_url=url):
                 continue
             if not self._robots_ok(cand):
                 continue
@@ -201,6 +209,11 @@ class ReferenceSimulator:
 
     def seen_sets(self) -> dict[str, set]:
         return {jid: set(st.seen) for jid, st in self.states.items()}
+
+    def scraped_urls(self) -> dict[str, set]:
+        """F2 oracle: fetched urls whose documents are persisted
+        (shouldScrapeUrl, Base.ts:465-495,992-1002)."""
+        return {jid: set(st.scraped) for jid, st in self.states.items()}
 
     def discovery(self) -> dict[str, dict]:
         """job_id -> {url: (depth, discovery_seq)}"""

@@ -38,8 +38,10 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from anycrawl_spark import synth
 from anycrawl_spark.crawl.params import CrawlParams, is_retryable_col
@@ -127,6 +129,15 @@ class CrawlEngine:
         self._candidate_gate = make_candidate_gate(
             jobs, self.robots_by_host, self.robots_rfc_by_host
         )
+        # F2 shouldScrapeUrl (Base.ts:465-495,992-1002): pages always crawl
+        # and expand links, but only scrape_paths-matching pages persist a
+        # document. Jobs without scrape_paths save everything (the common
+        # case — the filter stage is skipped entirely then).
+        self._scrape_paths_by_job = {
+            j["job_id"]: list(j["scrape_paths"])
+            for j in jobs
+            if j.get("scrape_paths")
+        }
         self.max_depth_by_job = {j["job_id"]: j["max_depth"] for j in jobs}
         self.limit_by_job = {j["job_id"]: j["limit"] for j in jobs}
         # mutable per-job counters (recovered from progress on resume)
@@ -503,9 +514,25 @@ class CrawlEngine:
 
         # --- documents + metrics appends -----------------------------------
         t_defs = _time.time()
+        docs_saved = docs
+        if self._scrape_paths_by_job:
+            scrape_map = self._scrape_paths_by_job
+
+            @F.pandas_udf(T.BooleanType())
+            def _scrape_gate(job_id: pd.Series, url: pd.Series) -> pd.Series:
+                from anycrawl_spark.functions.patterns import should_scrape_url
+
+                return pd.Series(
+                    [
+                        should_scrape_url(u, scrape_map.get(jid))
+                        for jid, u in zip(job_id, url)
+                    ]
+                )
+
+            docs_saved = docs.filter(_scrape_gate(F.col("job_id"), F.col("url")))
         self.store.append(
             "documents",
-            docs.select(
+            docs_saved.select(
                 "job_id",
                 F.concat(F.lit("doc_"), F.conv(F.abs(F.col("url_hash")).cast("string"), 10, 16)).alias("doc_id"),
                 "url", "url_hash", "host", "depth",
@@ -527,6 +554,7 @@ class CrawlEngine:
             F.col("depth").alias("parent_depth"),
             F.col("discovery_seq").alias("parent_seq"),
             F.col("url_hash").alias("parent_url_hash"),
+            F.col("url").alias("parent_url"),
             F.posexplode("links").alias("ordinal", "url"),
         )
         max_depth_map = F.create_map(
@@ -536,11 +564,16 @@ class CrawlEngine:
         cand = (
             links.withColumn("depth", F.col("parent_depth") + 1)
             .filter(F.col("depth") <= max_depth_map[F.col("job_id")])
-            .withColumn("_g", self._candidate_gate(F.col("job_id"), F.col("url")))
+            .withColumn(
+                "_g",
+                self._candidate_gate(
+                    F.col("job_id"), F.col("url"), F.col("parent_url")
+                ),
+            )
             .filter(F.col("_g.keep"))
             .withColumn("url", F.col("_g.url"))
             .withColumn("host", F.col("_g.host"))
-            .drop("_g")
+            .drop("_g", "parent_url")
             .withColumn("url_hash", F.xxhash64("url"))
         )
 

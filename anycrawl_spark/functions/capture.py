@@ -392,57 +392,64 @@ def _start_guard(src: str, dot: bool) -> str:
     return ""
 
 
-def _compile_segment(seg: str, dot: bool):
+def _compile_segment(seg: str, dot: bool, nocase: bool):
     """"**" sentinel for a whole-`**` segment; a fast-path tuple for v9's
-    shortcut shapes (each exists in a dot and a no-dot variant,
-    index.js:22-68); ("lit", text) for magic-free segments (compared by
-    string equality, as minimatch keeps them); else a compiled regex with
-    the start guard ('.'/'..' are never matched by magic even with
-    dot:true — ast.js:435 'for explosively exponential reasons'; dotfiles
-    are excluded entirely with dot:false). A fragment that fails to
-    compile matches literally."""
+    shortcut shapes (each exists in dot and nocase variants,
+    index.js:22-68 — the nocase variants lowercase the extension at compile
+    and the candidate at test); ("lit", text, nocase) for magic-free
+    segments (string equality; with nocase a letter-bearing literal becomes
+    "magic" in v9 — toMMPattern's `body.toUpperCase() !== body.toLowerCase()`
+    — and compiles to an 'i' regex, which lowercased comparison mirrors);
+    else a compiled regex with the start guard ('.'/'..' are never matched
+    by magic even with dot:true — ast.js:435 'for explosively exponential
+    reasons'; dotfiles are excluded entirely with dot:false) and the 'i'
+    flag when nocase. A fragment that fails to compile matches literally."""
     if seg == "**":
         return "**"
     if _STAR_RE.match(seg):
         return ("star", dot)
     m = _STAR_EXT_RE.match(seg)
     if m:
-        return ("ends", m.group(1), dot)
+        ext = m.group(1)
+        return ("ends", ext.lower() if nocase else ext, dot, nocase)
     m = _QMARKS_RE.match(seg)
     if m:
-        return ("qmarks", len(seg), m.group(2) or "", dot)
+        ext = m.group(2) or ""
+        return ("qmarks", len(seg), ext.lower() if nocase else ext, dot, nocase)
     if _STAR_DOT_STAR_RE.match(seg):
         return ("stardotstar", dot)
     if _DOT_STAR_RE.match(seg):
         return ("dotstar",)
     src, lit, starts_with_ext = _segment_to_regex(seg, dot)
     if lit is not None:
-        return ("lit", lit)
+        return ("lit", lit, nocase)
     guard = "" if starts_with_ext else _start_guard(src, dot)
     try:
-        return re.compile("^" + guard + src + "$")
+        return re.compile("^" + guard + src + "$", re.IGNORECASE if nocase else 0)
     except re.error:
-        return ("lit", seg)
+        return ("lit", seg, nocase)
 
 
 def _seg_hit(p, f: str) -> bool:
     if not isinstance(p, tuple):
         return p.match(f) is not None
     kind = p[0]
-    if kind == "lit":  # plain string equality
-        return f == p[1]
+    if kind == "lit":  # string equality ('i'-regex semantics under nocase)
+        return f.lower() == p[1].lower() if p[2] else f == p[1]
     if kind == "star":  # starTestDot / starTest
         if p[1]:
             return f != "" and f != "." and f != ".."
         return f != "" and not f.startswith(".")
-    if kind == "ends":  # starDotExtTestDot (bare endsWith) / starDotExtTest
+    if kind == "ends":  # starDotExtTest{,Dot,Nocase,NocaseDot}
+        tail = f.lower() if p[3] else f
         if p[2]:
-            return f.endswith(p[1])
-        return not f.startswith(".") and f.endswith(p[1])
-    if kind == "qmarks":  # qmarksTestDot / qmarksTest
+            return tail.endswith(p[1])
+        return not f.startswith(".") and tail.endswith(p[1])
+    if kind == "qmarks":  # qmarksTest{,Dot,Nocase,NocaseDot}
+        tail = f.lower() if p[4] else f
         if p[3]:
-            return len(f) == p[1] and f not in (".", "..") and f.endswith(p[2])
-        return len(f) == p[1] and not f.startswith(".") and f.endswith(p[2])
+            return len(f) == p[1] and f not in (".", "..") and tail.endswith(p[2])
+        return len(f) == p[1] and not f.startswith(".") and tail.endswith(p[2])
     if kind == "stardotstar":  # starDotStarTestDot / starDotStarTest
         if p[1]:
             return f not in (".", "..") and "." in f
@@ -509,7 +516,7 @@ def _level_one(parts: list[str]) -> list[str]:
 
 
 @lru_cache(maxsize=4096)
-def _compile_glob(pattern: str, dot: bool = True):
+def _compile_glob(pattern: str, dot: bool = True, nocase: bool = False):
     """pattern -> None (comment: never matches) | (negate, "") for the
     whole-empty pattern (matches only "") | (negate, expansions) where each
     expansion is a tuple of compiled segments. Cached so the per-response
@@ -526,7 +533,7 @@ def _compile_glob(pattern: str, dot: bool = True):
     if pattern == "":
         # '!' strips to '': matched via a single literal-'' segment (so
         # '/' vs '!' is false: ['', ''] vs [''] fails the end conditions)
-        return (negate, ((("lit", ""),),))
+        return (negate, ((("lit", "", False),),))
     expansions = []
     for exp in brace_expand(pattern):
         if exp == "":
@@ -534,21 +541,23 @@ def _compile_glob(pattern: str, dot: bool = True):
             # set in v9 ('{a,}' never matches ''), unlike the '!' case above
             continue
         segs = _level_one(_SLASHES.split(exp))
-        expansions.append(tuple(_compile_segment(seg, dot) for seg in segs))
+        expansions.append(tuple(_compile_segment(seg, dot, nocase) for seg in segs))
     return (negate, tuple(expansions))
 
 
-def glob_match(s: str, pattern: str, dot: bool = True) -> bool:
-    """``minimatch(s, pattern, { dot })`` — dot:true is the capture-rule
-    option (EngineConfigurator.ts); dot:false is the library default used
-    by the template domain validator (domainValidator.ts calls plain
-    ``minimatch(value, pattern)``).
+def glob_match(s: str, pattern: str, dot: bool = True, nocase: bool = False) -> bool:
+    """``minimatch(s, pattern, { dot, nocase })`` — dot:true is the
+    capture-rule option (EngineConfigurator.ts); dot:false is the library
+    default used by the template domain validator (domainValidator.ts
+    calls plain ``minimatch(value, pattern)``); nocase:true is what
+    crawlee's enqueueLinks applies to include/exclude globs
+    (crawlee 3.13, packages/core/src/enqueue_links/shared.ts).
 
     Both the pattern AND the subject split on runs of slashes
     (`slashSplit = /\\/+/` applies to both sides in the library, so
     ``https://a.com/x`` has three segments on each side and consecutive
     slashes coalesce)."""
-    compiled = _compile_glob(pattern, dot)
+    compiled = _compile_glob(pattern, dot, nocase)
     if compiled is None:
         return False
     negate, expansions = compiled

@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from anycrawl_spark.crawl.params import CrawlParams, robots_decision, robots_target
-from anycrawl_spark.functions.patterns import compile_patterns, url_passes
+from anycrawl_spark.functions.patterns import (
+    compile_exclude_patterns,
+    compile_include_patterns,
+    url_passes,
+)
 from anycrawl_spark.functions.urls import (
     registrable_domain_udf,
     origin_udf,
@@ -259,8 +263,8 @@ def make_job_gate(jobs: list[dict]):
     for j in jobs:
         meta[j["job_id"]] = {
             "strategy": j["strategy"],
-            "include": compile_patterns(j.get("include_paths")),
-            "exclude": compile_patterns(j.get("exclude_paths")),
+            "include": compile_include_patterns(j.get("include_paths")),
+            "exclude": compile_exclude_patterns(j.get("exclude_paths")),
             "seed_host": None,
             "seed_domain": None,
             "seed_origin": None,
@@ -299,6 +303,8 @@ def make_job_gate(jobs: list[dict]):
             else:  # same-domain (reference default)
                 ok = d == m["seed_domain"]
             if ok:
+                # standalone gate has no parent-page context; the fused
+                # candidate gate carries the current-URL exclude quirk
                 ok = url_passes(u, m["include"], m["exclude"])
             out.append(bool(ok))
         return pd.Series(out)
@@ -336,8 +342,8 @@ def make_candidate_gate(
         seed_host = url_host(seed) if seed else None
         meta[j["job_id"]] = {
             "strategy": j["strategy"],
-            "include": compile_patterns(j.get("include_paths")),
-            "exclude": compile_patterns(j.get("exclude_paths")),
+            "include": compile_include_patterns(j.get("include_paths")),
+            "exclude": compile_exclude_patterns(j.get("exclude_paths")),
             "seed_host": seed_host,
             "seed_domain": registrable_domain(seed_host),
             "seed_origin": url_origin(seed) if seed else None,
@@ -354,11 +360,13 @@ def make_candidate_gate(
     )
 
     @F.pandas_udf(out_type)
-    def gate(job_id: pd.Series, url: pd.Series) -> pd.DataFrame:
+    def gate(
+        job_id: pd.Series, url: pd.Series, parent_url: pd.Series
+    ) -> pd.DataFrame:
         from anycrawl_spark.functions.urls import canonicalize_url_host
 
         urls, hosts, keeps = [], [], []
-        for jid, u in zip(job_id, url):
+        for jid, u, pu in zip(job_id, url, parent_url):
             # one urlsplit yields both the canonical form and the host —
             # urlsplit is this kernel's hottest call (profiled ~45% of gate)
             cu, h = canonicalize_url_host(u) if u is not None else (None, None)
@@ -379,7 +387,7 @@ def make_candidate_gate(
             else:  # same-domain (reference default)
                 ok = registrable_domain(h) == m["seed_domain"]
             if ok:
-                ok = url_passes(cu, m["include"], m["exclude"])
+                ok = url_passes(cu, m["include"], m["exclude"], current_url=pu)
             if ok:
                 rs = robots.get(h)
                 if rs:

@@ -233,6 +233,75 @@ def test_glob_match_differential_fuzz_vs_real_minimatch():
     assert diverging == [], diverging[:20]
 
 
+@pytest.mark.skipif(
+    not (shutil.which("node") and os.path.isdir(_MM_PATH)),
+    reason="node + minimatch not available",
+)
+def test_glob_match_option_combos_fuzz_vs_real_minimatch():
+    """Same differential harness over all four {dot} x {nocase} option
+    combinations with mixed-case atoms. dot:false/nocase:true is crawlee's
+    enqueueLinks call; dot:false is the template domain validator; dot:true
+    the capture rules.
+
+    Known approximation (found by this fuzz, excluded from the atoms):
+    inside compiled REGEX segments Python's IGNORECASE full-casefolds
+    where JS's non-'u' 'i' flag canonicalizes via toUpperCase — so
+    U+212A KELVIN SIGN matches '[A-Z]' here but not in JS. Fast-path
+    comparisons (literal equality, endsWith) lowercase identically on
+    both engines, and 'ß' agrees everywhere (toUpperCase('ß')='SS'
+    keeps it un-canonicalized in JS; Python lower() is identity)."""
+    import random
+    import subprocess
+
+    random.seed(77)
+    atoms = ["a", "A", "b", "aB", "Ab.C", "a.b", ".", ".X", "..", "c)",
+             "(a)", "x Y", "a,b", "", "HTTPS:", "API.Ex.Com", "Data.JSON",
+             "ß"]
+    globs = ["*", "**", "?", "A*", "*.json", "*.JSON", "*.", "??", "[a]",
+             "[A-Z]", "[.]", "[!a]", "[a-c]", "{a,B}", "{A,}", "@(a|B)",
+             "!(A)", "!(a|)C", "!(@(a|b))", "!(*)", "+(a|B)c", "?(A)",
+             "*(a)", "a@(b@(C|d))", "x!(a)!(B)y", "\\*", "#x", "!", "!!",
+             "A/..", "../a", "*.*", ".*", "?B", "??.TXT"]
+
+    def rp(pool, lo, hi):
+        n = random.randint(lo, hi)
+        s = "/".join(random.choice(pool) for _ in range(n))
+        if random.random() < 0.15:
+            s = "/" + s
+        if random.random() < 0.15:
+            s += "/"
+        return s
+
+    cases = [
+        (rp(atoms, 0, 5), rp(atoms + globs, 0, 5),
+         random.random() < 0.5, random.random() < 0.5)
+        for _ in range(12000)
+    ]
+    script = (
+        f"const mm = require({_MM_PATH!r});"
+        "const cases = JSON.parse(require('fs').readFileSync(0,'utf8'));"
+        "console.log(JSON.stringify(cases.map(([s,p,d,n]) => {"
+        "  try { return mm.minimatch(s, p, {dot: d, nocase: n}); }"
+        "  catch (e) { return null; }})));"
+    )
+    out = subprocess.run(
+        ["node", "-e", script], input=json.dumps(cases),
+        capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[:500]
+    ref = json.loads(out.stdout)
+    assert sum(r is not None for r in ref) > len(cases) * 0.9
+    diverging = [
+        (cases[i], glob_match(cases[i][0], cases[i][1],
+                              dot=cases[i][2], nocase=cases[i][3]), ref[i])
+        for i in range(len(cases))
+        if ref[i] is not None
+        and glob_match(cases[i][0], cases[i][1],
+                       dot=cases[i][2], nocase=cases[i][3]) != ref[i]
+    ]
+    assert diverging == [], diverging[:20]
+
+
 def test_brace_expand_shapes():
     assert brace_expand("a{b,c}d") == ["abd", "acd"]
     assert brace_expand("x{1..3}") == ["x1", "x2", "x3"]

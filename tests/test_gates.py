@@ -140,7 +140,9 @@ def test_candidate_gate_robots_with_port(spark):
          ("j", "http://site-0.synth:8080/p/1")],
         "job_id string, url string",
     )
-    out = df.select(gate(F.col("job_id"), F.col("url")).alias("g")).select("g.*")
+    out = df.select(
+        gate(F.col("job_id"), F.col("url"), F.lit(None)).alias("g")
+    ).select("g.*")
     keep = {r.url: r.keep for r in out.collect()}
     blocked = [u for u, k in keep.items() if not k]
     allowed = [u for u, k in keep.items() if k]

@@ -401,7 +401,9 @@ def test_same_domain_scope_github_io(spark):
          ("j", "http://github.io/p/4")],
         "job_id string, url string",
     )
-    out = df.select(gate(F.col("job_id"), F.col("url")).alias("g")).select("g.*")
+    out = df.select(
+        gate(F.col("job_id"), F.col("url"), F.lit(None)).alias("g")
+    ).select("g.*")
     keep = {r.url: r.keep for r in out.collect()}
     assert keep["http://host0001.github.io/p/1"] is True
     assert keep["http://sub.host0001.github.io/p/2"] is True
