@@ -138,6 +138,10 @@ class CrawlEngine:
             for j in jobs
             if j.get("scrape_paths")
         }
+        # the current-URL exclude quirk needs the parent URL in the gate;
+        # without any excludes the column is a pruned-away constant (the
+        # frontier hot path ships no extra Arrow data)
+        self._gate_needs_parent = any(j.get("exclude_paths") for j in jobs)
         self.max_depth_by_job = {j["job_id"]: j["max_depth"] for j in jobs}
         self.limit_by_job = {j["job_id"]: j["limit"] for j in jobs}
         # mutable per-job counters (recovered from progress on resume)
@@ -567,7 +571,10 @@ class CrawlEngine:
             .withColumn(
                 "_g",
                 self._candidate_gate(
-                    F.col("job_id"), F.col("url"), F.col("parent_url")
+                    F.col("job_id"),
+                    F.col("url"),
+                    F.col("parent_url") if self._gate_needs_parent
+                    else F.lit(None).cast("string"),
                 ),
             )
             .filter(F.col("_g.keep"))
