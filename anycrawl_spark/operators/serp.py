@@ -58,6 +58,7 @@ for _k, _v in REGIONS.items():
         LANG_FALLBACK_COUNTRY[_lang] = _v
 
 SAFE_SEARCH = {0: "off", 1: "medium", 2: "high"}
+TIME_RANGE = {"day": "d", "week": "w", "month": "m", "year": "y"}  # Google.ts:20-25
 
 
 def _lit_map(d: dict) -> F.Column:
@@ -96,13 +97,24 @@ def build_locale_serp_url(
     country: F.Column,
     limit: F.Column,
     safe_search: F.Column,
+    time_range: F.Column | None = None,
 ) -> F.Column:
     """X15 locale-aware Google URL building as pure column math over the FULL
     locale tables (Google.ts:72-169 semantics): regions-keyed country
     resolution with skip-list + first-region fallback, per-country google
-    domain, hl from the lr value's language code, num capped at 100, safe
-    mapping, and a seeded deterministic arc_id replacing the reference's
-    random async param."""
+    domain, hl from the lr value's language code, num capped at 100 and
+    omitted when limit<=0 (ts:130-133), tbs=qdr:X for valid time ranges,
+    safe omitted when NULL (ts:141-143 undefined/null check), and a seeded
+    deterministic arc id replacing the reference's random 23-char one
+    (same ``arc_id:srp_..._1NN,use_ac:true,_fmt:prog`` shape, ts:153-157).
+
+    Bug-exact details: the skip-list check and the regions lookup use the
+    RAW country string (``skipCountries.includes(options.country)`` and
+    ``regions[`${lang}-${country}`]`` — no case folding, so 'my' is not
+    skipped and 'gb' resolves nothing), only the domain lookup uppercases;
+    parameter values are form-urlencoded exactly as URLSearchParams does
+    (java URLEncoder = the WHATWG application/x-www-form-urlencoded
+    serializer: same safe set ``*-._`` + alnum, space->'+')."""
     skip = F.array(*[F.lit(c) for c in SKIP_COUNTRIES])
     eng_lang = F.coalesce(_lit_map(LANG_RESTRICT_FULL)[lang], F.lit("en"))
     lang_code = F.when(
@@ -111,8 +123,8 @@ def build_locale_serp_url(
     resolved_country = F.coalesce(
         F.when(
             lang.isNotNull() & country.isNotNull()
-            & ~F.array_contains(skip, F.upper(country)),
-            _lit_map(REGIONS)[F.concat(lang, F.lit("-"), F.upper(country))],
+            & ~F.array_contains(skip, country),
+            _lit_map(REGIONS)[F.concat(lang, F.lit("-"), country)],
         ),
         F.when(lang.isNotNull(), _lit_map(LANG_FALLBACK_COUNTRY)[lang]),
         F.lit("US"),
@@ -121,21 +133,46 @@ def build_locale_serp_url(
         _lit_map(SUPPORTED_DOMAINS)[F.upper(resolved_country)], F.lit("www.google.com")
     )
     num = F.least(F.greatest(limit, F.lit(1)), F.lit(100))
-    safe = F.coalesce(_lit_map(SAFE_SEARCH)[safe_search], F.lit("medium"))
-    arc_id = F.concat(
-        F.lit("arc_id:srp_"),
-        F.substring(F.md5(F.concat(query, F.lit("|"), start.cast("string"))), 1, 10),
+    # deterministic stand-in for the 23-char random id + '_1' + 2-padded
+    # start (ts:155); ':' and ',' form-encode to %3A / %2C in the value
+    start_s = start.cast("string")
+    arc = F.concat(
+        F.lit("arc_id%3Asrp_"),
+        F.substring(F.md5(F.concat(query, F.lit("|"), start_s)), 1, 23),
+        F.lit("_1"),
+        # JS padStart(2,'0') never truncates (start=100 -> '100'); lpad does
+        F.when(F.length(start_s) < 2, F.lpad(start_s, 2, "0")).otherwise(start_s),
+        F.lit("%2Cuse_ac%3Atrue%2C_fmt%3Aprog"),
     )
+    tbs = (
+        F.lit("")
+        if time_range is None
+        else F.coalesce(
+            F.concat(F.lit("&tbs=qdr%3A"), _lit_map(TIME_RANGE)[time_range]),
+            F.lit(""),
+        )
+    )
+    safe = F.when(
+        safe_search.isNotNull(),
+        F.concat(
+            F.lit("&safe="),
+            F.coalesce(_lit_map(SAFE_SEARCH)[safe_search], F.lit("medium")),
+        ),
+    ).otherwise(F.lit(""))
     return F.concat(
         F.lit("https://"), domain, F.lit("/search?q="),
-        F.regexp_replace(query, r"\s+", "+"),
+        F.url_encode(query),
         F.lit("&start="), start.cast("string"),
         F.lit("&hl="), lang_code, F.lit("-"), resolved_country,
         F.lit("&lr="), eng_lang,
         F.lit("&cr=country"), resolved_country,
-        F.lit("&ie=utf8&oe=utf8&filter=0&asearch=arc&async="), arc_id,
-        F.lit("&num="), num.cast("string"),
-        F.lit("&safe="), safe,
+        F.lit("&ie=utf8&oe=utf8&filter=0&asearch=arc&async="), arc,
+        F.when(
+            limit.isNotNull() & (limit > 0),
+            F.concat(F.lit("&num="), num.cast("string")),
+        ).otherwise(F.lit("")),
+        tbs,
+        safe,
     )
 
 

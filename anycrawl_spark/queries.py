@@ -942,7 +942,9 @@ GROUP BY 1, 2
 def q_serp_urls(spark, sf_dir):
     """X15 locale-aware SERP URL building over a 12x13 locale mix synthesized
     from orders — full reference tables (google_locales.py), oracle-exact
-    including the regions/fallback/domain joins and the seeded arc_id."""
+    including the regions/fallback/domain joins, the RAW-case skip/regions
+    lookups (lowercase 'my'/'de' in the mix), the seeded arc id, the
+    limit<=0 num omission, tbs time ranges, and NULL-safe_search omission."""
     from anycrawl_spark.operators.serp import build_locale_serp_url
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
@@ -955,11 +957,18 @@ def q_serp_urls(spark, sf_dir):
         (F.pmod("o_orderkey", len(_SERP_URL_COUNTRIES)) + 1).cast("int"),
     )
     q = F.concat(F.lit("query "), F.pmod("o_orderkey", 17).cast("string"))
+    safe = F.when(
+        F.pmod("o_orderkey", 4) < 3, F.pmod("o_orderkey", 4).cast("int")
+    )  # %4 == 3 -> NULL -> param omitted
+    time_range = F.element_at(
+        F.array(*[F.lit(x) for x in _SERP_URL_TIME_RANGES]),
+        (F.pmod("o_custkey", len(_SERP_URL_TIME_RANGES)) + 1).cast("int"),
+    )
     return o.select(
         "o_orderkey",
         build_locale_serp_url(
             q, F.pmod("o_orderkey", 3) * 10, langs, countries,
-            F.pmod("o_custkey", 120).cast("int"), F.pmod("o_orderkey", 4).cast("int"),
+            F.pmod("o_custkey", 120).cast("int"), safe, time_range,
         ).alias("serp_url"),
     )
 
@@ -967,7 +976,10 @@ def q_serp_urls(spark, sf_dir):
 # 12 languages x 13 countries (incl. skip-listed MY/UZ and NULL) => >=30
 # distinct resolved locales through the full tables
 _SERP_URL_LANGS = ["en", "de", "fr", "ja", "zh", "pt", "es", "it", "ru", "ar", "ko", "nl"]
-_SERP_URL_COUNTRIES = ["US", "GB", "MY", "BR", None, "DE", "JP", "IN", "CH", "SA", "KR", "NL", "UZ"]
+_SERP_URL_COUNTRIES = ["US", "GB", "my", "BR", None, "de", "JP", "IN", "CH", "SA", "KR", "NL", "UZ"]
+# lowercase 'my'/'de' exercise the reference's RAW-case skip + regions
+# lookups (Google.ts:88-91 — no case folding on the user's country)
+_SERP_URL_TIME_RANGES = ["day", "week", None, "month", "year", "decade"]
 
 
 def _sql_serp_urls() -> str:
@@ -985,6 +997,7 @@ def _sql_serp_urls() -> str:
 
     langs_arr = ", ".join(f"'{x}'" for x in _SERP_URL_LANGS)
     countries_arr = ", ".join("NULL" if x is None else f"'{x}'" for x in _SERP_URL_COUNTRIES)
+    ranges_arr = ", ".join("NULL" if x is None else f"'{x}'" for x in _SERP_URL_TIME_RANGES)
     skip_arr = ", ".join(f"'{c}'" for c in SKIP_COUNTRIES)
     return f"""
 WITH langs_map(k, v) AS (VALUES {values(LANGUAGES)}),
@@ -998,7 +1011,8 @@ base AS (
          'query ' || (o_orderkey % 17) AS q,
          (o_orderkey % 3) * 10 AS start,
          CAST(o_custkey % 120 AS INT) AS lim,
-         CAST(o_orderkey % 4 AS INT) AS safe_in
+         CASE WHEN o_orderkey % 4 < 3 THEN CAST(o_orderkey % 4 AS INT) END AS safe_in,
+         [{ranges_arr}][(o_custkey % {len(_SERP_URL_TIME_RANGES)}) + 1] AS tr
   FROM orders WHERE o_orderkey < 2000),
 r1 AS (
   SELECT base.*, coalesce(lm.v, 'en') AS eng_lang
@@ -1009,25 +1023,32 @@ r2 AS (
               ELSE eng_lang END AS lang_code,
          coalesce(
            CASE WHEN lang IS NOT NULL AND country IS NOT NULL
-                 AND NOT list_contains([{skip_arr}], upper(country))
+                 AND NOT list_contains([{skip_arr}], country)
                 THEN rm.v END,
            CASE WHEN lang IS NOT NULL THEN fm.v END,
            'US') AS rc
   FROM r1
-  LEFT JOIN regions_map rm ON rm.k = r1.lang || '-' || upper(r1.country)
+  LEFT JOIN regions_map rm ON rm.k = r1.lang || '-' || r1.country
   LEFT JOIN fallback_map fm ON fm.k = r1.lang)
 SELECT o_orderkey,
   'https://' || coalesce(dm.v, 'www.google.com') ||
-  '/search?q=' || regexp_replace(q, '\\s+', '+', 'g') ||
+  '/search?q=' || replace(q, ' ', '+') ||
   '&start=' || start ||
   '&hl=' || lang_code || '-' || rc ||
   '&lr=' || eng_lang ||
   '&cr=country' || rc ||
-  '&ie=utf8&oe=utf8&filter=0&asearch=arc&async=arc_id:srp_' ||
-  substring(md5(q || '|' || start), 1, 10) ||
-  '&num=' || least(greatest(lim, 1), 100) ||
-  '&safe=' || coalesce(CASE safe_in WHEN 0 THEN 'off' WHEN 1 THEN 'medium' WHEN 2 THEN 'high' END, 'medium')
-  AS serp_url
+  '&ie=utf8&oe=utf8&filter=0&asearch=arc&async=arc_id%3Asrp_' ||
+  substring(md5(q || '|' || start), 1, 23) ||
+  '_1' || CASE WHEN length(CAST(start AS VARCHAR)) < 2
+               THEN lpad(CAST(start AS VARCHAR), 2, '0')
+               ELSE CAST(start AS VARCHAR) END ||
+  '%2Cuse_ac%3Atrue%2C_fmt%3Aprog' ||
+  CASE WHEN lim > 0 THEN '&num=' || least(greatest(lim, 1), 100) ELSE '' END ||
+  coalesce('&tbs=qdr%3A' || CASE tr WHEN 'day' THEN 'd' WHEN 'week' THEN 'w'
+           WHEN 'month' THEN 'm' WHEN 'year' THEN 'y' END, '') ||
+  CASE WHEN safe_in IS NULL THEN '' ELSE '&safe=' ||
+    coalesce(CASE safe_in WHEN 0 THEN 'off' WHEN 1 THEN 'medium' WHEN 2 THEN 'high' END, 'medium')
+  END AS serp_url
 FROM r2 LEFT JOIN domains_map dm ON dm.k = upper(r2.rc)
 """
 
