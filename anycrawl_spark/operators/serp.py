@@ -343,6 +343,12 @@ _RESOLUTION_RE = re.compile(r"(\d+)\s*[×x]\s*(\d+)")  # Searxng.ts:121
 SEARXNG_CATEGORY = {"web": "general", "images": "images", "news": "news"}
 
 
+def _js_truthy_str(c: F.Column) -> F.Column:
+    """JS string truthiness for optional params: non-null AND non-empty
+    (`if (options.lang)` skips '' where an isNotNull check would not)."""
+    return c.isNotNull() & (c != "")
+
+
 def searxng_build_url(
     query: F.Column,
     page: F.Column,
@@ -350,25 +356,51 @@ def searxng_build_url(
     sources: F.Column | None = None,
     time_range: F.Column | None = None,
     safe_search: F.Column | None = None,
+    categories: F.Column | None = None,
     base_url: str = "http://searxng.synth",
 ) -> F.Column:
-    """SearXNG search-URL building as column math (Searxng.ts:38-72):
-    q + format=json + 1-based pageno, optional language / categories
-    (sources-mapped) / time_range / safesearch params."""
+    """SearXNG search-URL building as column math (Searxng.ts:38-71):
+    q + format=json + 1-based pageno, optional language / categories /
+    time_range / safesearch. Byte-exact details (node fuzz): values are
+    form-urlencoded (URLSearchParams), optional string params use JS
+    truthiness (empty string = absent), a TRUTHY-but-unmapped ``sources``
+    appends nothing and does NOT fall through to the ``categories``
+    backward-compat passthrough (ts:51-58 else-if)."""
     url = F.concat(
         F.lit(base_url.rstrip("/")), F.lit("/search?q="),
-        F.regexp_replace(query, r"\s+", "+"),
+        F.url_encode(query),
         F.lit("&format=json&pageno="), page.cast("string"),
     )
     if lang is not None:
-        url = F.concat(url, F.when(lang.isNotNull(), F.concat(F.lit("&language="), lang)).otherwise(F.lit("")))
+        url = F.concat(url, F.when(
+            _js_truthy_str(lang), F.concat(F.lit("&language="), F.url_encode(lang))
+        ).otherwise(F.lit("")))
+    cat_passthrough = (
+        F.when(
+            _js_truthy_str(categories),
+            F.concat(F.lit("&categories="), F.url_encode(categories)),
+        ).otherwise(F.lit(""))
+        if categories is not None
+        else F.lit("")
+    )
     if sources is not None:
-        cat = _lit_map(SEARXNG_CATEGORY)[sources]
-        url = F.concat(url, F.when(cat.isNotNull(), F.concat(F.lit("&categories="), cat)).otherwise(F.lit("")))
+        mapped = _lit_map(SEARXNG_CATEGORY)[sources]
+        url = F.concat(url, F.when(
+            _js_truthy_str(sources),
+            F.coalesce(F.concat(F.lit("&categories="), mapped), F.lit("")),
+        ).otherwise(cat_passthrough))
+    else:
+        url = F.concat(url, cat_passthrough)
     if time_range is not None:
-        url = F.concat(url, F.when(time_range.isNotNull(), F.concat(F.lit("&time_range="), time_range)).otherwise(F.lit("")))
+        url = F.concat(url, F.when(
+            _js_truthy_str(time_range),
+            F.concat(F.lit("&time_range="), F.url_encode(time_range)),
+        ).otherwise(F.lit("")))
     if safe_search is not None:
-        url = F.concat(url, F.when(safe_search.isNotNull(), F.concat(F.lit("&safesearch="), safe_search.cast("string"))).otherwise(F.lit("")))
+        url = F.concat(url, F.when(
+            safe_search.isNotNull(),
+            F.concat(F.lit("&safesearch="), safe_search.cast("string")),
+        ).otherwise(F.lit("")))
     return url
 
 
@@ -469,30 +501,46 @@ def ac_build_url(
     offset: F.Column | None = None,
     lang: F.Column | None = None,
     country: F.Column | None = None,
+    time_range: F.Column | None = None,
+    safe_search: F.Column | None = None,
+    sources: F.Column | None = None,
     base_url: str = "http://ac-engine.synth",
 ) -> F.Column:
-    """AC-Engine URL building (ACEngine.ts:24-46): q + start + limit (falling
-    back to page*10 when only page is given) + lang/country passthrough."""
-    eff_limit = None
-    if limit is not None and page is not None:
-        eff_limit = F.coalesce(limit, page * F.lit(RESULTS_PER_PAGE))
-    elif limit is not None:
-        eff_limit = limit
-    elif page is not None:
-        eff_limit = page * F.lit(RESULTS_PER_PAGE)
-    url = F.concat(
-        F.lit(base_url.rstrip("/")), F.lit("/search?q="),
-        F.regexp_replace(query, r"\s+", "+"),
+    """AC-Engine URL building (ACEngine.ts:23-44): q + start + limit (limit
+    wins when finite and >0, else page*10 when page>0) + lang/country/
+    timeRange/safe_search/sources passthrough. Byte-exact details (node
+    fuzz): a falsy query omits the q param entirely; ``offset`` defaults
+    to 0 only when ABSENT (an explicit null omits start — destructure
+    defaults don't fire on null); params join in insertion order with
+    URLSearchParams encoding; limit<=0 falls through to the page branch."""
+    q_seg = F.when(_js_truthy_str(query), F.concat(F.lit("q="), F.url_encode(query)))
+    if offset is None:
+        offset = F.lit(0)  # ts:24 `offset = 0` destructure default
+    start_seg = F.when(
+        offset.isNotNull(), F.concat(F.lit("start="), offset.cast("string"))
     )
-    if offset is not None:
-        url = F.concat(url, F.lit("&start="), offset.cast("string"))
-    if eff_limit is not None:
-        url = F.concat(url, F.when(eff_limit.isNotNull(), F.concat(F.lit("&limit="), eff_limit.cast("string"))).otherwise(F.lit("")))
-    if lang is not None:
-        url = F.concat(url, F.when(lang.isNotNull(), F.concat(F.lit("&lang="), lang)).otherwise(F.lit("")))
-    if country is not None:
-        url = F.concat(url, F.when(country.isNotNull(), F.concat(F.lit("&country="), country)).otherwise(F.lit("")))
-    return url
+    eff = F.when(limit.isNotNull() & (limit > 0), limit) if limit is not None else F.lit(None)
+    if page is not None:
+        eff = F.coalesce(eff, F.when(page.isNotNull() & (page > 0), page * F.lit(RESULTS_PER_PAGE)))
+    limit_seg = F.when(eff.isNotNull(), F.concat(F.lit("limit="), eff.cast("string")))
+
+    def _opt(col, name, numeric=False):
+        if col is None:
+            return F.lit(None).cast("string")
+        if numeric:  # safe_search: undefined/null check, not truthiness
+            return F.when(col.isNotNull(), F.concat(F.lit(name + "="), col.cast("string")))
+        return F.when(_js_truthy_str(col), F.concat(F.lit(name + "="), F.url_encode(col)))
+
+    return F.concat(
+        F.lit(base_url.rstrip("/")), F.lit("/search?"),
+        F.concat_ws(
+            "&", q_seg, start_seg, limit_seg,
+            _opt(lang, "lang"), _opt(country, "country"),
+            _opt(time_range, "timeRange"),
+            _opt(safe_search, "safe_search", numeric=True),
+            _opt(sources, "sources"),
+        ),
+    )
 
 
 def ac_json(query: str, limit: int, category: str = "web", n_hosts: int = 50) -> str:

@@ -71,6 +71,25 @@ console.log(JSON.stringify(cases.map(c => {
 })));
 """
 
+_SEARXNG_TS = "packages/search/src/engines/Searxng.ts"
+_AC_TS = "packages/search/src/engines/ACEngine.ts"
+
+
+def _engine_oracle_source(ts_rel: str, class_name: str, base_url: str) -> str:
+    engine = (REFERENCE_ROOT / ts_rel).read_text()
+    methods = extract_ts_blocks(engine, [r"^\s*private buildSearchUrl\("])
+    methods = methods.replace(
+        "private buildSearchUrl(", "private static buildSearchUrl("
+    )
+    return (
+        "const log = {info(){},warn(){},error(){},debug(){}};\n"
+        + f"class {class_name} {{\n"
+        + f"  static baseUrl = {json.dumps(base_url)};\n"
+        + strip_ts(methods)
+        + "\n}\n"
+    )
+
+
 _QUERIES = [
     "plain", "two words", "a  double  space", "a&b=c", "100%+sure",
     "q?*~'()!", "comma,colon:slash/", "ünïcödé", "日本語クエリ", "emoji 🙂",
@@ -140,4 +159,141 @@ def test_google_url_differential_fuzz_vs_reference(spark):
         e = _ARC_RE.sub(r"\1ID", exp)
         if g != e:
             diverging.append((cases[i], e, g))
+    assert diverging == [], (len(diverging), diverging[:6])
+
+
+_SX_SOURCES = [None, "", "web", "images", "news", "videos"]
+_SX_CATEGORIES = [None, "", "science", "it files", "ma&ps"]
+
+
+@pytest.mark.skipif(
+    not (shutil.which("node") and have_node_oracle(_SEARXNG_TS)),
+    reason="node + reference checkout not available",
+)
+def test_searxng_url_differential_fuzz_vs_reference(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.operators.serp import searxng_build_url
+
+    rnd = random.Random(20260820)
+    cases = [
+        {
+            "query": rnd.choice(_QUERIES),
+            "page": rnd.choice([1, 2, 7]),
+            "options": {
+                "lang": rnd.choice(_LANGS + [""]),
+                "sources": rnd.choice(_SX_SOURCES),
+                "categories": rnd.choice(_SX_CATEGORIES),
+                "timeRange": rnd.choice(_RANGES + [""]),
+                "safe_search": rnd.choice(_SAFES),
+            },
+        }
+        for _ in range(600)
+    ]
+    src = _engine_oracle_source(_SEARXNG_TS, "SearxngEngine", "http://searxng.synth")
+    driver = """
+const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));
+console.log(JSON.stringify(cases.map(c => {
+    try { return SearxngEngine.buildSearchUrl(c.query, c.page, c.options); }
+    catch (e) { return "ERR:" + e.message; }
+})));
+"""
+    ref = run_ts_oracle(src, driver, cases)
+
+    rows = [
+        (
+            i, c["query"], c["page"], c["options"]["lang"],
+            c["options"]["sources"], c["options"]["categories"],
+            c["options"]["timeRange"], c["options"]["safe_search"],
+        )
+        for i, c in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i int, query string, page int, lang string, sources string, "
+        "cats string, tr string, safe int",
+    ).select(
+        "i",
+        searxng_build_url(
+            F.col("query"), F.col("page"), F.col("lang"), F.col("sources"),
+            F.col("tr"), F.col("safe"), categories=F.col("cats"),
+        ).alias("url"),
+    )
+    got = {r.i: r.url for r in df.collect()}
+    diverging = [
+        (cases[i], exp, got[i]) for i, exp in enumerate(ref) if got[i] != exp
+    ]
+    assert diverging == [], (len(diverging), diverging[:6])
+
+
+@pytest.mark.skipif(
+    not (shutil.which("node") and have_node_oracle(_AC_TS)),
+    reason="node + reference checkout not available",
+)
+def test_ac_engine_url_differential_fuzz_vs_reference(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from anycrawl_spark.operators.serp import ac_build_url
+
+    rnd = random.Random(20260821)
+    cases = []
+    for _ in range(600):
+        opts = {
+            "query": rnd.choice(_QUERIES),
+            "offset": rnd.choice([None, 0, 10, 90, "absent"]),
+            "page": rnd.choice([None, 0, 1, 3]),
+            "limit": rnd.choice([None, 0, 1, 25, 200]),
+            "lang": rnd.choice(_LANGS + [""]),
+            "country": rnd.choice(_COUNTRIES + [""]),
+            "timeRange": rnd.choice(_RANGES + [""]),
+            "safe_search": rnd.choice(_SAFES),
+            "sources": rnd.choice([None, "", "web", "news"]),
+        }
+        if opts["offset"] == "absent":
+            del opts["offset"]  # destructure default 0 fires only here
+        cases.append(opts)
+    src = _engine_oracle_source(_AC_TS, "ACEngine", "http://ac-engine.synth")
+    driver = """
+const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));
+console.log(JSON.stringify(cases.map(c => {
+    try { return ACEngine.buildSearchUrl(c); }
+    catch (e) { return "ERR:" + e.message; }
+})));
+"""
+    ref = run_ts_oracle(src, driver, cases)
+
+    rows = [
+        (
+            i, c["query"],
+            "absent" if "offset" not in c else c["offset"],
+            c["page"], c["limit"], c["lang"], c["country"],
+            c["timeRange"], c["safe_search"], c["sources"],
+        )
+        for i, c in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i int, query string, off string, page int, lim int, lang string, "
+        "country string, tr string, safe int, sources string",
+    ).select(
+        "i",
+        ac_build_url(
+            F.col("query"), limit=F.col("lim"), page=F.col("page"),
+            # 'absent' -> python-side default (0); NULL stays NULL
+            offset=F.when(F.col("off") == "absent", F.lit(0)).otherwise(
+                F.col("off").cast("int")
+            ),
+            lang=F.col("lang"), country=F.col("country"),
+            time_range=F.col("tr"), safe_search=F.col("safe"),
+            sources=F.col("sources"),
+        ).alias("url"),
+    )
+    got = {r.i: r.url for r in df.collect()}
+    diverging = [
+        (cases[i], exp, got[i]) for i, exp in enumerate(ref) if got[i] != exp
+    ]
     assert diverging == [], (len(diverging), diverging[:6])
