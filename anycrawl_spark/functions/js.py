@@ -114,3 +114,25 @@ def js_number_to_string(v: float) -> str:
     exp_part = n - 1
     head = digits[0] + ("." + digits[1:] if k > 1 else "")
     return f"{sign}{head}e{'+' if exp_part >= 0 else '-'}{abs(exp_part)}"
+
+
+def js_string(v) -> str:
+    """ECMAScript ``String(v)`` for JSON values (template-literal
+    interpolation): booleans lowercase, numbers via Number::toString,
+    arrays join(',') with null/undefined as '', objects '[object
+    Object]', null -> 'null'."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return js_number_to_string(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, list):
+        return ",".join("" if x is None else js_string(x) for x in v)
+    if isinstance(v, dict):
+        return "[object Object]"
+    return str(v)

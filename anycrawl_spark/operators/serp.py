@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from anycrawl_spark.functions.htmlmd import Node, parse_html
+from anycrawl_spark.functions.js import js_string as _js_string
 from anycrawl_spark.synth import _digest, host_name
 
 RESULTS_PER_PAGE = 10  # Google.ts:10
@@ -337,7 +338,28 @@ def enrich_with_documents(serp: DataFrame, documents: DataFrame) -> DataFrame:
 import json
 import re
 
-_RESOLUTION_RE = re.compile(r"(\d+)\s*[×x]\s*(\d+)")  # Searxng.ts:121
+# Searxng.ts:121 — [0-9] not \d: JS \d is ASCII-only, Python \d matches
+# any Unicode digit (found by the parse differential fuzz)
+_RESOLUTION_RE = re.compile(r"([0-9]+)\s*[×x]\s*([0-9]+)")
+
+
+def _js_falsy(v) -> bool:
+    """JS falsiness for JSON values: null/undefined, false, 0/-0/NaN, ''.
+    Empty arrays and objects are TRUTHY in JS where Python's `or` treats
+    them falsy — the parse kernels must use this to match `item.url ||`
+    style coalescing on adversarial payloads (node fuzz)."""
+    return (
+        v is None
+        or v is False
+        or v == ""
+        or (isinstance(v, (int, float)) and not isinstance(v, bool)
+            and (v == 0 or v != v))
+    )
+
+
+def _js_or(v, default):
+    """JS ``v || default``."""
+    return default if _js_falsy(v) else v
 
 # sources -> SearXNG category param (Searxng.ts:51-58)
 SEARXNG_CATEGORY = {"web": "general", "images": "images", "news": "news"}
@@ -447,23 +469,30 @@ def parse_searxng_results(response: str | dict) -> list[dict]:
     to web; items without url are skipped."""
     data = json.loads(response) if isinstance(response, str) else response
     results = []
-    items = data.get("results")
+    items = data.get("results") if isinstance(data, dict) else None
     if not isinstance(items, list):
         return results
     for item in items:
-        if not item.get("url"):
+        if not isinstance(item, dict) or _js_falsy(item.get("url")):
             continue
-        category = item.get("category") or "web"
+        category = _js_or(item.get("category"), "web")
         base = {
-            "title": item.get("title") or "",
-            "url": item.get("url") or "",
-            "description": item.get("content") or item.get("snippet") or "",
-            "source": f"SearXNG ({item.get('engine') or 'unknown'})",
+            "title": _js_or(item.get("title"), ""),
+            "url": _js_or(item.get("url"), ""),
+            "description": _js_or(
+                item.get("content"), _js_or(item.get("snippet"), "")
+            ),
+            "source": f"SearXNG ({_js_string(_js_or(item.get('engine'), 'unknown'))})",
             **_UNION_NULLS,
         }
         if category == "images":
             w = h = None
-            if item.get("resolution"):
+            if not _js_falsy(item.get("resolution")):
+                if not isinstance(item["resolution"], str):
+                    # `.match` on a non-string throws in JS; the reference's
+                    # outer catch (ts:175-178) then discards the WHOLE
+                    # response — one malformed item nukes every result
+                    return []
                 m = _RESOLUTION_RE.search(item["resolution"])
                 if m:
                     w, h = int(m.group(1)), int(m.group(2))
@@ -480,9 +509,11 @@ def parse_searxng_results(response: str | dict) -> list[dict]:
         elif category == "news":
             results.append({
                 **base, "category": "news",
-                "snippet": item.get("content") or item.get("snippet") or "",
-                "date": item.get("publishedDate") or item.get("pubdate"),
-                "image_url": item.get("thumbnail") or None,
+                "snippet": _js_or(
+                    item.get("content"), _js_or(item.get("snippet"), "")
+                ),
+                "date": _js_or(item.get("publishedDate"), item.get("pubdate")),
+                "image_url": _js_or(item.get("thumbnail"), None),
                 "position": None,
             })
         else:
@@ -577,17 +608,20 @@ def parse_ac_results(response: str | dict) -> list[dict]:
     description|snippet coalesce, source fallback 'AC-Engine', no-url skip,
     category fallback to web."""
     data = json.loads(response) if isinstance(response, str) else response
-    items = data.get("results") if isinstance(data.get("results"), list) else []
+    raw = data.get("results") if isinstance(data, dict) else None
+    items = raw if isinstance(raw, list) else []
     results = []
     for item in items:
-        if not item.get("url"):
+        if not isinstance(item, dict) or _js_falsy(item.get("url")):
             continue
-        category = item.get("category") or "web"
+        category = _js_or(item.get("category"), "web")
         base = {
-            "title": item.get("title") or "",
-            "url": item.get("url") or "",
-            "description": item.get("description") or item.get("snippet") or "",
-            "source": item.get("source") or "AC-Engine",
+            "title": _js_or(item.get("title"), ""),
+            "url": _js_or(item.get("url"), ""),
+            "description": _js_or(
+                item.get("description"), _js_or(item.get("snippet"), "")
+            ),
+            "source": _js_or(item.get("source"), "AC-Engine"),
             **_UNION_NULLS,
         }
         if category == "images":

@@ -297,3 +297,151 @@ console.log(JSON.stringify(cases.map(c => {
         (cases[i], exp, got[i]) for i, exp in enumerate(ref) if got[i] != exp
     ]
     assert diverging == [], (len(diverging), diverging[:6])
+
+
+# --------------------------- parse (X16) fuzz: JSON -> result objects ------
+
+_PARSE_FIELD_MAP = {
+    "image_url": "imageUrl", "image_width": "imageWidth",
+    "image_height": "imageHeight",
+}
+
+
+def _norm_py(rows):
+    out = []
+    for r in rows:
+        out.append({
+            _PARSE_FIELD_MAP.get(k, k): v for k, v in r.items() if v is not None
+        })
+    return out
+
+
+_PARSE_DRIVER_TAIL = """
+const strip = (r) => Object.fromEntries(
+    Object.entries(r).filter(([k, v]) => v !== null && v !== undefined));
+"""
+
+
+def _adversarial_items(rnd):
+    urls = [None, "", 0, "http://x/p", "u", True, 5]
+    cats = [None, "", "images", "news", "web", "videos", 0, "Images"]
+    texts = [None, "", "txt", 0, 1, True, False]
+    n = rnd.randint(0, 5)
+    items = []
+    for _ in range(n):
+        items.append({
+            "url": rnd.choice(urls),
+            "category": rnd.choice(cats),
+            "title": rnd.choice(texts),
+            "content": rnd.choice(texts),
+            "snippet": rnd.choice(texts),
+            "description": rnd.choice(texts),
+            "source": rnd.choice(texts),
+            "engine": rnd.choice([None, "brave", "", 0, 7, True]),
+            "resolution": rnd.choice(
+                [None, "", "1000×1500", "10x20", " 7  × 8 ", "axb",
+                 "12×", "0x0", "999x1", 5]
+            ),
+            "positions": rnd.choice([None, [], [3], [1, 2], "x", 0]),
+            "img_src": rnd.choice([None, "", "http://i"]),
+            "thumbnail_src": rnd.choice([None, "t"]),
+            "img_format": rnd.choice([None, "jpeg", ""]),
+            "filesize": rnd.choice([None, "12 KB", 0]),
+            "publishedDate": rnd.choice([None, "", "2026-01-01", 0]),
+            "pubdate": rnd.choice([None, "", "yesterday", 0]),
+            "thumbnail": rnd.choice([None, "", "http://t", 0]),
+            "imageUrl": rnd.choice([None, "", "http://i2"]),
+            "imageWidth": rnd.choice([None, 0, 640, "640"]),
+            "imageHeight": rnd.choice([None, 480, -1]),
+            "position": rnd.choice([None, 0, 3]),
+            "date": rnd.choice([None, "", "2026-02-02"]),
+        })
+    return items
+
+
+@pytest.mark.skipif(
+    not (shutil.which("node") and have_node_oracle(_SEARXNG_TS)),
+    reason="node + reference checkout not available",
+)
+def test_searxng_parse_differential_fuzz_vs_reference():
+    import random
+
+    from anycrawl_spark.operators.serp import parse_searxng_results
+
+    rnd = random.Random(20260822)
+    payloads = []
+    for _ in range(400):
+        shape = rnd.random()
+        if shape < 0.1:
+            payloads.append(rnd.choice([{}, {"results": None},
+                                        {"results": "nope"}, {"results": 7}]))
+        else:
+            payloads.append({"results": _adversarial_items(rnd)})
+
+    engine = (REFERENCE_ROOT / _SEARXNG_TS).read_text()
+    method = extract_ts_blocks(engine, [r"^\s*async parse\("])
+    src = (
+        "const log = {info(){},warn(){},error(){},debug(){}};\n"
+        "class SearxngEngine {\n  static "
+        + strip_ts(method)
+        + "\n}\n"
+    )
+    driver = _PARSE_DRIVER_TAIL + """
+const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));
+(async () => {
+  const out = [];
+  for (const c of cases) out.push((await SearxngEngine.parse(c)).map(strip));
+  console.log(JSON.stringify(out));
+})();
+"""
+    ref = run_ts_oracle(src, driver, payloads)
+    diverging = []
+    for payload, exp in zip(payloads, ref):
+        got = _norm_py(parse_searxng_results(payload))
+        if got != exp:
+            diverging.append((payload, exp, got))
+    assert diverging == [], (len(diverging), diverging[:4])
+
+
+@pytest.mark.skipif(
+    not (shutil.which("node") and have_node_oracle(_AC_TS)),
+    reason="node + reference checkout not available",
+)
+def test_ac_parse_differential_fuzz_vs_reference():
+    import random
+
+    from anycrawl_spark.operators.serp import parse_ac_results
+
+    rnd = random.Random(20260823)
+    payloads = []
+    for _ in range(400):
+        shape = rnd.random()
+        if shape < 0.1:
+            payloads.append(rnd.choice([{}, {"results": None},
+                                        {"results": "nope"}, {"results": 0}]))
+        else:
+            payloads.append({"results": _adversarial_items(rnd)})
+
+    engine = (REFERENCE_ROOT / _AC_TS).read_text()
+    method = extract_ts_blocks(engine, [r"^\s*async parse\("])
+    src = (
+        "const log = {info(){},warn(){},error(){},debug(){}};\n"
+        "class ACEngine {\n  static "
+        + strip_ts(method)
+        + "\n}\n"
+    )
+    driver = _PARSE_DRIVER_TAIL + """
+const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));
+(async () => {
+  const out = [];
+  for (const c of cases) out.push((await ACEngine.parse(c)).map(strip));
+  console.log(JSON.stringify(out));
+})();
+"""
+    ref = run_ts_oracle(src, driver, payloads)
+    diverging = []
+    for payload, exp in zip(payloads, ref):
+        got = _norm_py(parse_ac_results(payload))
+        if got != exp:
+            diverging.append((payload, exp, got))
+    assert diverging == [], (len(diverging), diverging[:4])
