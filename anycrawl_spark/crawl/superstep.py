@@ -203,7 +203,7 @@ class CrawlEngine:
         seen = seen.select(
             "job_id", F.xxhash64("url").alias("url_hash"), F.lit(-1).alias("first_round")
         )
-        self.store.append("seen", seen)
+        self.store.append("seen", seen, round_no=-1)
         seed_keyed = with_dedup_key(seen, self.num_buckets)
         seed_dirty = [
             r.bucket for r in seed_keyed.select("bucket").distinct().collect()
@@ -221,6 +221,7 @@ class CrawlEngine:
                 [(j["job_id"], "crawl.started", -1) for j in self.jobs],
                 "job_id string, event string, round int",
             ),
+            round_no=-1,
         )
         # round -1 progress baseline so resume() recovers init-time state
         self.store.append(
@@ -233,6 +234,7 @@ class CrawlEngine:
                 ],
                 PROGRESS,
             ),
+            round_no=-1,
         )
         self.store.commit_round(-1)
 
@@ -277,6 +279,7 @@ class CrawlEngine:
             delta.select(
                 "bucket", "gen", "n_keys", "bloom", F.lit(rnd).alias("round")
             ),
+            round_no=rnd,
         )
         # Patch the cached probe broadcast from the SAME dirty generations —
         # collect cost O(dirty blobs), never the full shard state. Past the
@@ -498,6 +501,7 @@ class CrawlEngine:
                     "job_id", "url_hash", "attempt", "proxy_tier", "proxy_url",
                     F.lit(rnd).alias("round"),
                 ),
+                round_no=rnd,
             )
         fetched = fetch_extract(sched, self.web).persist()
 
@@ -544,6 +548,7 @@ class CrawlEngine:
                 "status_code", "title", "markdown", "spans",
                 F.size("links").alias("n_links"),
             ),
+            round_no=rnd,
         )
         t_docs_append = _time.time()
         metrics_df = fetched.select(
@@ -681,9 +686,10 @@ class CrawlEngine:
         # (fetched is already cached by the documents append above; each
         # append targets a distinct table — see SnapshotStore locking).
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_metrics = pool.submit(self.store.append, "metrics", metrics_df)
+            f_metrics = pool.submit(self.store.append, "metrics", metrics_df, rnd)
             f_log = pool.submit(
-                self.store.append, "frontier_log", terminal.select(*frontier_cols)
+                self.store.append, "frontier_log",
+                terminal.select(*frontier_cols), rnd,
             )
             summary_rows = fetch_summary.unionByName(fresh_summary).collect()
             f_metrics.result()
@@ -756,12 +762,14 @@ class CrawlEngine:
                     self.store.append,
                     "seen",
                     fresh.select("job_id", "url_hash", F.lit(rnd).alias("first_round")),
+                    rnd,
                 ),
                 pool.submit(self.store.write, "frontier", next_frontier),
                 pool.submit(
                     self.store.append,
                     "progress",
                     self.spark.createDataFrame(progress_rows, PROGRESS),
+                    rnd,
                 ),
             ]
             if leftovers is not None:
@@ -770,6 +778,7 @@ class CrawlEngine:
                         self.store.append,
                         "frontier_log",
                         leftovers.withColumn("status", F.lit("skipped")).select(*frontier_cols),
+                        rnd,
                     )
                 )
             if event_rows:
@@ -780,6 +789,7 @@ class CrawlEngine:
                         self.spark.createDataFrame(
                             event_rows, "job_id string, event string, round int"
                         ),
+                        rnd,
                     )
                 )
             for f in futures:

@@ -42,6 +42,66 @@ class SnapshotStore:
         else:
             self.manifest = {"tables": {}, "appends": {}, "round": -1, "history": []}
         self.manifest.setdefault("appends", {})
+        self.manifest.setdefault("lineage", {})
+
+    # -- per-partition lineage ---------------------------------------------
+
+    def _collect_lineage(self, data_dir: str, round_no: int | None) -> None:
+        """Record per-data-file lineage for a just-written dir: one entry per
+        parquet part file (= one writing partition) with row count and bytes,
+        read from the parquet FOOTER — no Spark action, ~0.1 ms per file
+        (the Iceberg manifest-file analog: DataFile{path, record_count,
+        file_size_in_bytes})."""
+        files = []
+        try:
+            import pyarrow.parquet as pq
+
+            with os.scandir(data_dir) as it:
+                for e in sorted(it, key=lambda e: e.name):
+                    if not e.name.endswith(".parquet"):
+                        continue
+                    files.append(
+                        {
+                            "file": e.name,
+                            "rows": pq.read_metadata(e.path).num_rows,
+                            "bytes": e.stat().st_size,
+                        }
+                    )
+        except Exception:
+            files = []  # lineage is advisory; never fail a write over it
+        self.manifest["lineage"][data_dir] = {
+            "round": round_no,
+            "files": files,
+            "rows": sum(f["rows"] for f in files),
+            "bytes": sum(f["bytes"] for f in files),
+        }
+
+    def lineage(self, table: str) -> list[dict]:
+        """Per-append lineage entries for an append-only table, in commit
+        order: [{dir, round, rows, bytes, files: [{file, rows, bytes}]}]."""
+        out = []
+        for d in self.manifest["appends"].get(table, []):
+            ent = self.manifest["lineage"].get(d)
+            if ent is not None and os.path.exists(d):
+                out.append({"dir": d, **ent})
+        return out
+
+    def table_metrics(self) -> dict[str, dict]:
+        """{table: {rows, bytes, appends}} across live append dirs — the
+        driver-side metrics surface the north rule pairs with lineage."""
+        out: dict[str, dict] = {}
+        for t, dirs in self.manifest["appends"].items():
+            ents = [
+                self.manifest["lineage"].get(d)
+                for d in dirs
+                if os.path.exists(d) and self.manifest["lineage"].get(d)
+            ]
+            out[t] = {
+                "rows": sum(e["rows"] for e in ents),
+                "bytes": sum(e["bytes"] for e in ents),
+                "appends": len(ents),
+            }
+        return out
 
     # -- manifest ----------------------------------------------------------
 
@@ -65,6 +125,11 @@ class SnapshotStore:
                 },
             }
         )
+        # prune lineage of GC'd / failed-append dirs (advisory metadata
+        # never outlives its data files)
+        self.manifest["lineage"] = {
+            d: e for d, e in self.manifest["lineage"].items() if os.path.exists(d)
+        }
         self._flush_manifest()
 
     @property
@@ -91,11 +156,13 @@ class SnapshotStore:
             shutil.rmtree(final)
         os.rename(tmp, final)
         self.manifest["tables"][table] = snap_id
+        self._collect_lineage(final, None)
         # stale snapshot GC: keep last 3 (Iceberg expire_snapshots analog)
         for old in range(max(0, snap_id - 3)):
             d = self._snap_dir(table, old)
             if os.path.exists(d):
                 shutil.rmtree(d)
+                self.manifest["lineage"].pop(d, None)
 
     def read(self, table: str, snap_id: int | None = None) -> DataFrame:
         if snap_id is None:
@@ -113,12 +180,13 @@ class SnapshotStore:
 
     # -- append-only tables (Iceberg fast-append analog) -------------------
 
-    def append(self, table: str, df: DataFrame) -> None:
+    def append(self, table: str, df: DataFrame, round_no: int | None = None) -> None:
         """Append an immutable data file set to an append-only table.
 
         In Iceberg this is ``writeTo(t).append()`` — no rewrite of existing
         data. Uncommitted appends (crash before commit_round) are dropped on
-        resume because the manifest still lists the old dir set.
+        resume because the manifest still lists the old dir set. ``round_no``
+        stamps the per-partition lineage entry with the producing round.
         """
         with self._lock:
             # Reserve the slot atomically: two concurrent appends to the SAME
@@ -137,6 +205,7 @@ class SnapshotStore:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        self._collect_lineage(final, round_no)
 
     def read_appends(self, table: str) -> DataFrame | None:
         dirs = [d for d in self.manifest["appends"].get(table, []) if os.path.exists(d)]

@@ -86,10 +86,10 @@ def test_mid_round_crash_replay_identical(spark, tmp_path):
     real_append = eng.store.append
     appended_before_crash = []
 
-    def bomb(table, df):
+    def bomb(table, df, round_no=None):
         if table == "seen":
             raise _InjectedCrash("killed between docs append and seen merge")
-        real_append(table, df)
+        real_append(table, df, round_no)
         appended_before_crash.append(table)
 
     eng.store.append = bomb

@@ -51,3 +51,40 @@ def test_commit_round_drops_dangling_append_slots(spark, tmp_path):
     committed = store.manifest["history"][-1]["appends"]["t"]
     assert len(committed) == 1
     assert store.read_appends("t").count() == 3
+
+
+def test_lineage_per_partition_stats(spark, tmp_path):
+    """North-rule 'per-partition lineage + metrics': every append records one
+    entry per parquet part file with footer-true row counts, stamped with
+    the producing round; metrics aggregate across live appends; pruned with
+    GC'd data at commit."""
+    store = SnapshotStore(str(tmp_path / "s"), spark)
+    store.append("t", spark.range(100).repartition(4), round_no=0)
+    store.append("t", spark.range(30).repartition(2), round_no=1)
+    lin = store.lineage("t")
+    assert [e["round"] for e in lin] == [0, 1]
+    assert [e["rows"] for e in lin] == [100, 30]
+    assert len(lin[0]["files"]) == 4 and len(lin[1]["files"]) == 2
+    assert sum(f["rows"] for f in lin[0]["files"]) == 100
+    assert all(f["bytes"] > 0 for e in lin for f in e["files"])
+    m = store.table_metrics()["t"]
+    assert m["rows"] == 130 and m["appends"] == 2 and m["bytes"] > 0
+
+    # snapshot writes are lineage-tracked too, and GC prunes entries
+    for i in range(6):
+        store.write("snap", spark.range(10))
+    store.commit_round(2)
+    live = [d for d in store.manifest["lineage"] if "snap-" in d]
+    assert len(live) <= 4  # keep-last-4 GC pruned the rest
+
+    # a reserved-but-failed append never shows lineage
+    store.manifest["appends"]["t"].append(str(tmp_path / "s" / "t" / "append-000099"))
+    assert [e["rows"] for e in store.lineage("t")] == [100, 30]
+
+
+def test_lineage_survives_manifest_reload(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "s"), spark)
+    store.append("t", spark.range(7), round_no=3)
+    store.commit_round(3)
+    re = SnapshotStore(str(tmp_path / "s"), spark)
+    assert [(e["round"], e["rows"]) for e in re.lineage("t")] == [(3, 7)]
