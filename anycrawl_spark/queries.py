@@ -2022,6 +2022,104 @@ def q_robots_gate(spark, sf_dir):
     )
 
 
+def q_path_gates(spark, sf_dir):
+    """F1/F2 path gates over a structured URL-variant corpus: include/exclude
+    (crawlee minimatch nocase semantics incl. the uppercase-/P/ nocase admit
+    and the case-insensitive exclude) and shouldScrapeUrl (regex-first
+    ordered loop, dot:true glob). ONE Arrow stage, zero exchanges.
+
+    Oracle: hand-derived per structural variant (documented in the SQL) —
+    independent of the kernel, which is itself pinned by the 12k-case node
+    minimatch differential fuzz (tests/test_capture.py) and the reference
+    Base.ts semantics (tests/test_patterns.py).
+
+    NOT in the driver contract — the contract is capped at the driver's
+    50-entry check window; verified by the local oracle gate."""
+    import pandas as pd  # noqa: F401 (annotation namespace for the UDF)
+    from pyspark.sql import types as T
+
+    from anycrawl_spark.functions.patterns import (
+        compile_exclude_patterns,
+        compile_include_patterns,
+        should_scrape_url,
+        url_passes,
+    )
+
+    scrape = ["/\\/p\\/[0-9]+$/", "**/p/*"]
+    inc = compile_include_patterns(["**/p/**", "/\\/q\\/[0-9]+$/"])
+    exc = compile_exclude_patterns(["**/p/13"])
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    h = F.lit("http://hostx.example.net")
+    v = F.pmod("o_orderkey", 10)
+    n = F.pmod("o_custkey", 20).cast("string")
+    url = (
+        F.when(v == 0, F.concat(h, F.lit("/p/"), n))
+        .when(v == 1, F.concat(h, F.lit("/p/"), n, F.lit("?ref=1")))
+        .when(v == 2, F.concat(h, F.lit("/P/"), n))
+        .when(v == 3, F.concat(h, F.lit("/p/.h"), n))
+        .when(v == 4, F.concat(h, F.lit("/p/")))
+        .when(v == 5, F.concat(h, F.lit("/p/"), n, F.lit("/x")))
+        .when(v == 6, F.concat(h, F.lit("//p//"), n))
+        .when(v == 7, F.concat(h, F.lit("/q/"), n))
+        .when(v == 8, F.concat(h, F.lit("/p/x."), n))
+        .otherwise(F.concat(h, F.lit("/p/..")))
+    )
+
+    out_type = T.StructType([
+        T.StructField("should_scrape", T.BooleanType()),
+        T.StructField("include_pass", T.BooleanType()),
+    ])
+
+    def _gates(u):
+        return pd.DataFrame({
+            "should_scrape": [should_scrape_url(x, scrape) for x in u],
+            "include_pass": [url_passes(x, inc, exc) for x in u],
+        })
+
+    gates = F.pandas_udf(_gates, out_type)
+
+    return (
+        o.select("o_orderkey", url.alias("url"))
+        .withColumn("_g", gates(F.col("url")))
+        .select("o_orderkey", "url",
+                F.col("_g.should_scrape").alias("should_scrape"),
+                F.col("_g.include_pass").alias("include_pass"))
+    )
+
+
+# Hand-derived truth per variant (v = o_orderkey%10, n = o_custkey%20) —
+# each CASE arm annotated with the minimatch/Base.ts rule that decides it:
+#   should_scrape ["/\/p\/[0-9]+$/", "**/p/*"] (regex-first; glob dot:true)
+#     v0 regex end-anchor hit; v1 glob (query string rides the segment);
+#     v2 case-sensitive 'p' mismatch; v3 dot:true star admits '.h<n>';
+#     v4 trailing-empty segment fails '*'; v5 two segments fail '*';
+#     v6 slashes coalesce BOTH sides; v7 'q' mismatch; v8 star; v9 '..'
+#     never matched by magic.
+#   include ["**/p/**", "/\/q\/[0-9]+$/"] minus exclude ["**/p/13"],
+#   crawlee nocase globs:
+#     v3/v9 dot-leading / '..' blocked under trailing '**' dot:false;
+#     v0/v2/v6 excluded exactly at n=13 (v2 via NOCASE 'P'='p');
+#     v7 admitted by the regex literal.
+SQL_PATH_GATES = """
+SELECT o_orderkey,
+  CASE v WHEN 0 THEN h || '/p/' || n WHEN 1 THEN h || '/p/' || n || '?ref=1'
+         WHEN 2 THEN h || '/P/' || n WHEN 3 THEN h || '/p/.h' || n
+         WHEN 4 THEN h || '/p/' WHEN 5 THEN h || '/p/' || n || '/x'
+         WHEN 6 THEN h || '//p//' || n WHEN 7 THEN h || '/q/' || n
+         WHEN 8 THEN h || '/p/x.' || n ELSE h || '/p/..' END AS url,
+  v IN (0, 1, 3, 6, 8) AS should_scrape,
+  CASE WHEN v IN (3, 9) THEN FALSE
+       WHEN v IN (0, 2, 6) THEN n <> '13'
+       ELSE TRUE END AS include_pass
+FROM (
+  SELECT o_orderkey, o_orderkey % 10 AS v,
+         CAST(o_custkey % 20 AS VARCHAR) AS n,
+         'http://hostx.example.net' AS h
+  FROM orders WHERE o_orderkey < 2000)
+"""
+
+
 def q_sitemap_seeds(spark, sf_dir):
     """Sitemap ingestion (sitemaps.org protocol; functions/sitemaps.py +
     sources/sitemaps.py): fetched sitemap bodies -> deduplicated frontier
@@ -2359,12 +2457,14 @@ ORACLES["q_template_render"] = _mir.sql_template_render()
 # (verify_against_duckdb, run in tests/test_queries_oracle.py).
 
 EXTRA_QUERIES = {
+    "q_path_gates": q_path_gates,
     "q_duplicate_passages": q_duplicate_passages,
     "q_dup_clusters": q_dup_clusters,
     "q_robots_gate": q_robots_gate,
     "q_sitemap_seeds": q_sitemap_seeds,
 }
 EXTRA_ORACLES = {
+    "q_path_gates": SQL_PATH_GATES,
     "q_duplicate_passages": _mir.sql_duplicate_passages(
         window=8, stride=4, min_count=2, max_doc_id=200
     ),

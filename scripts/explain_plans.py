@@ -151,6 +151,18 @@ def main() -> int:
           "request rows never shuffle (0 exchanges)")
     sections.append(("q_template_render", p))
 
+    # 10b. path gates (F1/F2 over the real minimatch kernel): ONE Arrow
+    #      stage for both gates, zero exchanges — URL rows never shuffle
+    from anycrawl_spark.queries import EXTRA_QUERIES
+    p = plan_of(EXTRA_QUERIES["q_path_gates"](spark, SF))
+    check("q_path_gates",
+          len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1,
+          "ONE Arrow stage (scrape + include/exclude gates fused)")
+    check("q_path_gates",
+          len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0,
+          "URL rows never shuffle (0 exchanges)")
+    sections.append(("q_path_gates", p))
+
     # 11. media features (r4 real PNG decode): the only exchange carries
     #     media_ref strings (the distinct), never payload bytes — media
     #     bytes stay inside the narrow Arrow maps
