@@ -136,3 +136,31 @@ def js_string(v) -> str:
     if isinstance(v, dict):
         return "[object Object]"
     return str(v)
+
+
+def js_json_stringify(v) -> str:
+    """``JSON.stringify`` with ECMAScript number formatting throughout:
+    integral doubles print without '.0', exponent thresholds/format follow
+    Number::toString (JSON.stringify(1e-7) === '1e-7'), separators are
+    compact, non-finite numbers become null, strings stay unicode."""
+    import json
+    import math
+
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return js_number_to_string(v) if math.isfinite(v) else "null"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, list):
+        return "[" + ",".join(js_json_stringify(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{json.dumps(str(k), ensure_ascii=False)}:{js_json_stringify(val)}"
+            for k, val in v.items()
+        ) + "}"
+    raise TypeError(f"not JSON-serializable: {type(v)}")

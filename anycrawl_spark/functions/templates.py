@@ -33,7 +33,11 @@ import math
 import re
 from urllib.parse import quote
 
-from anycrawl_spark.functions.js import js_number_to_string, js_trim
+from anycrawl_spark.functions.js import (
+    js_json_stringify,
+    js_number_to_string,
+    js_trim,
+)
 
 # encodeURIComponent's unreserved set (ECMA-262 18.2.6.4)
 _ENCODE_URI_COMPONENT_SAFE = "-_.!~*'()"
@@ -296,29 +300,7 @@ def _js_strict_includes(allowed: list, value) -> bool:
     return False
 
 
-def _js_json(v) -> str:
-    """``JSON.stringify`` with ECMAScript number formatting throughout:
-    integral doubles print without '.0', exponent thresholds/format follow
-    Number::toString (JSON.stringify(1e-7) === '1e-7'), separators are
-    compact, non-finite numbers become null, strings stay unicode."""
-    if v is None:
-        return "null"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        return js_number_to_string(v) if math.isfinite(v) else "null"
-    if isinstance(v, int):
-        return str(v)
-    if isinstance(v, str):
-        return json.dumps(v, ensure_ascii=False)
-    if isinstance(v, list):
-        return "[" + ",".join(_js_json(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(
-            f"{json.dumps(str(k), ensure_ascii=False)}:{_js_json(val)}"
-            for k, val in v.items()
-        ) + "}"
-    raise TypeError(f"not JSON-serializable: {type(v)}")
+_js_json = js_json_stringify  # canonical home: functions/js.py
 
 
 def _js_typeof(v) -> str:

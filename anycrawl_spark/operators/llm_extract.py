@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from anycrawl_spark.functions.js import js_json_stringify as _js_stringify
 from anycrawl_spark.functions.text import chunk_tokens, tokens
 
 # Prompt texts kept verbatim for behavioral parity (extract.prompts.ts:1-21
@@ -263,11 +264,26 @@ def _js_falsy(v) -> bool:
     return False
 
 
+def _dedup_key(item):
+    """The Set key LLMExtract.ts:253 computes: JSON.stringify for objects
+    (ECMAScript number formatting — 2.0 prints '2'), the raw primitive
+    otherwise. Python's set would fold 1/True and 1/1.0 differently from
+    JS SameValueZero (1 !== true, 1 === 1.0), so primitives carry a type
+    tag with bools distinct and ints/floats unified (node fuzz)."""
+    if isinstance(item, (dict, list)):
+        return _js_stringify(item)
+    if isinstance(item, bool):
+        return ("bool", item)
+    if isinstance(item, (int, float)):
+        return ("num", float(item))
+    return ("s", item)
+
+
 def deduplicate_array(arr: list) -> list:
     """LLMExtract.ts:251-262: JSON-keyed first-occurrence dedup."""
     seen, out = set(), []
     for item in arr:
-        key = json.dumps(item, separators=(",", ":")) if isinstance(item, (dict, list)) else item
+        key = _dedup_key(item)
         if key in seen:
             continue
         seen.add(key)
@@ -289,22 +305,37 @@ def _js_spread_pair(cur, new):
     return out
 
 
+def _js_entries(v):
+    """``Object.entries(v)`` over JSON values: dicts give their pairs,
+    arrays/strings index-keyed elements, primitives nothing."""
+    if isinstance(v, dict):
+        return list(v.items())
+    if isinstance(v, (list, str)):
+        return [(str(i), x) for i, x in enumerate(v)]
+    return []
+
+
 def merge_results(results: list) -> object:
-    """Chunk-result merge (LLMExtract.ts:214-246): arrays dedup-concat,
+    """Chunk-result merge (LLMExtract.ts:211-241): arrays dedup-concat,
     objects shallow-merge, primitives keep the first JS-truthy value.
     Mixed array/object pairs take the JS spread path (see _js_spread_pair);
     unreachable with the deterministic mock generator (types are
-    schema-consistent per path) but a real generateObject can mix types."""
-    results = [r for r in results if r is not None]
-    if not results:
+    schema-consistent per path) but a real generateObject can mix types.
+
+    Control flow mirrors the source exactly: the length checks run BEFORE
+    any null filtering (ts:212-213), so [null] returns null while
+    [null, null] merges to {}; falsy results are skipped inside the loop
+    and non-dict results contribute Object.entries pairs (arrays/strings
+    index-keyed)."""
+    if len(results) == 0:
         return None
     if len(results) == 1:
         return results[0]
     merged: dict = {}
     for result in results:
-        if not result:
+        if _js_falsy(result):
             continue
-        for k, v in result.items():
+        for k, v in _js_entries(result):
             if v is None:
                 continue
             cur = merged.get(k)  # missing -> None, matching JS undefined

@@ -205,6 +205,21 @@ def _arrow_param_edits(
         j = m.start() - 1
         while j >= 0 and src[j] in " \t\r\n":
             j -= 1
+        if j >= 0 and src[j] != ")":
+            # `(params): RetType =>` — walk back over a return-type
+            # annotation to the `):` that opens it, and record its deletion
+            r = src.rfind(")", 0, j + 1)
+            while r >= 0 and not mask[r]:
+                r = src.rfind(")", 0, r)
+            if r < 0:
+                continue
+            t = r + 1
+            while t < len(src) and src[t] in " \t\r\n":
+                t += 1
+            if t >= m.start() or src[t] != ":":
+                continue
+            edits.append((r + 1, m.start()))
+            j = r
         if j < 0 or src[j] != ")":
             continue  # single-identifier arrow: no annotations possible
         depth, k = 0, j

@@ -141,7 +141,11 @@ def test_prompt_assembly_with_and_without_user_prompt():
 def test_merge_single_result_passthrough():
     assert merge_results([{"a": 1}]) == {"a": 1}
     assert merge_results([]) is None
-    assert merge_results([None, None]) is None
+    # length checks run BEFORE null filtering (LLMExtract.ts:212-213,
+    # node-fuzz-verified): a single null passes through as null, but TWO
+    # nulls reach the merge loop and produce the empty merged object
+    assert merge_results([None]) is None
+    assert merge_results([None, None]) == {}
 
 
 def test_merge_first_truthy_primitive_wins():

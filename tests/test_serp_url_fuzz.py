@@ -445,3 +445,84 @@ const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));
         if got != exp:
             diverging.append((payload, exp, got))
     assert diverging == [], (len(diverging), diverging[:4])
+
+
+# ------------------- engine resolution (S12b) fuzz vs SearchService.ts -----
+
+_SERVICE_TS = "packages/search/src/SearchService.ts"
+
+
+@pytest.mark.skipif(
+    not (shutil.which("node") and have_node_oracle(_SERVICE_TS)),
+    reason="node + reference checkout not available",
+)
+def test_resolve_engine_differential_fuzz_vs_reference():
+    import random
+
+    from anycrawl_spark.operators.serp import SearchEngineConfig, resolve_engine
+
+    service = (REFERENCE_ROOT / _SERVICE_TS).read_text()
+    methods = extract_ts_blocks(service, [
+        r"^\s*getDefaultEngine\(",
+        r"^\s*private isValidEngine\(",
+        r"^\s*public getAvailableEngines\(",
+        r"^\s*public resolveEngine\(",
+        r"^\s*private resolveEngineName\(",
+    ])
+    for a, b in [
+        ("getDefaultEngine(", "static getDefaultEngine("),
+        ("private isValidEngine(", "private static isValidEngine("),
+        ("public getAvailableEngines(", "public static getAvailableEngines("),
+        ("public resolveEngine(", "public static resolveEngine("),
+        ("private resolveEngineName(", "private static resolveEngineName("),
+    ]:
+        methods = methods.replace(a, b, 1)
+    src = (
+        "const log = {info(){},warn(){},error(){},debug(){}};\n"
+        "const AVAILABLE_SEARCH_ENGINES = ['google', 'searxng', 'ac-engine'];\n"
+        "class SearchService {\n  static config = {};\n"
+        + strip_ts(methods)
+        + "\n}\n"
+    )
+    driver = """
+const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));
+console.log(JSON.stringify(cases.map(c => {
+    SearchService.config = c.config;
+    try { return SearchService.resolveEngine(c.requested === null ? undefined : c.requested); }
+    catch (e) { return "ERR:" + e.message; }
+})));
+"""
+    rnd = random.Random(20260824)
+    reqs = [None, "", "default", " Default ", "google", "GOOGLE ", "searxng",
+            "ac-engine", "AC-Engine", "bogus", " searxng\t", " google",
+            "Ac-ENGINE", "default "]
+    defaults = [None, "", "google", "searxng", "ac-engine", "SearXNG", "bogus"]
+    enabled = [None, [], ["google"], ["searxng"], ["google", "searxng"],
+               ["AC-ENGINE"], ["bogus"], ["searxng", "ac-engine"],
+               ["google", "searxng", "ac-engine"]]
+    cases = [
+        {
+            "requested": rnd.choice(reqs),
+            "config": {
+                "defaultEngine": rnd.choice(defaults),
+                "enabledEngines": rnd.choice(enabled),
+                "searxngUrl": rnd.choice([None, "", "http://sx"]),
+                "acEngineUrl": rnd.choice([None, "", "http://ac"]),
+            },
+        }
+        for _ in range(1500)
+    ]
+    ref = run_ts_oracle(src, driver, cases)
+    diverging = []
+    for c, exp in zip(cases, ref):
+        cfgd = c["config"]
+        cfg = SearchEngineConfig(
+            default_engine=cfgd["defaultEngine"],
+            enabled_engines=tuple(cfgd["enabledEngines"] or ()),
+            searxng_url=cfgd["searxngUrl"],
+            ac_engine_url=cfgd["acEngineUrl"],
+        )
+        got = resolve_engine(c["requested"], cfg)
+        if got != exp:
+            diverging.append((c, exp, got))
+    assert diverging == [], (len(diverging), diverging[:8])
