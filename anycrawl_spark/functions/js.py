@@ -138,11 +138,28 @@ def js_string(v) -> str:
     return str(v)
 
 
+def _js_own_keys(d: dict) -> list:
+    """ECMAScript OrdinaryOwnPropertyKeys order: array-index keys (canonical
+    numeric strings in [0, 2^32-2]) ascending FIRST, then the remaining
+    string keys in insertion order — `{"b":1,"0":2}` stringifies as
+    `{"0":2,"b":1}` (found by the node primitives fuzz)."""
+    idx, rest = [], []
+    for k in d:
+        s = str(k)
+        if s.isdigit() and str(int(s)) == s and int(s) < 2**32 - 1:
+            idx.append((int(s), k))
+        else:
+            rest.append(k)
+    return [k for _, k in sorted(idx, key=lambda t: t[0])] + rest
+
+
 def js_json_stringify(v) -> str:
     """``JSON.stringify`` with ECMAScript number formatting throughout:
     integral doubles print without '.0', exponent thresholds/format follow
     Number::toString (JSON.stringify(1e-7) === '1e-7'), separators are
-    compact, non-finite numbers become null, strings stay unicode."""
+    compact, non-finite numbers become null, strings stay unicode, and
+    object keys follow JS own-property order (integer-like keys first,
+    ascending)."""
     import json
     import math
 
@@ -160,7 +177,7 @@ def js_json_stringify(v) -> str:
         return "[" + ",".join(js_json_stringify(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(
-            f"{json.dumps(str(k), ensure_ascii=False)}:{js_json_stringify(val)}"
-            for k, val in v.items()
+            f"{json.dumps(str(k), ensure_ascii=False)}:{js_json_stringify(v[k])}"
+            for k in _js_own_keys(v)
         ) + "}"
     raise TypeError(f"not JSON-serializable: {type(v)}")

@@ -207,16 +207,17 @@ def _arrow_param_edits(
             j -= 1
         if j >= 0 and src[j] != ")":
             # `(params): RetType =>` — walk back over a return-type
-            # annotation to the `):` that opens it, and record its deletion
+            # annotation to the `):` that opens it, and record its deletion.
+            # The span must LOOK like a type (identifiers/generics/arrays/
+            # unions only) so a ternary's `) ? x : y` or ordinary code
+            # between some ')' and a later arrow never matches.
             r = src.rfind(")", 0, j + 1)
             while r >= 0 and not mask[r]:
                 r = src.rfind(")", 0, r)
             if r < 0:
                 continue
-            t = r + 1
-            while t < len(src) and src[t] in " \t\r\n":
-                t += 1
-            if t >= m.start() or src[t] != ":":
+            span = src[r + 1 : m.start()]
+            if not re.match(r"^\s*:\s*[\w$<>\[\],.\s|&]+\s*$", span):
                 continue
             edits.append((r + 1, m.start()))
             j = r
