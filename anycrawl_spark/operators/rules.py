@@ -62,14 +62,26 @@ class ProxyRule:
 
 
 def _wildcard_to_regex(pattern: str) -> str:
-    # Proxy.ts:500-524: '*' -> '.*', everything else literal, anchored
-    return "^" + ".*".join(re.escape(p) for p in pattern.split("*")) + "$"
+    """Proxy.ts:500-524 matchesUrlPattern/matchesDomainPattern body:
+    regex specials escaped, '*' -> '.*', '?' -> '.' (single char), anchored,
+    CASE-INSENSITIVE ('i' flag — carried as an inline (?i) so the same
+    source runs under Java rlike and RE2). Node-fuzzed byte-exact."""
+    parts = [
+        ".".join(re.escape(q) for q in p.split("?"))
+        for p in pattern.split("*")
+    ]
+    return "(?i)^" + ".*".join(parts) + "$"
 
 
 def match_proxy(rules: list[ProxyRule], url: Column, host: Column) -> Column:
     """First-match proxy selection as an ordered coalesce(when...) chain.
 
-    Priority (Proxy.ts:716-750): exact url > url pattern > domain. Returns the
+    The reference walks the rules IN CONFIG ORDER and each rule fires on
+    its own criterion (Proxy.ts:729-745 — the url/pattern/domain priority
+    is WITHIN one rule, not a global tiering; a pattern rule listed first
+    beats a later exact-url rule). Domain rules are full-hostname wildcard
+    matches, not suffix matches ('example.com' does NOT match
+    'www.example.com'; write '*.example.com' for subdomains). Returns the
     proxy string or NULL (no proxy). Rules are broadcast-sized literals —
     whole-stage codegen, zero shuffle; a rules table large enough to matter
     would become a broadcast join instead.
@@ -78,14 +90,13 @@ def match_proxy(rules: list[ProxyRule], url: Column, host: Column) -> Column:
     for r in rules:
         if r.url is not None:
             tiers.append(F.when(url == F.lit(r.url), F.lit(r.proxy)))
-    for r in rules:
         if r.pattern is not None:
-            tiers.append(F.when(url.rlike(_wildcard_to_regex(r.pattern)), F.lit(r.proxy)))
-    for r in rules:
-        if r.domain is not None:
-            d = r.domain.lstrip(".")
             tiers.append(
-                F.when((host == F.lit(d)) | host.endswith(F.lit("." + d)), F.lit(r.proxy))
+                F.when(url.rlike(_wildcard_to_regex(r.pattern)), F.lit(r.proxy))
+            )
+        if r.domain is not None:
+            tiers.append(
+                F.when(host.rlike(_wildcard_to_regex(r.domain)), F.lit(r.proxy))
             )
     if not tiers:
         return F.lit(None).cast("string")

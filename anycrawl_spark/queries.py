@@ -644,15 +644,22 @@ WHERE NOT regexp_matches(url, '{_sql_ad_regex()}')
 
 
 def q_proxy_match(spark, sf_dir):
-    """F12/J5 proxy-rule first-match: ordered coalesce over broadcast rules
-    (pattern tier beats domain tier; Proxy.ts:716-750)."""
+    """F12/J5 proxy-rule first-match IN CONFIG ORDER (Proxy.ts:729-745 —
+    each rule fires on its own criterion; the url/pattern/domain priority
+    is within one rule, not a global tiering). Wildcard matching is the
+    reference's matchesUrlPattern/matchesDomainPattern kernel: '*' any,
+    '?' one char, case-insensitive, FULL-hostname domain match (so
+    'doubleclick.net' hits only the bare host, '*.example.com' only true
+    subdomains). The mix exercises '?' (p/1? = /p/10../p/19) and
+    case-folding (*EXAMPLE.com*)."""
     from anycrawl_spark.operators.rules import ProxyRule, match_proxy
 
     o = _t(spark, sf_dir, "orders")
     host, url = _synth_url_cols()
     rules = [
+        ProxyRule(proxy="proxy-teen", pattern="*EXAMPLE.com/p/1?"),
         ProxyRule(proxy="proxy-pattern", pattern="*example.com/p/1*"),
-        ProxyRule(proxy="proxy-domain", domain="example.com"),
+        ProxyRule(proxy="proxy-domain", domain="*.example.com"),
         ProxyRule(proxy="proxy-ads", domain="doubleclick.net"),
     ]
     df = o.select("o_orderkey", url.alias("url"), host.alias("host"))
@@ -664,9 +671,10 @@ def q_proxy_match(spark, sf_dir):
 
 SQL_PROXY_MATCH = f"""
 SELECT o_orderkey, url,
-       CASE WHEN regexp_matches(url, '^.*example\\.com/p/1.*$') THEN 'proxy-pattern'
-            WHEN host = 'example.com' OR host LIKE '%.example.com' THEN 'proxy-domain'
-            WHEN host = 'doubleclick.net' OR host LIKE '%.doubleclick.net' THEN 'proxy-ads'
+       CASE WHEN regexp_matches(url, '(?i)^.*EXAMPLE\\.com/p/1.$') THEN 'proxy-teen'
+            WHEN regexp_matches(url, '(?i)^.*example\\.com/p/1.*$') THEN 'proxy-pattern'
+            WHEN regexp_matches(host, '(?i)^.*\\.example\\.com$') THEN 'proxy-domain'
+            WHEN regexp_matches(host, '(?i)^doubleclick\\.net$') THEN 'proxy-ads'
             END AS proxy
 FROM (SELECT o_orderkey,
              'http://' || {_SQL_SYNTH_HOST} || '/p/' || o_orderkey AS url,

@@ -21,20 +21,26 @@ def test_ad_filter(spark):
 
 
 def test_proxy_match_priority(spark):
+    """First-match in CONFIG ORDER (Proxy.ts:729-745), with the reference's
+    wildcard kernel: '?' single char, case-insensitive, domain = FULL
+    hostname wildcard match (no implicit suffix semantics)."""
     from anycrawl_spark.operators.rules import ProxyRule, match_proxy
 
     rules = [
         ProxyRule(proxy="p-exact", url="http://a.com/x"),
         ProxyRule(proxy="p-pattern", pattern="http://a.com/*"),
         ProxyRule(proxy="p-domain", domain="a.com"),
-        ProxyRule(proxy="p-sub", domain=".b.com"),
+        ProxyRule(proxy="p-sub", domain="*.b.com"),
+        ProxyRule(proxy="p-q", pattern="HTTP://q.com/?"),
     ]
     rows = [
-        ("http://a.com/x", "a.com"),       # exact wins over pattern+domain
-        ("http://a.com/y", "a.com"),       # pattern wins over domain
-        ("https://a.com/z", "a.com"),      # only domain matches (pattern is http://)
-        ("http://www.b.com/q", "www.b.com"),  # subdomain suffix match
-        ("http://b.com/q", "b.com"),       # '.b.com' rule also matches bare domain
+        ("http://a.com/x", "a.com"),       # exact rule listed first wins
+        ("http://a.com/y", "a.com"),       # pattern rule beats later domain
+        ("https://a.com/z", "a.com"),      # only the domain rule matches
+        ("http://www.b.com/q", "www.b.com"),  # '*.b.com' matches subdomain
+        ("http://b.com/q", "b.com"),       # ...but NOT the bare domain
+        ("http://q.com/1", "q.com"),       # '?' = one char, case-insensitive
+        ("http://q.com/12", "q.com"),      # two chars -> no '?' match
         ("http://c.com/q", "c.com"),       # no rule -> NULL
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "host"]))
@@ -45,8 +51,27 @@ def test_proxy_match_priority(spark):
     assert out["http://a.com/y"] == "p-pattern"
     assert out["https://a.com/z"] == "p-domain"
     assert out["http://www.b.com/q"] == "p-sub"
-    assert out["http://b.com/q"] == "p-sub"
+    assert out["http://b.com/q"] is None
+    assert out["http://q.com/1"] == "p-q"
+    assert out["http://q.com/12"] is None
     assert out["http://c.com/q"] is None
+
+
+def test_proxy_match_config_order_beats_kind(spark):
+    """A pattern rule listed BEFORE an exact-url rule wins when both match
+    — the reference loop is per-rule, not per-kind (Proxy.ts:729-745)."""
+    from anycrawl_spark.operators.rules import ProxyRule, match_proxy
+
+    rules = [
+        ProxyRule(proxy="p-first", pattern="http://a.com/*"),
+        ProxyRule(proxy="p-exact", url="http://a.com/x"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame([("http://a.com/x", "a.com")], columns=["url", "host"]))
+    out = df.select(
+        match_proxy(rules, F.col("url"), F.col("host")).alias("proxy")
+    ).first().proxy
+    assert out == "p-first"
 
 
 def test_proxy_tier_ladder(spark):

@@ -526,3 +526,58 @@ console.log(JSON.stringify(cases.map(c => {
         if got != exp:
             diverging.append((c, exp, got))
     assert diverging == [], (len(diverging), diverging[:8])
+
+
+# ------------------ proxy wildcard matchers (F12/X9) fuzz vs Proxy.ts ------
+
+_PROXY_TS = "packages/scrape/src/managers/Proxy.ts"
+
+
+@pytest.mark.skipif(
+    not (shutil.which("node") and have_node_oracle(_PROXY_TS)),
+    reason="node + reference checkout not available",
+)
+def test_proxy_wildcard_matchers_differential_fuzz_vs_reference():
+    import random
+    import re as _re
+
+    from anycrawl_spark.operators.rules import _wildcard_to_regex
+
+    src = extract_ts_blocks((REFERENCE_ROOT / _PROXY_TS).read_text(), [
+        r"^function matchesDomainPattern\(",
+        r"^function matchesUrlPattern\(",
+    ])
+    js = (
+        "const log = {info(){},warn(){},error(){},debug(){}};\n"
+        + strip_ts(src)
+        + """
+const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));
+console.log(JSON.stringify(cases.map(([pat, s, kind]) =>
+    kind === 'domain' ? matchesDomainPattern(pat, s) : matchesUrlPattern(pat, s))));
+"""
+    )
+    rnd = random.Random(20260829)
+    pat_atoms = ["*", "?", ".", "example", "EXAMPLE", "com", "https://",
+                 "/p/", "a", "1", "-", "+", "(x)", "[y]", "$", "^", "{2}",
+                 "|", "\\"]
+    sub_atoms = ["example", "EXAMPLE", "com", "https://", "/p/", "a", "ab",
+                 "1", "12", ".", "-", "+", "(x)", "[y]", "$", "x|y", "\\"]
+    cases = []
+    for _ in range(4000):
+        pat = "".join(rnd.choice(pat_atoms) for _ in range(rnd.randint(0, 6)))
+        s = "".join(rnd.choice(sub_atoms) for _ in range(rnd.randint(0, 6)))
+        cases.append([pat, s, rnd.choice(["domain", "url"])])
+    import json as _json
+    import subprocess
+    out = subprocess.run(["node", "-e", js], input=_json.dumps(cases),
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[:500]
+    ref = _json.loads(out.stdout)
+    diverging = []
+    for (pat, s, kind), exp in zip(cases, ref):
+        # ONE kernel serves both matchers (the reference bodies are
+        # identical); anchoring and the 'i' flag live inside the source
+        got = _re.match(_wildcard_to_regex(pat), s) is not None
+        if got != exp:
+            diverging.append((pat, s, kind, exp, got))
+    assert diverging == [], (len(diverging), diverging[:10])
