@@ -167,3 +167,35 @@ def test_scrape_paths_and_exclude_parity(spark, tmp_path):
         if s == "fetched"
     }
     assert want[jobs[0]["job_id"]] < fetched0
+
+
+# ------------------------------------------------------ crash-freedom props
+def test_kernels_never_raise_on_hostile_input():
+    """The gate kernels run inside mapInPandas over attacker-controlled
+    URLs and operator-supplied patterns — any exception is a stage kill.
+    Sweep hostile inputs through every entry point."""
+    from anycrawl_spark.functions.capture import glob_match
+    from anycrawl_spark.operators.rules import _wildcard_to_regex
+    import re
+
+    hostiles = ["", "*", "**", "?", "[", "[]", "[!", "{", "{a,", "\\",
+                "!(", "@(", "+(", ")(", "a{1..}", "{9..1..0}", "!"*5,
+                "\x00", "\ud800" if False else "￿", "(" * 30,
+                "a" * 500, "/" * 50, "{" * 20, "*" * 40, "?" * 40,
+                "[z-a]", "[[:alpha:]]", "a\\", "{,}", "!(!(!(x"]
+    subjects = ["", "/", "a", ".", "..", "http://h/p", "\x00", "a" * 300]
+    for pat in hostiles:
+        compiled = _wildcard_to_regex(pat)
+        for s in subjects:
+            re.match(compiled, s)  # must compile + run
+            for dot in (True, False):
+                for nocase in (True, False):
+                    glob_match(s, pat, dot=dot, nocase=nocase)
+        for s in subjects:
+            should_scrape_url(s, [pat, "/" + pat + "/"])
+            url_passes(
+                s,
+                compile_include_patterns([pat]),
+                compile_exclude_patterns([pat]),
+                current_url=subjects[-1],
+            )
