@@ -22,6 +22,7 @@ from anycrawl_spark.crawl.params import CrawlParams, is_retryable, robots_decisi
 from anycrawl_spark.functions.patterns import (
     compile_exclude_patterns,
     compile_include_patterns,
+    excludes_configured,
     should_scrape_url,
     url_passes,
 )
@@ -93,6 +94,7 @@ class ReferenceSimulator:
             st = SimJobState(job=dict(job))
             st.job["_include"] = compile_include_patterns(job.get("include_paths"))
             st.job["_exclude"] = compile_exclude_patterns(job.get("exclude_paths"))
+            st.job["_exclude_active"] = excludes_configured(job.get("exclude_paths"))
             seed = canonicalize_url(job["seed_url"])
             if seed is not None and self._robots_ok(seed):
                 st.seen[seed] = (0, 0)
@@ -193,7 +195,9 @@ class ReferenceSimulator:
                 continue
             if not _scope_ok(cand, job["seed_url"], job["strategy"]):
                 continue
-            if not url_passes(cand, job["_include"], job["_exclude"], current_url=url):
+            if not url_passes(cand, job["_include"], job["_exclude"],
+                              current_url=url,
+                              exclude_active=job["_exclude_active"]):
                 continue
             if not self._robots_ok(cand):
                 continue

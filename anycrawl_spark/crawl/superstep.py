@@ -140,8 +140,29 @@ class CrawlEngine:
         }
         # the current-URL exclude quirk needs the parent URL in the gate;
         # without any excludes the column is a pruned-away constant (the
-        # frontier hot path ships no extra Arrow data)
-        self._gate_needs_parent = any(j.get("exclude_paths") for j in jobs)
+        # frontier hot path ships no extra Arrow data). Raw-array check:
+        # exclude_paths=['  '] still triggers the quirk (Base.ts:361)
+        from anycrawl_spark.functions.patterns import excludes_configured
+
+        self._gate_needs_parent = any(
+            excludes_configured(j.get("exclude_paths")) for j in jobs
+        )
+        self._scrape_gate = None
+        if self._scrape_paths_by_job:
+            scrape_map = self._scrape_paths_by_job
+
+            @F.pandas_udf(T.BooleanType())
+            def _scrape_gate(job_id: pd.Series, url: pd.Series) -> pd.Series:
+                from anycrawl_spark.functions.patterns import should_scrape_url
+
+                return pd.Series(
+                    [
+                        should_scrape_url(u, scrape_map.get(jid))
+                        for jid, u in zip(job_id, url)
+                    ]
+                )
+
+            self._scrape_gate = _scrape_gate
         self.max_depth_by_job = {j["job_id"]: j["max_depth"] for j in jobs}
         self.limit_by_job = {j["job_id"]: j["limit"] for j in jobs}
         # mutable per-job counters (recovered from progress on resume)
@@ -523,21 +544,10 @@ class CrawlEngine:
         # --- documents + metrics appends -----------------------------------
         t_defs = _time.time()
         docs_saved = docs
-        if self._scrape_paths_by_job:
-            scrape_map = self._scrape_paths_by_job
-
-            @F.pandas_udf(T.BooleanType())
-            def _scrape_gate(job_id: pd.Series, url: pd.Series) -> pd.Series:
-                from anycrawl_spark.functions.patterns import should_scrape_url
-
-                return pd.Series(
-                    [
-                        should_scrape_url(u, scrape_map.get(jid))
-                        for jid, u in zip(job_id, url)
-                    ]
-                )
-
-            docs_saved = docs.filter(_scrape_gate(F.col("job_id"), F.col("url")))
+        if self._scrape_gate is not None:
+            docs_saved = docs.filter(
+                self._scrape_gate(F.col("job_id"), F.col("url"))
+            )
         self.store.append(
             "documents",
             docs_saved.select(

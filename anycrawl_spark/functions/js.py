@@ -130,7 +130,12 @@ def js_string(v) -> str:
     if isinstance(v, float):
         return js_number_to_string(v)
     if isinstance(v, int):
-        return str(v)
+        if abs(v) <= _MAX_SAFE:
+            return str(v)
+        try:  # a JS Number is a double: 1e23-ish ints print in e-notation
+            return js_number_to_string(float(v))
+        except OverflowError:
+            return "Infinity" if v > 0 else "-Infinity"
     if isinstance(v, list):
         return ",".join("" if x is None else js_string(x) for x in v)
     if isinstance(v, dict):
@@ -146,7 +151,9 @@ def _js_own_keys(d: dict) -> list:
     idx, rest = [], []
     for k in d:
         s = str(k)
-        if s.isdigit() and str(int(s)) == s and int(s) < 2**32 - 1:
+        # ASCII-only: '²'.isdigit() is True but int('²') raises, and JS
+        # treats non-ASCII digits as plain string keys anyway
+        if s.isascii() and s.isdigit() and str(int(s)) == s and int(s) < 2**32 - 1:
             idx.append((int(s), k))
         else:
             rest.append(k)
@@ -170,7 +177,15 @@ def js_json_stringify(v) -> str:
     if isinstance(v, float):
         return js_number_to_string(v) if math.isfinite(v) else "null"
     if isinstance(v, int):
-        return str(v)
+        # JSON.parse already made this a DOUBLE in JS: ints past 2^53
+        # print with double precision ('1e+23', 9007199254740992), and
+        # past DBL_MAX they are Infinity -> null in JSON
+        if abs(v) <= _MAX_SAFE:
+            return str(v)
+        try:
+            return js_number_to_string(float(v))
+        except OverflowError:
+            return "null"
     if isinstance(v, str):
         return json.dumps(v, ensure_ascii=False)
     if isinstance(v, list):
@@ -181,3 +196,50 @@ def js_json_stringify(v) -> str:
             for k in _js_own_keys(v)
         ) + "}"
     raise TypeError(f"not JSON-serializable: {type(v)}")
+
+
+_HEX_RE = re.compile(r"^[+-]?0[xX][0-9a-fA-F]+$")
+_OCT_RE = re.compile(r"^[+-]?0[oO][0-7]+$")
+_BIN_RE = re.compile(r"^[+-]?0[bB][01]+$")
+_DEC_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def js_to_number(v) -> float:
+    """ECMAScript ``ToNumber`` over JSON values: null -> 0, booleans 0/1,
+    strings via StringToNumber (JS-whitespace-trimmed; '' -> 0; decimal
+    with exponent; 0x/0o/0b radix prefixes, sign only on decimals;
+    'Infinity'), arrays via ToPrimitive (join(',') then StringToNumber, so
+    [5] -> 5 and [] -> 0), objects -> NaN."""
+    nan = float("nan")
+    if v is None:
+        return 0.0
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, list):
+        return js_to_number(js_string(v))
+    if isinstance(v, dict):
+        return nan
+    if not isinstance(v, str):
+        return nan
+    s = js_trim(v)
+    if s == "":
+        return 0.0
+    if s in ("Infinity", "+Infinity"):
+        return float("inf")
+    if s == "-Infinity":
+        return float("-inf")
+    try:
+        # radix literals take NO sign in StringToNumber
+        if _HEX_RE.match(s) and s[0] not in "+-":
+            return float(int(s, 16))
+        if _OCT_RE.match(s) and s[0] not in "+-":
+            return float(int(s, 8))
+        if _BIN_RE.match(s) and s[0] not in "+-":
+            return float(int(s, 2))
+        if _DEC_RE.match(s):
+            return float(s)
+    except (ValueError, OverflowError):
+        return float("inf") if not s.startswith("-") else float("-inf")
+    return nan

@@ -97,12 +97,22 @@ def compile_exclude_patterns(patterns: list[str] | None) -> tuple[str, ...]:
     """Base.ts:361-365 / crawlee shared.ts: excludes are GLOBS (string
     excludes never get the regex-literal split), trimmed, empties dropped.
     The current-page URL is appended at match time, not here (it varies per
-    row)."""
-    if not patterns:
+    row). A non-list config contributes nothing (Array.isArray guard —
+    a STRING here would otherwise iterate into per-character globs)."""
+    if not isinstance(patterns, (list, tuple)) or not patterns:
         return ()
     return tuple(
         p.strip() for p in patterns if isinstance(p, str) and p.strip()
     )
+
+
+def excludes_configured(patterns) -> bool:
+    """Base.ts:361: `Array.isArray(excludePaths) && excludePaths.length > 0`
+    — the current-URL self-exclude triggers on the RAW array being
+    non-empty, even when every entry trims away to nothing (code review:
+    exclude_paths=['  '] still excludes the current page URL in the
+    reference while compiling to zero usable globs)."""
+    return isinstance(patterns, (list, tuple)) and len(patterns) > 0
 
 
 def url_passes(
@@ -110,12 +120,17 @@ def url_passes(
     include: tuple[tuple[str, ...], tuple[re.Pattern, ...]] | None,
     exclude: tuple[str, ...],
     current_url: str | None = None,
+    exclude_active: bool | None = None,
 ) -> bool:
     """U3: include minus exclude, crawlee-side semantics. Exclude wins and
     is checked first (createRequests filters excludes before the include
-    loop); when ANY exclude is configured the current page URL joins the
-    exclude set as one more glob (Base.ts:362-364)."""
-    if exclude:
+    loop); when ANY exclude is CONFIGURED (raw-array check — pass
+    ``exclude_active=excludes_configured(raw)``; defaults to the compiled
+    tuple's truthiness) the current page URL joins the exclude set as one
+    more glob (Base.ts:362-364)."""
+    if exclude_active is None:
+        exclude_active = bool(exclude)
+    if exclude_active:
         for g in exclude:
             if glob_match(url, g, dot=False, nocase=True):
                 return False

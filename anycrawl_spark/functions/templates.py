@@ -71,7 +71,8 @@ def _js_prop(obj, key: str):
     if isinstance(obj, (list, str)):
         if key == "length":
             return len(obj)
-        if key.isdigit() and key == str(int(key)) and int(key) < len(obj):
+        if (key.isascii() and key.isdigit() and key == str(int(key))
+                and int(key) < len(obj)):
             return obj[int(key)]
     return MISSING
 
@@ -174,7 +175,8 @@ def _js_typeof_ok(value, expected: str) -> bool:
 _URL_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
 # WHATWG "special" schemes require a parseable authority; any other scheme
-# takes an opaque path and new URL() virtually never fails past the scheme
+# takes an opaque path and new URL() virtually never fails past the scheme.
+# 'file' is special too but with its own rules (empty host fine, no port).
 _SPECIAL_SCHEMES = frozenset({"http", "https", "ws", "wss", "ftp"})
 
 
@@ -184,11 +186,31 @@ def _is_js_url(v: str) -> bool:
     (reusing the C1 canonicalizer's host/port validation — a space in the
     host or an out-of-range port throws in JS). One canonicalizer deviation
     is compensated: dot-only hosts ('http://..') are VALID in node but the
-    dedup canonicalizer folds trailing dots and so rejects them."""
+    dedup canonicalizer folds trailing dots and so rejects them. 'file'
+    URLs (also WHATWG-special — code review) allow an EMPTY host but no
+    port and no credentials; a non-empty file host validates like any
+    special host."""
     m = _URL_SCHEME_RE.match(v)
     if not m:
         return False
     scheme = v[: m.end() - 1].lower()
+    if scheme == "file":
+        from urllib.parse import urlsplit
+
+        from anycrawl_spark.functions.urls import canonicalize_url
+
+        try:
+            netloc = urlsplit("http:" + v[m.end():].replace("\\", "/")).netloc
+        except ValueError:
+            return False
+        if netloc == "":
+            return True  # file:///path — hostless is the common valid form
+        # WHATWG: file URLs take no credentials and no port (':' AFTER a
+        # bracket IPv6 host is a port; inside brackets it is the address)
+        tail = netloc.rpartition("]")[2] if netloc.startswith("[") else netloc
+        if "@" in netloc or ":" in tail:
+            return False
+        return canonicalize_url("http://" + netloc + "/") is not None
     if scheme in _SPECIAL_SCHEMES:
         from urllib.parse import urlsplit
 
@@ -341,7 +363,8 @@ def get_nested_value(obj, path: str):
 
 
 def _js_is_index(seg: str) -> bool:
-    return seg.isdigit() and seg == str(int(seg))
+    # ASCII-only: '²'.isdigit() is True but int('²') raises (code review)
+    return seg.isascii() and seg.isdigit() and seg == str(int(seg))
 
 
 def _js_set_prop(cur, seg: str, value):
@@ -359,17 +382,24 @@ def _js_set_prop(cur, seg: str, value):
         return value
     if isinstance(cur, list):
         if seg == "length":
-            n = None
-            if isinstance(value, bool):
-                n = int(value)
-            elif isinstance(value, int) and value >= 0:
-                n = value
-            elif isinstance(value, float) and value >= 0 and value.is_integer():
-                n = int(value)
-            elif isinstance(value, str) and value.isdigit():
-                n = int(value)
-            if n is None:
+            # ECMAScript ArraySetLength: numberLen = ToNumber(v), newLen =
+            # ToUint32(v); RangeError when they differ (negative, fractional,
+            # NaN, >= 2^32) — so ' 5', '5.0', '1e2', true all coerce while
+            # 2**32 and 'abc' throw, exactly as node does (code review).
+            from anycrawl_spark.functions.js import js_to_number
+
+            num = js_to_number(value)
+            if num != num or num < 0 or num >= 2**32 or num != int(num):
                 raise ValueError("Invalid array length")  # JS RangeError
+            n = int(num)
+            # deliberate deviation: JS stores the length SPARSELY, but this
+            # JSON model must materialize holes as null — cap the eager
+            # allocation a template could otherwise OOM the executor with
+            if n > (1 << 20):
+                raise ValueError(
+                    "Invalid array length (materialization cap: JSON arrays "
+                    "past 2^20 elements are refused, where JS would go sparse)"
+                )
             del cur[n:]
             cur.extend([None] * (n - len(cur)))
             return value

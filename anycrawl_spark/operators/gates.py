@@ -34,6 +34,7 @@ from anycrawl_spark.crawl.params import CrawlParams, robots_decision, robots_tar
 from anycrawl_spark.functions.patterns import (
     compile_exclude_patterns,
     compile_include_patterns,
+    excludes_configured,
     url_passes,
 )
 from anycrawl_spark.functions.urls import (
@@ -265,6 +266,7 @@ def make_job_gate(jobs: list[dict]):
             "strategy": j["strategy"],
             "include": compile_include_patterns(j.get("include_paths")),
             "exclude": compile_exclude_patterns(j.get("exclude_paths")),
+            "exclude_active": excludes_configured(j.get("exclude_paths")),
             "seed_host": None,
             "seed_domain": None,
             "seed_origin": None,
@@ -344,6 +346,7 @@ def make_candidate_gate(
             "strategy": j["strategy"],
             "include": compile_include_patterns(j.get("include_paths")),
             "exclude": compile_exclude_patterns(j.get("exclude_paths")),
+            "exclude_active": excludes_configured(j.get("exclude_paths")),
             "seed_host": seed_host,
             "seed_domain": registrable_domain(seed_host),
             "seed_origin": url_origin(seed) if seed else None,
@@ -387,7 +390,10 @@ def make_candidate_gate(
             else:  # same-domain (reference default)
                 ok = registrable_domain(h) == m["seed_domain"]
             if ok:
-                ok = url_passes(cu, m["include"], m["exclude"], current_url=pu)
+                ok = url_passes(
+                    cu, m["include"], m["exclude"], current_url=pu,
+                    exclude_active=m["exclude_active"],
+                )
             if ok:
                 rs = robots.get(h)
                 if rs:

@@ -275,7 +275,11 @@ def _dedup_key(item):
     if isinstance(item, bool):
         return ("bool", item)
     if isinstance(item, (int, float)):
-        return ("num", float(item))
+        try:
+            return ("num", float(item))
+        except OverflowError:
+            # a >308-digit JSON literal is Infinity in JS (code review)
+            return ("num", float("inf") if item > 0 else float("-inf"))
     return ("s", item)
 
 

@@ -473,8 +473,12 @@ def parse_searxng_results(response: str | dict) -> list[dict]:
     if not isinstance(items, list):
         return results
     for item in items:
+        if item is None:
+            # `item.url` on null throws in JS; the outer catch discards
+            # the WHOLE response (Searxng.ts:175-178 — code review)
+            return []
         if not isinstance(item, dict) or _js_falsy(item.get("url")):
-            continue
+            continue  # non-null primitives read `.url` as undefined
         category = _js_or(item.get("category"), "web")
         base = {
             "title": _js_or(item.get("title"), ""),
@@ -612,6 +616,8 @@ def parse_ac_results(response: str | dict) -> list[dict]:
     items = raw if isinstance(raw, list) else []
     results = []
     for item in items:
+        if item is None:
+            return []  # `item.category` throws on null -> catch -> []
         if not isinstance(item, dict) or _js_falsy(item.get("url")):
             continue
         category = _js_or(item.get("category"), "web")

@@ -71,14 +71,16 @@ def test_number_to_string_vs_node():
 def _rand_json(rnd, depth=0):
     if depth > 2:
         return rnd.choice([None, True, False, 0, 1, -7, 2.5, 2.0, "", "x",
-                           "uni ß", 1e21, 1e-7])
+                           "uni ß", 1e21, 1e-7, 10**23, 2**53 + 1,
+                           -(10**25)])
     r = rnd.random()
     if r < 0.4:
         return _rand_json(rnd, 3)
     if r < 0.7:
         return [_rand_json(rnd, depth + 1) for _ in range(rnd.randint(0, 3))]
     return {
-        rnd.choice(["a", "b", "0", "k x", "ß"]): _rand_json(rnd, depth + 1)
+        rnd.choice(["a", "b", "0", "10", "2", "k x", "ß", "²"]):
+            _rand_json(rnd, depth + 1)
         for _ in range(rnd.randint(0, 3))
     }
 

@@ -329,6 +329,10 @@ def _adversarial_items(rnd):
     n = rnd.randint(0, 5)
     items = []
     for _ in range(n):
+        if rnd.random() < 0.08:
+            # a null item throws in the reference loop -> whole response []
+            items.append(rnd.choice([None, 0, "s", [1]]))
+            continue
         items.append({
             "url": rnd.choice(urls),
             "category": rnd.choice(cats),

@@ -355,3 +355,48 @@ def test_operator_restrictions_spark(spark):
     assert caps[1]["method"] is None and caps[1]["status"] == 201
     assert rows["r18"].ok and rows["r18"].captures_json == "[]"
     assert not rows["r03"].ok and rows["r03"].captures_json is None
+
+
+def test_url_type_file_scheme_vectors():
+    """type:'url' validation for file URLs — vectors verified against
+    node's new URL() (code review: 'file' is a WHATWG special scheme)."""
+    from anycrawl_spark.functions.templates import _is_js_url
+
+    assert _is_js_url("file:///c/x")
+    assert _is_js_url("file://h/x")
+    assert _is_js_url("file://")
+    assert _is_js_url("file:x")
+    assert _is_js_url("file://[::1]/x")
+    assert not _is_js_url("file://a b/c")
+    assert not _is_js_url("file://h:80/x")   # file URLs take no port
+    assert not _is_js_url("file://u@h/x")    # ...and no credentials
+
+
+def test_array_length_assignment_coercion():
+    """ArraySetLength ToUint32 semantics + the documented materialization
+    cap (code review: ' 5'/'5.0'/'1e2'/true coerce, 2**32/'abc' throw,
+    huge-but-valid lengths are refused instead of eagerly allocated)."""
+    import pytest
+
+    from anycrawl_spark.functions.templates import _js_set_prop
+
+    for v, want in ((" 5", 5), ("5.0", 5), ("1e2", 100), (True, 1), (3, 3)):
+        arr = [1, 2]
+        _js_set_prop(arr, "length", v)
+        assert len(arr) == want, (v, arr)
+    for bad in (2**32, -1, 1.5, "abc", float("nan"), {}, 10**9):
+        with pytest.raises(ValueError):
+            _js_set_prop([1], "length", bad)
+    # [5] coerces via ToPrimitive -> '5' -> 5
+    arr = []
+    _js_set_prop(arr, "length", [5])
+    assert len(arr) == 5
+
+
+def test_unicode_digit_path_segments_are_undefined():
+    """'²'.isdigit() is True in Python but node reads o['²'] as undefined —
+    must not crash (code review)."""
+    from anycrawl_spark.functions.templates import MISSING, get_by_path
+
+    assert get_by_path({"a": [1, 2]}, "a.²") is MISSING
+    assert get_by_path({"a": "xy"}, "a.²") is MISSING
