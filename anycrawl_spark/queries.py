@@ -2289,15 +2289,15 @@ QUERIES = {
     "q_broadcast_dim_join": q_broadcast_dim_join,
     "q_budget_topk": q_budget_topk,
     "q_discovery_seq": q_discovery_seq,
-    "q_union_dedup": q_union_dedup,
+    "q_robots_gate": q_robots_gate,
     "q_path_filter": q_path_filter,
     "q_credits": q_credits,
     "q_bandwidth_agg": q_bandwidth_agg,
-    "q_pagination": q_pagination,
+    "q_sitemap_seeds": q_sitemap_seeds,
     "q_retry_backoff": q_retry_backoff,
-    "q_queue_depth": q_queue_depth,
-    "q_expiry_sweep": q_expiry_sweep,
-    "q_host_histogram": q_host_histogram,
+    "q_path_gates": q_path_gates,
+    "q_duplicate_passages": q_duplicate_passages,
+    "q_dup_clusters": q_dup_clusters,
     "q_serp_slice": q_serp_slice,
     "q_ad_filter": q_ad_filter,
     "q_proxy_match": q_proxy_match,
@@ -2332,6 +2332,12 @@ QUERIES = {
 # function and its Hamming-locality property test remain), q_semi_join_seen
 # (operator-duplicate of q_anti_join_seen), q_doc_fingerprint (fingerprint
 # column folded into q_token_stats).
+# Swapped r5 (VERDICT r4 "Next round" #1): q_robots_gate / q_sitemap_seeds /
+# q_path_gates / q_duplicate_passages / q_dup_clusters moved INTO the window
+# so the driver's hard signal checks the r4 frontier-critical operators;
+# q_union_dedup / q_pagination / q_queue_depth / q_expiry_sweep /
+# q_host_histogram (trivial shapes, exercised transitively by the crawl-loop
+# queries) moved to EXTRA_QUERIES so local coverage stays 55/55.
 assert len(QUERIES) <= 50, f"driver contract window is 50, got {len(QUERIES)}"
 
 def verify_against_duckdb(spark, sf_dir: str, names=None) -> list[tuple[str, str]]:
@@ -2401,15 +2407,15 @@ ORACLES = {
     "q_broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
     "q_budget_topk": SQL_BUDGET_TOPK,
     "q_discovery_seq": SQL_DISCOVERY_SEQ,
-    "q_union_dedup": SQL_UNION_DEDUP,
+    "q_robots_gate": SQL_ROBOTS_GATE,
     "q_path_filter": SQL_PATH_FILTER,
     "q_credits": SQL_CREDITS,
     "q_bandwidth_agg": SQL_BANDWIDTH_AGG,
-    "q_pagination": SQL_PAGINATION,
+    "q_sitemap_seeds": SQL_SITEMAP_SEEDS,
     "q_retry_backoff": SQL_RETRY_BACKOFF,
-    "q_queue_depth": SQL_QUEUE_DEPTH,
-    "q_expiry_sweep": SQL_EXPIRY_SWEEP,
-    "q_host_histogram": SQL_HOST_HISTOGRAM,
+    "q_path_gates": SQL_PATH_GATES,
+    "q_duplicate_passages": SQL_DUP_CLUSTERS,  # placeholder, replaced below (mirror oracle)
+    "q_dup_clusters": SQL_DUP_CLUSTERS,
     "q_serp_slice": SQL_SERP_SLICE,
     "q_ad_filter": SQL_AD_FILTER,
     "q_proxy_match": SQL_PROXY_MATCH,
@@ -2456,27 +2462,30 @@ ORACLES["q_crawl_round"] = _mir.sql_crawl_round(n_jobs=2, limit=20, max_rounds=2
 ORACLES["q_media_features"] = _mir.sql_media_features(max_doc_id=50, dim=8)
 ORACLES["q_ann_lsh"] = _mir.sql_ann_lsh(dim=64, k=10, bits=4, round_dp=4)
 ORACLES["q_template_render"] = _mir.sql_template_render()
+ORACLES["q_duplicate_passages"] = _mir.sql_duplicate_passages(
+    window=8, stride=4, min_count=2, max_doc_id=200
+)
 
 
 # --------------------------------------------------------------------------
 # Extra oracle-backed queries BEYOND the driver's 50-entry contract window.
 # The driver checks exactly the first 50 registry entries, so these are kept
 # out of queries()/oracle_sql() on purpose and verified by the local gate
-# (verify_against_duckdb, run in tests/test_queries_oracle.py).
+# (verify_against_duckdb, run in tests/test_queries_oracle.py). Since r5
+# these are the five trivial shapes swapped OUT to make room for the r4
+# frontier-critical operators (robots/sitemaps/path-gates/passages/clusters).
 
 EXTRA_QUERIES = {
-    "q_path_gates": q_path_gates,
-    "q_duplicate_passages": q_duplicate_passages,
-    "q_dup_clusters": q_dup_clusters,
-    "q_robots_gate": q_robots_gate,
-    "q_sitemap_seeds": q_sitemap_seeds,
+    "q_union_dedup": q_union_dedup,
+    "q_pagination": q_pagination,
+    "q_queue_depth": q_queue_depth,
+    "q_expiry_sweep": q_expiry_sweep,
+    "q_host_histogram": q_host_histogram,
 }
 EXTRA_ORACLES = {
-    "q_path_gates": SQL_PATH_GATES,
-    "q_duplicate_passages": _mir.sql_duplicate_passages(
-        window=8, stride=4, min_count=2, max_doc_id=200
-    ),
-    "q_dup_clusters": SQL_DUP_CLUSTERS,
-    "q_robots_gate": SQL_ROBOTS_GATE,
-    "q_sitemap_seeds": SQL_SITEMAP_SEEDS,
+    "q_union_dedup": SQL_UNION_DEDUP,
+    "q_pagination": SQL_PAGINATION,
+    "q_queue_depth": SQL_QUEUE_DEPTH,
+    "q_expiry_sweep": SQL_EXPIRY_SWEEP,
+    "q_host_histogram": SQL_HOST_HISTOGRAM,
 }
