@@ -47,9 +47,14 @@ from anycrawl_spark import synth
 from anycrawl_spark.crawl.params import CrawlParams, is_retryable_col
 from anycrawl_spark.operators.gates import (
     AUTO_SKEW_THRESHOLD_ROWS,
+    ROBOTS_DIM_THRESHOLD_HOSTS,
+    apply_robots_dim,
     detect_host_skew,
+    dim_tokens_expr,
     make_candidate_gate,
+    robots_dim_df,
     tokens_expr,
+    with_dim_delays,
 )
 from anycrawl_spark.operators.seen import (
     BROADCAST_SHARDS_MAX_BYTES, ShardBroadcast, filter_fresh,
@@ -78,6 +83,9 @@ class CrawlEngine:
         shard_refresh_rounds: int = 8,
         tiered_proxies: list[list[str]] | None = None,
         proxy_rules: list | None = None,
+        robots_mode: str = "auto",
+        robots_dim: DataFrame | None = None,
+        robots_dim_threshold_hosts: int | None = None,
     ):
         self.spark = spark
         self.store = SnapshotStore(workdir, spark)
@@ -108,26 +116,78 @@ class CrawlEngine:
         # robots_rows_from_texts — raw robots.txt with */$ patterns) route to
         # the RFC 9309 longest-match kernel; plain rows stay on the
         # longest-prefix fast path. A host lives in exactly one dict.
+        #
+        # Two robots regimes (docs/SCALE.md §robots):
+        #   closure — rules ride as dicts inside the fused candidate gate
+        #             (zero joins; right while the ruleset broadcasts, i.e.
+        #             below ROBOTS_DIM_THRESHOLD_HOSTS distinct hosts);
+        #   dim     — rules live ONLY in a host-keyed Spark table
+        #             (self.robots_dim), resolved by a co-partitioned
+        #             shuffle-hash join at admission time and a delay join
+        #             in the scheduling stage. The driver keeps rules for
+        #             the O(jobs) SEED hosts only.
+        # "auto" picks by distinct-host count; pass robots_dim= directly for
+        # the production shape (an Iceberg robots table, never a driver list).
+        if robots_mode not in ("auto", "closure", "dim"):
+            raise ValueError(
+                f"robots_mode must be 'auto', 'closure' or 'dim' (got {robots_mode!r})"
+            )
+        dim_threshold = (
+            robots_dim_threshold_hosts
+            if robots_dim_threshold_hosts is not None
+            else ROBOTS_DIM_THRESHOLD_HOSTS
+        )
+        n_robots_hosts = len({r["host"] for r in robots}) if robots else 0
+        use_dim = robots_dim is not None or robots_mode == "dim" or (
+            robots_mode == "auto" and n_robots_hosts > dim_threshold
+        )
         self.robots_by_host: dict[str, list[tuple[str, str]]] = {}
         self.robots_rfc_by_host: dict[str, list[tuple[str, str]]] = {}
         self.host_delays: dict[str, int] = {}
-        for r in robots:
-            target = (
-                self.robots_rfc_by_host if r.get("wildcard") else self.robots_by_host
-            )
-            target.setdefault(r["host"], []).append((r["rule"], r["path_prefix"]))
-            if r.get("crawl_delay_ms"):
-                self.host_delays[r["host"]] = max(
-                    self.host_delays.get(r["host"], 0), r["crawl_delay_ms"]
+        self.robots_dim: DataFrame | None = None
+        if use_dim:
+            self.robots_dim = (
+                robots_dim if robots_dim is not None else robots_dim_df(spark, robots)
+            ).persist()
+            # driver needs rules for seed admission only — O(jobs) rows
+            seed_hosts = [
+                h for h in (
+                    url_host(canonicalize_url(j["seed_url"]) or "") for j in jobs
+                ) if h
+            ]
+            if seed_hosts:
+                for row in self.robots_dim.filter(
+                    F.col("host").isin(seed_hosts)
+                ).collect():
+                    rules = [(r["rule"], r["pattern"]) for r in row["rules"]]
+                    if rules:
+                        target = (
+                            self.robots_rfc_by_host if row["wildcard"]
+                            else self.robots_by_host
+                        )
+                        target[row["host"]] = rules
+            # host_delays stays empty: scheduling tokens come from the dim
+            # join (with_dim_delays + dim_tokens_expr), never a driver map
+        else:
+            for r in robots:
+                target = (
+                    self.robots_rfc_by_host if r.get("wildcard") else self.robots_by_host
                 )
-        for h in list(self.robots_rfc_by_host):
-            # mixed host: precedence spans the whole ruleset, so the RFC
-            # kernel (a superset of prefix matching on literal patterns)
-            # takes all of it
-            if h in self.robots_by_host:
-                self.robots_rfc_by_host[h] += self.robots_by_host.pop(h)
+                target.setdefault(r["host"], []).append((r["rule"], r["path_prefix"]))
+                if r.get("crawl_delay_ms"):
+                    self.host_delays[r["host"]] = max(
+                        self.host_delays.get(r["host"], 0), r["crawl_delay_ms"]
+                    )
+            for h in list(self.robots_rfc_by_host):
+                # mixed host: precedence spans the whole ruleset, so the RFC
+                # kernel (a superset of prefix matching on literal patterns)
+                # takes all of it
+                if h in self.robots_by_host:
+                    self.robots_rfc_by_host[h] += self.robots_by_host.pop(h)
         self._candidate_gate = make_candidate_gate(
-            jobs, self.robots_by_host, self.robots_rfc_by_host
+            jobs,
+            {} if use_dim else self.robots_by_host,
+            {} if use_dim else self.robots_rfc_by_host,
         )
         # F2 shouldScrapeUrl (Base.ts:465-495,992-1002): pages always crawl
         # and expand links, but only scrape_paths-matching pages persist a
@@ -442,7 +502,17 @@ class CrawlEngine:
         # The budget window orders by (_pass1 desc, depth, seq): non-passing
         # rows sort last, so passing rows get ranks 1..n exactly — the same
         # greedy order as the reference simulator.
-        host_tokens = tokens_expr(self.host_delays, self.params)
+        if self.robots_dim is not None:
+            # dim regime: crawl-delays resolve via the host-keyed dim join.
+            # HashPartitioning(host) from this join satisfies the (job_id,
+            # host) politeness window's clustering, so the window below adds
+            # no exchange — same single frontier shuffle as the closure path.
+            # The skew probe (_politeness_two_phase) keeps the raw frontier.
+            sched_input = with_dim_delays(frontier, self.robots_dim)
+            host_tokens = dim_tokens_expr(self.params)
+        else:
+            sched_input = frontier
+            host_tokens = tokens_expr(self.host_delays, self.params)
         remaining_map = (
             F.create_map(*[F.lit(x) for kv in remaining.items() for x in kv])
             if remaining
@@ -459,7 +529,7 @@ class CrawlEngine:
         import time as _time
 
         t0 = _time.time()
-        flagged = frontier.withColumn(
+        flagged = sched_input.withColumn(
             "_eligible",
             (F.col("status") == "pending")
             & (F.col("next_eligible_round") <= rnd)
@@ -617,6 +687,14 @@ class CrawlEngine:
             # commit time); None past the broadcast cap => cogroup probe
             shards_bc=self._shard_bc.bc if self._shard_bc is not None else None,
         )
+
+        if self.robots_dim is not None:
+            # dim regime: admission-time robots decision as a co-partitioned
+            # host join over the POST-dedup POST-seen fresh set (the minimal
+            # row volume — the closure path decides pre-dedup inside the
+            # fused gate, but robots is a pure function of the URL, so
+            # filtering the deduped fresh stream admits the identical set).
+            fresh = apply_robots_dim(fresh, self.robots_dim)
 
         # --- discovery_seq assignment (deterministic BFS ordinal) ----------
         base_seq_map = F.create_map(

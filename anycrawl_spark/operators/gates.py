@@ -255,6 +255,139 @@ def make_robots_text_gate(texts_by_host: dict[str, str], agent: str):
     return robots_text_gate
 
 
+# --------------------------------------------------------------------- J6:
+# robots rules as a host-keyed dim TABLE (the 100x shape from docs/SCALE.md
+# §robots: at 10^8 hosts x ~25 rules the compiled ruleset is a few GB and no
+# longer ships as a closure-captured driver dict). Below the threshold the
+# closure path (make_candidate_gate) stays — one python stage, zero joins;
+# past it the rules live ONLY in a Spark table co-partitioned with the
+# frontier's host scheduling key. Crossover rationale: the closure dict is
+# pickled into every python worker once per executor — at 200k hosts x ~25
+# rules x ~40 B that is ~200 MB of per-worker resident dict + broadcast
+# traffic, the same order as BROADCAST_SHARDS_MAX_BYTES in operators/seen.py.
+ROBOTS_DIM_THRESHOLD_HOSTS = 200_000
+
+ROBOTS_DIM_SCHEMA = (
+    "host string, wildcard boolean, "
+    "rules array<struct<rule:string,pattern:string>>, crawl_delay_ms int"
+)
+
+
+def robots_dim_rows(robots: list[dict]) -> list[tuple]:
+    """Rule rows -> one (host, wildcard, rules, crawl_delay_ms) tuple per host.
+
+    MUST mirror ``CrawlEngine.__init__``'s dict build exactly so the dim and
+    closure paths decide identically: a host with any ``wildcard: True`` row
+    routes wholesale to the RFC kernel, with its wildcard rules first and its
+    plain prefix rules appended after (the precedence kernels are order-
+    independent, but byte-identical inputs keep the equality test strict).
+    ``crawl_delay_ms`` is the per-host max, null when absent/zero.
+    """
+    plain: dict[str, list] = {}
+    wild: dict[str, list] = {}
+    delays: dict[str, int] = {}
+    for r in robots:
+        target = wild if r.get("wildcard") else plain
+        target.setdefault(r["host"], []).append((r["rule"], r["path_prefix"]))
+        if r.get("crawl_delay_ms"):
+            delays[r["host"]] = max(delays.get(r["host"], 0), r["crawl_delay_ms"])
+    rows = []
+    for h in sorted(set(plain) | set(wild) | set(delays)):
+        if h in wild:
+            rules = wild[h] + plain.get(h, [])
+        else:
+            rules = plain.get(h, [])
+        rows.append((h, h in wild, rules, delays.get(h)))
+    return rows
+
+
+def robots_dim_df(spark, robots: list[dict]) -> DataFrame:
+    """Build the robots dim table from rule rows (sandbox stand-in for the
+    production shape: on a real cluster this is an Iceberg table maintained
+    by the robots-fetch stage and read per crawl, never driver-materialized)."""
+    return spark.createDataFrame(robots_dim_rows(robots), ROBOTS_DIM_SCHEMA)
+
+
+def _robots_dim_decide_udf():
+    """Arrow kernel over (url, wildcard, rules-array): the same dual-kernel
+    dispatch as the closure gate, but the rules arrive as JOINED COLUMNS —
+    nothing is captured, so executor memory is O(batch), not O(hosts)."""
+    from anycrawl_spark.functions.robots import robots_allowed_rfc
+
+    @F.pandas_udf(T.BooleanType())
+    def robots_dim_allowed(
+        url: pd.Series, wildcard: pd.Series, rules: pd.Series
+    ) -> pd.Series:
+        out = []
+        for u, w, rs in zip(url, wildcard, rules):
+            if rs is None or len(rs) == 0 or u is None:
+                out.append(True)
+                continue
+            tups = [(r["rule"], r["pattern"]) for r in rs]
+            t = robots_target(u)
+            out.append(
+                robots_allowed_rfc(tups, t) if w else robots_decision(tups, t)
+            )
+        return pd.Series(out)
+
+    return robots_dim_allowed
+
+
+def apply_robots_dim(
+    cand: DataFrame, robots_dim: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Admission-time robots gate via a host-keyed dim join (no driver dict).
+
+    Shuffle-hash join on ``host`` with the dim as build side: the candidate
+    stream exchanges once on host — the SAME key the politeness stage
+    clusters on (HashPartitioning(host) satisfies the (job_id, host) window's
+    ClusteredDistribution, so a downstream scheduling window reuses this
+    exchange for free). Hosts without a robots row pass (left join, null
+    rules => allowed). The decision kernel is one Arrow stage; rules travel
+    as columns, so no executor ever holds more than its partition's hosts.
+    """
+    dim = robots_dim.select(
+        "host",
+        F.col("wildcard").alias("_r_wild"),
+        F.col("rules").alias("_r_rules"),
+    )
+    decide = _robots_dim_decide_udf()
+    return (
+        cand.join(dim.hint("shuffle_hash"), "host", "left")
+        .filter(decide(F.col(url_col), F.col("_r_wild"), F.col("_r_rules")))
+        .drop("_r_wild", "_r_rules")
+    )
+
+
+def dim_tokens_expr(params: CrawlParams):
+    """Politeness token count from a join-resolved ``_dim_delay`` column —
+    the dim-mode replacement for ``tokens_expr``'s literal map (which is a
+    driver dict of every delayed host; see ROBOTS_DIM_THRESHOLD_HOSTS).
+    Pure JVM: max(1, round_window_ms // delay) for delayed hosts, else the
+    default — byte-equal to ``CrawlParams.host_tokens``."""
+    delay = F.col("_dim_delay")
+    return F.when(
+        delay.isNotNull() & (delay > 0),
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(params.round_window_ms) / delay).cast("int"),
+        ),
+    ).otherwise(F.lit(params.default_host_tokens))
+
+
+def with_dim_delays(pending: DataFrame, robots_dim: DataFrame) -> DataFrame:
+    """Attach ``_dim_delay`` to the scheduling input via the host-keyed dim.
+
+    One shuffle-hash join on host; the politeness windows that follow
+    partition by (job_id, host), which HashPartitioning(host) already
+    satisfies — so dim-mode scheduling costs the same single frontier
+    exchange as the closure path's literal-map expression."""
+    delays = robots_dim.select("host", F.col("crawl_delay_ms").alias("_dim_delay")).filter(
+        F.col("_dim_delay").isNotNull() & (F.col("_dim_delay") > 0)
+    )
+    return pending.join(delays.hint("shuffle_hash"), "host", "left")
+
+
 def make_job_gate(jobs: list[dict]):
     """Vectorized per-job candidate gate: scope keys + path patterns.
 

@@ -30,8 +30,12 @@ def plan_of(df, mode: str = "formatted") -> str:
 
 
 def main() -> int:
-    from anycrawl_spark.queries import QUERIES
+    from anycrawl_spark.queries import EXTRA_QUERIES, QUERIES
     from anycrawl_spark.session import get_spark
+
+    # contract-window membership moves between rounds; the audit only cares
+    # that the operator exists somewhere in the registry
+    ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
     spark = get_spark("plans", cores=8, shuffle_partitions=8)
     findings: list[tuple[str, bool, str]] = []
@@ -153,8 +157,7 @@ def main() -> int:
 
     # 10b. path gates (F1/F2 over the real minimatch kernel): ONE Arrow
     #      stage for both gates, zero exchanges — URL rows never shuffle
-    from anycrawl_spark.queries import EXTRA_QUERIES
-    p = plan_of(EXTRA_QUERIES["q_path_gates"](spark, SF))
+    p = plan_of(ALL_QUERIES["q_path_gates"](spark, SF))
     check("q_path_gates",
           len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1,
           "ONE Arrow stage (scrape + include/exclude gates fused)")
@@ -228,9 +231,7 @@ def main() -> int:
     #     O(sitemap docs) children side; the per-URL dedup rank is pushed
     #     below its shuffle (map-side WindowGroupLimit), so the only O(urls)
     #     exchange carries at most one row per (partition, loc).
-    from anycrawl_spark.queries import EXTRA_QUERIES
-
-    p = plan_of(EXTRA_QUERIES["q_sitemap_seeds"](spark, SF))
+    p = plan_of(ALL_QUERIES["q_sitemap_seeds"](spark, SF))
     check("q_sitemap_seeds",
           len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1,
           "ONE Arrow parse stage (bodies parsed exactly once)")
@@ -247,6 +248,63 @@ def main() -> int:
           bool(wgl) and loc_ex is not None and min(wgl) < int(loc_ex.group(1)),
           "dedup rank pushed below the loc shuffle (map-side WindowGroupLimit)")
     sections.append(("q_sitemap_seeds", p))
+
+    # 15. robots dim regime (r5): past ROBOTS_DIM_THRESHOLD_HOSTS the rules
+    #     live ONLY in a host-keyed table — the scheduling stage resolves
+    #     crawl-delays via a shuffle-hash join on host whose partitioning the
+    #     (job_id, host) politeness window REUSES (no extra frontier
+    #     exchange), the admission decision is a co-partitioned SHJ too, and
+    #     the engine holds no driver-side rules dict beyond the seed hosts.
+    from anycrawl_spark import synth
+    from anycrawl_spark.crawl.params import CrawlParams
+    from anycrawl_spark.crawl.superstep import CrawlEngine
+    from anycrawl_spark.operators.gates import (
+        apply_robots_dim, dim_tokens_expr, robots_dim_df, with_dim_delays,
+    )
+    from pyspark.sql import Window, functions as F
+    import tempfile
+
+    robots = synth.robots_rules()
+    dim = robots_dim_df(spark, robots)
+    frontier = spark.range(500).select(
+        F.concat(F.lit("job-"), (F.col("id") % 3).cast("string")).alias("job_id"),
+        F.concat(F.lit("http://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".example")).alias("host"),
+        (F.col("id") % 5).cast("int").alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    )
+    w = Window.partitionBy("job_id", "host").orderBy("depth", "discovery_seq")
+    sched = (
+        with_dim_delays(frontier, dim)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= dim_tokens_expr(CrawlParams()))
+    )
+    p = plan_of(sched)
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    check("robots_dim_sched",
+          bool(parts) and all(x.split(",")[0].startswith("host") for x in parts),
+          "every exchange keys on host only (politeness window reuses the join)")
+    check("robots_dim_sched", "ShuffledHashJoin" in p,
+          "delay join is a co-partitioned shuffle-hash join")
+    p2 = plan_of(apply_robots_dim(frontier, dim))
+    check("robots_dim_admission",
+          "ShuffledHashJoin" in p2 and "Cartesian" not in p2,
+          "admission decision is a co-partitioned SHJ on host, no cartesian")
+    sections.append(("robots_dim_sched", p))
+    with tempfile.TemporaryDirectory() as td:
+        eng = CrawlEngine(
+            spark, td, [dict(synth.seed_jobs(1)[0], limit=5)], robots,
+            CrawlParams(), robots_mode="auto", robots_dim_threshold_hosts=1,
+        )
+        non_seed = {r["host"] for r in robots} - {synth.host_name(0)}
+        held = set(eng.robots_by_host) | set(eng.robots_rfc_by_host)
+        check("robots_dim_driver_state",
+              eng.robots_dim is not None and eng.host_delays == {}
+              and not (held & non_seed),
+              "past the threshold: no driver-side rules/delay dict (seeds only)")
 
     spark.stop()
 
