@@ -578,3 +578,131 @@ def politeness_skew_bench(
         "uniform_t_auto_sec": round(t_auto_u, 2),
         "uniform_auto_detects_skew": bool(auto_picks_uniform),
     }
+
+
+def robots_dim_bench(
+    spark: SparkSession,
+    n_hosts: int = 1_000_000,
+    n_cand: int = 8_000_000,
+    runs: int = 3,
+) -> dict:
+    """Robots admission gate at >=10^6 distinct hosts (VERDICT r4 #2
+    evidence): closure-dict regime vs the host-keyed dim join.
+
+    The dim is generated DISTRIBUTED (spark.range + column exprs — the
+    production shape where rules live in an Iceberg table and never touch
+    the driver); the closure arm must first materialize the same ruleset as
+    a driver dict (timed separately as ``t_dict_build_sec``) and ship it
+    inside a pandas UDF to every python worker — the anti-pattern the dim
+    regime exists to retire. ~10% of hosts use wildcard rules (RFC kernel),
+    the rest the prefix kernel; both arms share the exact decision
+    functions, and the bench asserts equal admitted counts. Cold first
+    walls are reported next to warm medians: the closure cold wall carries
+    the per-worker dict unpickle, the real recurring cost on a cluster
+    where executors churn.
+    """
+    from anycrawl_spark.crawl.params import robots_decision, robots_target
+    from anycrawl_spark.functions.robots import robots_allowed_rfc
+    from anycrawl_spark.operators.gates import (
+        ROBOTS_DIM_THRESHOLD_HOSTS, apply_robots_dim,
+    )
+
+    i = F.col("id")
+    m7 = F.pmod(i, 7).cast("string")
+    m3 = F.pmod(i, 3).cast("string")
+    wild_rule = F.struct(
+        F.lit("disallow").alias("rule"),
+        F.concat(F.lit("/p/*"), m7, F.lit("$")).alias("pattern"),
+    )
+    p1 = F.struct(
+        F.lit("disallow").alias("rule"), F.concat(F.lit("/p/"), m7).alias("pattern")
+    )
+    p2 = F.struct(
+        F.lit("allow").alias("rule"), F.concat(F.lit("/p/"), m7, m3).alias("pattern")
+    )
+    dim = (
+        spark.range(n_hosts)
+        .select(
+            F.concat(F.lit("h"), i.cast("string"), F.lit(".example")).alias("host"),
+            (F.pmod(i, 10) == 0).alias("wildcard"),
+            F.when(F.pmod(i, 10) == 0, F.array(wild_rule))
+            .when(F.pmod(i, 2) == 1, F.array(p1, p2))
+            .otherwise(F.array(p1))
+            .alias("rules"),
+            F.lit(None).cast("int").alias("crawl_delay_ms"),
+        )
+        .persist()
+    )
+    dim.count()
+    cand = (
+        spark.range(n_cand)
+        .select(
+            F.lit("job-0").alias("job_id"),
+            F.concat(
+                F.lit("http://h"), F.pmod(i, n_hosts).cast("string"),
+                F.lit(".example/p/"), F.pmod(i, 23).cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("h"), F.pmod(i, n_hosts).cast("string"), F.lit(".example")
+            ).alias("host"),
+        )
+        .persist()
+    )
+    cand.count()
+
+    # closure arm: the SAME ruleset as driver dicts (mirrors the generation
+    # math above exactly) captured by a pandas UDF — make_candidate_gate's
+    # robots portion at 10^6 hosts
+    t0 = time.time()
+    plain: dict[str, list] = {}
+    rfc: dict[str, list] = {}
+    for h in range(n_hosts):
+        host = f"h{h}.example"
+        if h % 10 == 0:
+            rfc[host] = [("disallow", f"/p/*{h % 7}$")]
+        elif h % 2 == 1:
+            plain[host] = [("disallow", f"/p/{h % 7}"), ("allow", f"/p/{h % 7}{h % 3}")]
+        else:
+            plain[host] = [("disallow", f"/p/{h % 7}")]
+    t_dict_build = time.time() - t0
+
+    @F.pandas_udf("boolean")
+    def closure_gate(host: pd.Series, url: pd.Series) -> pd.Series:
+        out = []
+        for h, u in zip(host, url):
+            t = robots_target(u)
+            rs = plain.get(h)
+            if rs is not None:
+                out.append(robots_decision(rs, t))
+                continue
+            rr = rfc.get(h)
+            out.append(robots_allowed_rfc(rr, t) if rr is not None else True)
+        return pd.Series(out)
+
+    def timed(make_df):
+        walls = []
+        for _ in range(runs + 1):  # first wall = cold (worker/dim load)
+            t0 = time.time()
+            make_df().write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        cold, warm = walls[0], sorted(walls[1:])[len(walls[1:]) // 2]
+        return cold, warm
+
+    cold_dim, t_dim = timed(lambda: apply_robots_dim(cand, dim))
+    cold_closure, t_closure = timed(lambda: cand.filter(closure_gate("host", "url")))
+    n_dim = apply_robots_dim(cand, dim).count()
+    n_closure = cand.filter(closure_gate("host", "url")).count()
+    dim.unpersist(); cand.unpersist()
+    return {
+        "n_hosts": n_hosts,
+        "n_candidates": n_cand,
+        "dim_threshold_hosts": ROBOTS_DIM_THRESHOLD_HOSTS,
+        "auto_picks": "dim" if n_hosts > ROBOTS_DIM_THRESHOLD_HOSTS else "closure",
+        "t_dict_build_sec": round(t_dict_build, 2),
+        "t_closure_cold_sec": round(cold_closure, 2),
+        "t_closure_warm_sec": round(t_closure, 2),
+        "t_dim_cold_sec": round(cold_dim, 2),
+        "t_dim_warm_sec": round(t_dim, 2),
+        "admitted_match": n_dim == n_closure,
+        "admitted": int(n_dim),
+    }

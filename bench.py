@@ -119,7 +119,8 @@ def phase_crawl() -> dict:
 def phase_kernel() -> dict:
     from anycrawl_spark.bench_workloads import (
         cuckoo_probe_bench, frontier_kernel, politeness_skew_bench,
-        prepare_shards, shard_maintenance_bench, warm_python_workers,
+        prepare_shards, robots_dim_bench, shard_maintenance_bench,
+        warm_python_workers,
     )
     from anycrawl_spark.session import get_spark
 
@@ -143,9 +144,11 @@ def phase_kernel() -> dict:
     shards = shard_maintenance_bench(spark)
     skew = politeness_skew_bench(spark)
     cuckoo = cuckoo_probe_bench(spark)
+    robots = robots_dim_bench(spark)
     spark.stop()
     return {"frontier": frontier, "shard_maintenance": shards,
-            "politeness_skew": skew, "cuckoo_probe": cuckoo}
+            "politeness_skew": skew, "cuckoo_probe": cuckoo,
+            "robots_dim": robots}
 
 
 def phase_soak() -> dict:
@@ -254,11 +257,43 @@ def _scalars(d: dict) -> dict:
     return {k: v for k, v in d.items() if isinstance(v, (int, float, str, bool))}
 
 
+# Quiet-window discipline (VERDICT r4 #3): the r4 driver artifact ran under
+# heavy co-tenant CPU contention (calib multi 7.66 s vs ~2.6 s quiet) and the
+# cross-round instrument recorded a weather report. Before the timed phases,
+# poll the pure-CPU probe and wait (bounded) for the box to go quiet; if it
+# never does, run anyway and stamp the artifact "noisy" so readers know.
+CALIB_QUIET_MULTI_SEC = 3.5
+CALIB_POLL_SEC = 45
+CALIB_MAX_WAIT_SEC = 900
+
+
+def wait_for_quiet_window() -> tuple[dict, int, bool]:
+    """Returns (last calibration, seconds waited, quiet?). Set
+    SPARK_GRAFT_NO_WAIT=1 to skip waiting during local iteration."""
+    calib = machine_calibration()
+    if os.environ.get("SPARK_GRAFT_NO_WAIT"):
+        return calib, 0, calib["calib_multi_sec"] <= CALIB_QUIET_MULTI_SEC
+    waited = 0
+    while (
+        calib["calib_multi_sec"] > CALIB_QUIET_MULTI_SEC
+        and waited < CALIB_MAX_WAIT_SEC
+    ):
+        print(
+            f"# calib multi {calib['calib_multi_sec']} s > {CALIB_QUIET_MULTI_SEC} s "
+            f"(co-tenant load) — deferring timed phases, waited {waited}s",
+            file=sys.stderr,
+        )
+        time.sleep(CALIB_POLL_SEC)
+        waited += CALIB_POLL_SEC
+        calib = machine_calibration()
+    return calib, waited, calib["calib_multi_sec"] <= CALIB_QUIET_MULTI_SEC
+
+
 def bench_default() -> dict:
     # calibration stays OUTSIDE the timed span: total must remain
     # comparable with pre-calibration rounds (it measures the workload,
     # not the measurement)
-    calib_pre = machine_calibration()
+    calib_pre, quiet_wait, quiet = wait_for_quiet_window()
     t0 = time.time()
     q = _run_phase_subprocess("queries")
     c = _run_phase_subprocess("crawl")
@@ -281,6 +316,7 @@ def bench_default() -> dict:
         "shard_maintenance": k["shard_maintenance"],
         "politeness_skew": k["politeness_skew"],
         "cuckoo_probe": k["cuckoo_probe"],
+        "robots_dim": k["robots_dim"],
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/last_run_detail.json", "w") as f:
@@ -298,6 +334,8 @@ def bench_default() -> dict:
         "soak": _scalars(s["soak"]),
         "calib": {f"{k}_pre": v for k, v in calib_pre.items()}
         | {f"{k}_post": v for k, v in calib_post.items()},
+        "quiet_wait_sec": quiet_wait,
+        "noisy": (not quiet) or calib_post["calib_multi_sec"] > CALIB_QUIET_MULTI_SEC,
         "detail_file": "BENCH/last_run_detail.json",
     }
 
@@ -318,7 +356,7 @@ def _run_pair(pair: tuple[int, int], nruns: int) -> dict:
     from anycrawl_spark.session import get_spark
 
     results: dict[int, dict] = {}
-    calib = machine_calibration()  # machine state at run time (noise audit)
+    calib, _, _ = wait_for_quiet_window()  # machine state at run time (noise audit)
     for cores in pair:
         _wait_jvm_quiesce()
         spark = get_spark(f"bench-scale-{cores}", cores=cores, shuffle_partitions=cores * 2)
