@@ -65,7 +65,16 @@ def split_regex_literal(pattern: str) -> re.Pattern | None:
     for ch in m.group(2):
         flags |= _JS_FLAG_MAP.get(ch, 0)
     try:
-        return re.compile(m.group(1), flags)
+        # JS parity: '[[:alpha:]]' is a plain class of literal chars in JS
+        # (no POSIX classes) — exactly Python's CURRENT reading. Python 3.12+
+        # warns it may someday grow POSIX semantics (FutureWarning "Possible
+        # nested set"); silence it here since the JS-compatible reading is
+        # the one we want, and hostile user patterns must not spam stderr.
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            return re.compile(m.group(1), flags)
     except re.error:
         return None
 

@@ -402,6 +402,54 @@ def _run_pair(pair: tuple[int, int], nruns: int) -> dict:
     }
 
 
+# sf1-equivalent kernel volume (VERDICT r4 #5): 10x the per-round default —
+# ~160M pending + 160M candidates vs 80M seen. Backs the 10^10 extrapolation
+# with a MEASURED second scale point: URLs/s should hold near-flat from the
+# 40M-row point (all stages are scans/shuffles linear in rows; the shard
+# broadcast grows to ~100 MB, still under the 256 MB cap).
+KERNEL10X = dict(
+    n_pending=160_000_000, n_candidates=160_000_000, n_seen=80_000_000
+)
+
+
+def bench_kernel10x() -> dict:
+    """Frontier kernel at the default and 10x (sf1-equivalent) volumes in one
+    JVM: warm-up pass + median-of-3 per point, reports the throughput ratio
+    (1.0 = perfectly linear scaling in data volume)."""
+    from anycrawl_spark.bench_workloads import (
+        frontier_kernel, prepare_shards, warm_python_workers,
+    )
+    from anycrawl_spark.session import get_spark
+
+    calib, waited, quiet = wait_for_quiet_window()
+    spark = get_spark("bench-kernel10x", cores=CPUS, shuffle_partitions=CPUS * 2)
+    warm_python_workers(spark, CPUS)
+    points = {}
+    for name, cfg in (("sf0.1_equiv", KERNEL), ("sf1_equiv", KERNEL10X)):
+        bc = prepare_shards(spark, cfg["n_seen"])
+        frontier_kernel(spark, **cfg, shard_bc=bc)  # untimed warm-up
+        runs = [frontier_kernel(spark, **cfg, shard_bc=bc) for _ in range(3)]
+        med = dict(sorted(runs, key=lambda r: r["wall_sec"])[1])
+        med["all_walls"] = [r["wall_sec"] for r in runs]
+        points[name] = med
+        bc.destroy()
+    spark.stop()
+    r_small = points["sf0.1_equiv"]["throughput_urls_per_sec"]
+    r_big = points["sf1_equiv"]["throughput_urls_per_sec"]
+    return {
+        "metric": "kernel_volume_scaling",
+        "value": round(r_big / r_small, 3),
+        "unit": "throughput_ratio_10x_vs_1x",
+        "points": points,
+        "throughput_1x": r_small,
+        "throughput_10x": r_big,
+        "calib": calib,
+        "quiet_wait_sec": waited,
+        "noisy": not quiet,
+        "cpus": CPUS,
+    }
+
+
 def bench_scaling() -> dict:
     """Same jobs at local[8] and local[32] (the sandbox substitution for N vs
     4N executor clusters): the frontier kernel (schedule+dedup, the
@@ -548,5 +596,7 @@ if __name__ == "__main__":
         print(json.dumps(bench_scaling()))
     elif "--gate" in sys.argv:
         print(json.dumps(bench_gate()))
+    elif "--kernel10x" in sys.argv:
+        print(json.dumps(bench_kernel10x()))
     else:
         print(json.dumps(bench_default()))
