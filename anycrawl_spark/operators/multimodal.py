@@ -4,11 +4,13 @@ Image/audio/video payloads ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample are Arrow-batched
 ``mapInPandas`` stages. PNG payloads are decoded FOR REAL through the
 pure-stdlib codec in ``functions/png.py`` (zlib + struct; all five scanline
-filters, gray/RGB/RGBA), so PNG features come from actual pixels. The
-decode kernels the container genuinely lacks (JPEG/WebP entropy coders,
-libav) stay STUBBED behind ``AnyCrawlDecodeUnavailable`` with a
-deterministic fake — the Spark-side plumbing (schema, batch shape,
-partitioning, UDF signatures) is real and tested either way.
+filters, gray/RGB/RGBA), and JPEG payloads through ``functions/jpeg.py``
+(baseline T.81, differential-verified against Java ImageIO) — image
+features come from actual pixels for both. Only the kernels the container
+genuinely lacks (WebP entropy coder, libav) stay STUBBED behind
+``AnyCrawlDecodeUnavailable`` with a deterministic fake — the Spark-side
+plumbing (schema, batch shape, partitioning, UDF signatures) is real and
+tested either way.
 
 Scale notes: media bytes NEVER pass through a shuffle — all media stages are
 narrow maps over the storage partitioning; only extracted features (small,
@@ -26,6 +28,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from anycrawl_spark.functions.jpeg import (
+    JPEG_SOI,
+    JpegFormatError,
+    decode_baseline as decode_jpeg,
+    encode_baseline as encode_jpeg,
+)
 from anycrawl_spark.functions.png import (
     PNG_SIGNATURE,
     PngFormatError,
@@ -62,7 +70,11 @@ FEATURES = T.StructType(
 
 
 class AnyCrawlDecodeUnavailable(NotImplementedError):
-    """Raised when a real decoder (PIL/libav) is required but not installed."""
+    """Raised when a real decoder (WebP/libav) is required but not installed."""
+
+
+#: exceptions that mean "this payload failed to decode" — fail the ROW
+DECODE_ROW_ERRORS = (AnyCrawlDecodeUnavailable, PngFormatError, JpegFormatError)
 
 
 def _try_real_decode(payload: bytes) -> np.ndarray:
@@ -78,8 +90,8 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 
     Keeps the full pipeline (bytes -> fixed-width feature) testable without
     imaging libs; swap for a real model UDF in production. Used only for
-    the formats whose entropy coders the sandbox lacks (jpeg/webp) — PNG
-    goes through the real decoder.
+    the formats whose entropy coders the sandbox lacks (webp) — PNG and
+    JPEG go through the real stdlib decoders.
     """
     h = hashlib.blake2b(payload, digest_size=dim * 2).digest()
     arr = np.frombuffer(h, dtype=np.uint16).astype(np.float32)
@@ -100,10 +112,14 @@ def png_feature(img: np.ndarray, dim: int = 16) -> np.ndarray:
 
 def feature_for_payload(payload: bytes, dim: int = 16, use_real: bool = False) -> np.ndarray:
     """The decode-select kernel shared by the Spark stage AND the sequential
-    oracle mirror: PNG bytes -> real decode + png_feature; other formats ->
-    deterministic fake (or the stubbed real path when ``use_real``)."""
-    if bytes(payload[:8]) == PNG_SIGNATURE:
+    oracle mirror: PNG/JPEG bytes -> real decode + png_feature; other
+    formats -> deterministic fake (or the stubbed real path when
+    ``use_real``)."""
+    head = bytes(payload[:8])
+    if head == PNG_SIGNATURE:
         return png_feature(decode_png(bytes(payload)), dim)
+    if head[:2] == JPEG_SOI:
+        return png_feature(decode_jpeg(bytes(payload)), dim)
     if use_real:
         return _try_real_decode(bytes(payload))
     return fake_decode(payload, dim)
@@ -115,15 +131,17 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
     PNG refs (1 in 3) get a REAL PNG image — pixels drawn from a blake2b
     counter stream, color type in {gray, RGB, RGBA} and scanline filter in
     {0..4} both hash-picked, so the fixture population exercises every
-    defilter path of the stdlib codec. jpeg/webp refs keep the opaque fake
-    payload (their decoders are the documented stub)."""
+    defilter path of the stdlib codec. JPEG refs (1 in 3) get a REAL
+    baseline JPEG — gray/RGB, quality, 4:2:0 and restart interval all
+    hash-picked, covering every decode path of ``functions/jpeg.py``. webp
+    refs keep the opaque fake payload (the one documented decode stub)."""
     seed = hashlib.blake2b(media_ref.encode(), digest_size=32).digest()
     d = int.from_bytes(seed[:4], "big")
     fmt = ["png", "jpeg", "webp"][d % 3]
-    if fmt == "png":
+    if fmt in ("png", "jpeg"):
         width = 8 + d % 25
         height = 8 + (d >> 10) % 25
-        channels = [1, 3, 4][(d >> 5) % 3]
+        channels = [1, 3, 4][(d >> 5) % 3] if fmt == "png" else [1, 3][(d >> 5) % 2]
         n = width * height * channels
         raw = bytearray()
         ctr = 0
@@ -135,7 +153,15 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
         img = np.frombuffer(bytes(raw[:n]), dtype=np.uint8).reshape(
             height, width, channels
         )
-        payload = encode_png(img, filter_type=(d >> 3) % 5)
+        if fmt == "png":
+            payload = encode_png(img, filter_type=(d >> 3) % 5)
+        else:
+            payload = encode_jpeg(
+                img if channels == 3 else img[..., 0],
+                quality=40 + (d >> 7) % 58,
+                subsample=channels == 3 and bool((d >> 4) & 1),
+                restart_interval=[0, 0, 1, 3][(d >> 14) % 4],
+            )
     else:
         width = 64 + d % 1024
         height = 64 + (d >> 10) % 1024
@@ -180,10 +206,10 @@ def extract_features(media: DataFrame, dim: int = 16, use_real: bool = False) ->
                     rows.append(
                         {"media_ref": r.media_ref, "feature": vec.tolist(), "ok": True}
                     )
-                except (AnyCrawlDecodeUnavailable, PngFormatError):
-                    # a malformed payload (PNG signature but truncated/corrupt
-                    # bytes, unsupported variant) must fail ROW-wise, never
-                    # kill the Spark task
+                except DECODE_ROW_ERRORS:
+                    # a malformed payload (PNG/JPEG signature but truncated/
+                    # corrupt bytes, unsupported variant) must fail ROW-wise,
+                    # never kill the Spark task
                     rows.append({"media_ref": r.media_ref, "feature": None, "ok": False})
             yield pd.DataFrame(rows, columns=["media_ref", "feature", "ok"])
 
@@ -230,6 +256,16 @@ def png_resize(payload: bytes, width: int, height: int) -> bytes:
     return encode_png(img[ys][:, xs])
 
 
+def jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for JPEG payloads: decode (functions/jpeg.py),
+    nearest-neighbor sample, re-encode at a fixed deterministic quality."""
+    img = decode_jpeg(payload)
+    src_h, src_w = img.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return encode_jpeg(img[ys][:, xs], quality=85)
+
+
 def resize_images(
     media: DataFrame, width: int = 256, height: int = 256, use_real: bool = False
 ) -> DataFrame:
@@ -246,6 +282,8 @@ def resize_images(
                 try:
                     if bytes(r.payload[:8]) == PNG_SIGNATURE:
                         out = png_resize(bytes(r.payload), width, height)
+                    elif bytes(r.payload[:2]) == JPEG_SOI:
+                        out = jpeg_resize(bytes(r.payload), width, height)
                     elif use_real:
                         _try_real_decode(bytes(r.payload))
                         out = None  # unreachable until a real decoder exists
@@ -256,7 +294,7 @@ def resize_images(
                         "payload": out,
                         "width": width, "height": height, "ok": True,
                     })
-                except (AnyCrawlDecodeUnavailable, PngFormatError):
+                except DECODE_ROW_ERRORS:
                     rows.append({
                         "media_ref": r.media_ref, "payload": None,
                         "width": None, "height": None, "ok": False,

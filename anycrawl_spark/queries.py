@@ -1845,8 +1845,8 @@ def q_crawl_round(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payloads -> fixed-width features
-    (deterministic fake decode; real decoder stubbed).
+    """Multimodal plumbing: binary payloads -> fixed-width features (REAL
+    stdlib PNG/JPEG decode; only webp keeps the deterministic fake).
 
     Contract surface is scalar columns only — the driver canonicalizes via
     pandas sort, which cannot order an array<float> column — so the feature

@@ -133,6 +133,7 @@ def test_malformed_png_signature_fails_rowwise(spark):
         PNG_SIGNATURE + b"garbage after signature",
         PNG_SIGNATURE,  # signature only
         encode_png(np.zeros((3, 3), dtype=np.uint8))[:-18],  # truncated
+        b"\xff\xd8garbage after jpeg soi",  # jpeg signature, junk body
     ]
     rows = [("ok0", good, None)] + [
         (f"bad{i}", b, None) for i, b in enumerate(bad_cases)

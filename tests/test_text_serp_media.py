@@ -125,9 +125,15 @@ def test_multimodal_plumbing(spark):
         assert bytes(r.payload[:8]) == PNG_SIGNATURE
         img = decode_png(bytes(r.payload))
         assert (img.shape[0], img.shape[1]) == (r.meta.height, r.meta.width)
-    for fmt in ("jpeg", "webp"):
-        for r in by_fmt.get(fmt, []):
-            assert bytes(r.payload[:8]) != PNG_SIGNATURE and len(r.payload) == 256
+    # jpeg refs carry REAL baseline JPEG bytes that decode to the meta dims
+    from anycrawl_spark.functions.jpeg import decode_baseline
+
+    for r in by_fmt.get("jpeg", []):
+        assert bytes(r.payload[:2]) == b"\xff\xd8"
+        img = decode_baseline(bytes(r.payload))
+        assert (img.shape[0], img.shape[1]) == (r.meta.height, r.meta.width)
+    for r in by_fmt.get("webp", []):
+        assert bytes(r.payload[:8]) != PNG_SIGNATURE and len(r.payload) == 256
 
     feats = extract_features(media, dim=8).collect()
     assert all(r.ok and len(r.feature) == 8 for r in feats)
@@ -138,11 +144,11 @@ def test_multimodal_plumbing(spark):
         got = [r.feature for r in feats if r.media_ref == ref][0]
         assert [round(x, 5) for x in got] == [round(x, 5) for x in expected]
 
-    # real-decode path: PNG decodes for real (ok=True); jpeg/webp stay
+    # real-decode path: PNG and JPEG decode for real (ok=True); webp stays
     # stubbed (ok=False, never crashes)
     fmt_of = {r.media_ref: r.meta.format for r in rows}
     for r in extract_features(media, dim=8, use_real=True).collect():
-        if fmt_of[r.media_ref] == "png":
+        if fmt_of[r.media_ref] in ("png", "jpeg"):
             assert r.ok and len(r.feature) == 8
         else:
             assert not r.ok and r.feature is None
@@ -314,11 +320,15 @@ def test_multimodal_resize_and_frames(spark):
     rs = resize_images(media, 128, 128).collect()
     assert len(rs) == 8
     assert all(r.ok and r.width == 128 for r in rs)
-    # png resizes FOR REAL: output is a decodable 128x128 png
+    # png/jpeg resize FOR REAL: output is a decodable 128x128 image
+    from anycrawl_spark.functions.jpeg import decode_baseline
     from anycrawl_spark.functions.png import decode_png
     for r in rs:
         if fmt_of[r.media_ref] == "png":
             img = decode_png(bytes(r.payload))
+            assert img.shape[:2] == (128, 128)
+        elif fmt_of[r.media_ref] == "jpeg":
+            img = decode_baseline(bytes(r.payload))
             assert img.shape[:2] == (128, 128)
         else:
             assert len(r.payload) == 128
