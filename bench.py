@@ -292,15 +292,31 @@ def wait_for_quiet_window() -> tuple[dict, int, bool]:
 def bench_default() -> dict:
     # calibration stays OUTSIDE the timed span: total must remain
     # comparable with pre-calibration rounds (it measures the workload,
-    # not the measurement)
+    # not the measurement).
+    #
+    # The quiet gate runs before EVERY phase, not once up front: co-tenant
+    # load on this box arrives in bursts (a run that started at calib
+    # multi 3.4 s recorded a 141 s crawl wall while a same-code quiet
+    # window sits at ~107 s), so a single pre-run probe can certify a run
+    # whose later phases ran under contention. Per-phase brackets make
+    # each phase's wall individually attributable.
     calib_pre, quiet_wait, quiet = wait_for_quiet_window()
-    t0 = time.time()
-    q = _run_phase_subprocess("queries")
-    c = _run_phase_subprocess("crawl")
-    k = _run_phase_subprocess("kernel")
-    s = _run_phase_subprocess("soak")
-    total = round(time.time() - t0, 2)
-    calib_post = machine_calibration()
+    phase_calibs: dict[str, dict] = {}
+    results = {}
+    total = 0.0
+    for phase in ("queries", "crawl", "kernel", "soak"):
+        c_pre, waited, ph_quiet = wait_for_quiet_window()
+        quiet_wait += waited
+        quiet = quiet and ph_quiet
+        t0 = time.time()
+        results[phase] = _run_phase_subprocess(phase)
+        total += time.time() - t0  # timed span excludes waits + calib probes
+        phase_calibs[phase] = {
+            "pre": c_pre, "post": machine_calibration(), "wait_sec": waited,
+        }
+    q, c, k, s = (results[p] for p in ("queries", "crawl", "kernel", "soak"))
+    total = round(total, 2)
+    calib_post = phase_calibs["soak"]["post"]
     queries = q["queries"]
     queries["frontier_kernel"] = k["frontier"]["wall_sec"]
     queries["crawl_e2e"] = c["crawl"]["wall_sec"]
@@ -317,6 +333,7 @@ def bench_default() -> dict:
         "politeness_skew": k["politeness_skew"],
         "cuckoo_probe": k["cuckoo_probe"],
         "robots_dim": k["robots_dim"],
+        "phase_calibrations": phase_calibs,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/last_run_detail.json", "w") as f:
@@ -335,7 +352,13 @@ def bench_default() -> dict:
         "calib": {f"{k}_pre": v for k, v in calib_pre.items()}
         | {f"{k}_post": v for k, v in calib_post.items()},
         "quiet_wait_sec": quiet_wait,
-        "noisy": (not quiet) or calib_post["calib_multi_sec"] > CALIB_QUIET_MULTI_SEC,
+        # noisy if ANY phase started or finished past the quiet bar — the
+        # per-phase brackets catch bursts a single pre/post pair misses
+        "noisy": (not quiet) or any(
+            pc["pre"]["calib_multi_sec"] > CALIB_QUIET_MULTI_SEC
+            or pc["post"]["calib_multi_sec"] > CALIB_QUIET_MULTI_SEC
+            for pc in phase_calibs.values()
+        ),
         "detail_file": "BENCH/last_run_detail.json",
     }
 
