@@ -4,10 +4,12 @@ Image/audio/video payloads ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample are Arrow-batched
 ``mapInPandas`` stages. PNG payloads are decoded FOR REAL through the
 pure-stdlib codec in ``functions/png.py`` (zlib + struct; all five scanline
-filters, gray/RGB/RGBA), and JPEG payloads through ``functions/jpeg.py``
-(baseline T.81, differential-verified against Java ImageIO) — image
-features come from actual pixels for both. Only the kernels the container
-genuinely lacks (WebP entropy coder, libav) stay STUBBED behind
+filters, gray/RGB/RGBA), JPEG payloads through ``functions/jpeg.py``
+(baseline T.81, differential-verified against Java ImageIO), and
+lossless-WebP payloads through ``functions/webp.py`` (full VP8L: all four
+transforms, color cache, meta prefix codes) — image features come from
+actual pixels for all three. Only the kernels the container genuinely
+lacks (the lossy VP8 arithmetic coder, libav) stay STUBBED behind
 ``AnyCrawlDecodeUnavailable`` with a deterministic fake — the Spark-side
 plumbing (schema, batch shape, partitioning, UDF signatures) is real and
 tested either way.
@@ -39,6 +41,14 @@ from anycrawl_spark.functions.png import (
     PngFormatError,
     decode_png,
     encode_png,
+)
+from anycrawl_spark.functions.webp import (
+    WebpFormatError,
+    classify_webp,
+    decode_webp,
+    encode_webp,
+    has_vp8l,
+    is_webp,
 )
 
 MEDIA_META = T.StructType(
@@ -74,7 +84,9 @@ class AnyCrawlDecodeUnavailable(NotImplementedError):
 
 
 #: exceptions that mean "this payload failed to decode" — fail the ROW
-DECODE_ROW_ERRORS = (AnyCrawlDecodeUnavailable, PngFormatError, JpegFormatError)
+DECODE_ROW_ERRORS = (
+    AnyCrawlDecodeUnavailable, PngFormatError, JpegFormatError, WebpFormatError,
+)
 
 
 def _try_real_decode(payload: bytes) -> np.ndarray:
@@ -90,8 +102,8 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 
     Keeps the full pipeline (bytes -> fixed-width feature) testable without
     imaging libs; swap for a real model UDF in production. Used only for
-    the formats whose entropy coders the sandbox lacks (webp) — PNG and
-    JPEG go through the real stdlib decoders.
+    the formats whose entropy coders the sandbox lacks (lossy VP8, libav)
+    — PNG, JPEG and lossless WebP go through the real stdlib decoders.
     """
     h = hashlib.blake2b(payload, digest_size=dim * 2).digest()
     arr = np.frombuffer(h, dtype=np.uint16).astype(np.float32)
@@ -115,11 +127,22 @@ def feature_for_payload(payload: bytes, dim: int = 16, use_real: bool = False) -
     oracle mirror: PNG/JPEG bytes -> real decode + png_feature; other
     formats -> deterministic fake (or the stubbed real path when
     ``use_real``)."""
-    head = bytes(payload[:8])
-    if head == PNG_SIGNATURE:
+    head = bytes(payload[:12])
+    if head[:8] == PNG_SIGNATURE:
         return png_feature(decode_png(bytes(payload)), dim)
     if head[:2] == JPEG_SOI:
         return png_feature(decode_jpeg(bytes(payload)), dim)
+    if is_webp(head):
+        data = bytes(payload)
+        kind = classify_webp(data)
+        if kind == "lossless":  # real stdlib decode
+            return png_feature(decode_webp(data), dim)
+        if kind == "invalid":  # corrupt container: fail the ROW
+            raise WebpFormatError("malformed WEBP container")
+        # lossy VP8: the one documented decode stub
+        if use_real:
+            return _try_real_decode(data)
+        return fake_decode(payload, dim)
     if use_real:
         return _try_real_decode(bytes(payload))
     return fake_decode(payload, dim)
@@ -133,15 +156,22 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
     {0..4} both hash-picked, so the fixture population exercises every
     defilter path of the stdlib codec. JPEG refs (1 in 3) get a REAL
     baseline JPEG — gray/RGB, quality, 4:2:0 and restart interval all
-    hash-picked, covering every decode path of ``functions/jpeg.py``. webp
-    refs keep the opaque fake payload (the one documented decode stub)."""
+    hash-picked, covering every decode path of ``functions/jpeg.py``. WebP
+    refs (1 in 3) get a REAL lossless VP8L stream — subtract-green /
+    cross-color / predictor-mode / color-cache / palette / meta-group knobs
+    all hash-picked, covering every decode path of ``functions/webp.py``
+    (lossy VP8 remains the one documented decode stub)."""
     seed = hashlib.blake2b(media_ref.encode(), digest_size=32).digest()
     d = int.from_bytes(seed[:4], "big")
     fmt = ["png", "jpeg", "webp"][d % 3]
-    if fmt in ("png", "jpeg"):
+    if fmt in ("png", "jpeg", "webp"):
         width = 8 + d % 25
         height = 8 + (d >> 10) % 25
-        channels = [1, 3, 4][(d >> 5) % 3] if fmt == "png" else [1, 3][(d >> 5) % 2]
+        channels = (
+            [1, 3, 4][(d >> 5) % 3] if fmt == "png"
+            else [1, 3][(d >> 5) % 2] if fmt == "jpeg"
+            else [3, 4][(d >> 5) % 2]
+        )
         n = width * height * channels
         raw = bytearray()
         ctr = 0
@@ -155,14 +185,30 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
         )
         if fmt == "png":
             payload = encode_png(img, filter_type=(d >> 3) % 5)
-        else:
+        elif fmt == "jpeg":
             payload = encode_jpeg(
                 img if channels == 3 else img[..., 0],
                 quality=40 + (d >> 7) % 58,
                 subsample=channels == 3 and bool((d >> 4) & 1),
                 restart_interval=[0, 0, 1, 3][(d >> 14) % 4],
             )
-    else:
+        else:  # lossless VP8L, knobs hash-picked across the decode matrix
+            if (d >> 16) % 4 == 0:
+                # palette path needs few distinct colors: quantize hard
+                img = (img >> 6) << 6
+                payload = encode_webp(img, use_palette=True)
+            else:
+                payload = encode_webp(
+                    img,
+                    use_subtract_green=bool((d >> 4) & 1),
+                    predictor_mode=((d >> 18) % 14) if (d >> 7) & 1 else None,
+                    color_transform=(
+                        (d >> 9) & 0xFF, (d >> 13) & 0xFF, (d >> 3) & 0xFF,
+                    ) if (d >> 8) & 1 else None,
+                    cache_bits=[0, 0, 4, 7][(d >> 14) % 4],
+                    use_meta=bool((d >> 22) & 1),
+                )
+    else:  # pragma: no cover — no fourth format today
         width = 64 + d % 1024
         height = 64 + (d >> 10) % 1024
         payload = seed * 8
@@ -193,9 +239,10 @@ def materialize_media(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 def extract_features(media: DataFrame, dim: int = 16, use_real: bool = False) -> DataFrame:
     """payload -> fixed-width feature vector (mapInPandas; Arrow batches).
 
-    PNG payloads always decode for real (stdlib codec); other formats use
-    the deterministic fake, or — with ``use_real`` — the stubbed real path
-    (ok=False until a JPEG/WebP decoder exists in the environment)."""
+    PNG/JPEG/lossless-WebP payloads always decode for real (stdlib
+    codecs); lossy formats use the deterministic fake, or — with
+    ``use_real`` — the stubbed real path (ok=False until a lossy decoder
+    exists in the environment)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -239,8 +286,8 @@ RESIZED = T.StructType(
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic stand-in for jpeg/webp resize: re-digest keyed by target
-    size (their decoders are the documented stub)."""
+    """Deterministic stand-in for lossy-webp/libav resize: re-digest keyed
+    by target size (their decoders are the documented stub)."""
     h = hashlib.blake2b(payload + f"|{width}x{height}".encode(), digest_size=32)
     return h.digest() * 4
 
@@ -266,14 +313,24 @@ def jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
     return encode_jpeg(img[ys][:, xs], quality=85)
 
 
+def webp_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for lossless-WebP payloads: decode (functions/webp.py),
+    nearest-neighbor sample, re-encode losslessly."""
+    img = decode_webp(payload)
+    src_h, src_w = img.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return encode_webp(img[ys][:, xs])
+
+
 def resize_images(
     media: DataFrame, width: int = 256, height: int = 256, use_real: bool = False
 ) -> DataFrame:
     """payload -> resized payload (mapInPandas; bytes stay in the narrow map,
-    never shuffled). PNG payloads resize for real (decode -> nearest-neighbor
-    -> re-encode); jpeg/webp use the deterministic fake, or the stubbed real
-    path with ``use_real``. The Spark plumbing (schema, batching, partition
-    preservation) is identical across all three."""
+    never shuffled). PNG/JPEG/lossless-WebP payloads resize for real (decode
+    -> nearest-neighbor -> re-encode); lossy webp uses the deterministic
+    fake, or the stubbed real path with ``use_real``. The Spark plumbing
+    (schema, batching, partition preservation) is identical across all."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -284,6 +341,8 @@ def resize_images(
                         out = png_resize(bytes(r.payload), width, height)
                     elif bytes(r.payload[:2]) == JPEG_SOI:
                         out = jpeg_resize(bytes(r.payload), width, height)
+                    elif is_webp(bytes(r.payload[:12])) and has_vp8l(bytes(r.payload)):
+                        out = webp_resize(bytes(r.payload), width, height)
                     elif use_real:
                         _try_real_decode(bytes(r.payload))
                         out = None  # unreachable until a real decoder exists

@@ -132,8 +132,13 @@ def test_multimodal_plumbing(spark):
         assert bytes(r.payload[:2]) == b"\xff\xd8"
         img = decode_baseline(bytes(r.payload))
         assert (img.shape[0], img.shape[1]) == (r.meta.height, r.meta.width)
+    # webp refs carry REAL lossless VP8L bytes that decode to the meta dims
+    from anycrawl_spark.functions.webp import decode_webp, is_webp
+
     for r in by_fmt.get("webp", []):
-        assert bytes(r.payload[:8]) != PNG_SIGNATURE and len(r.payload) == 256
+        assert is_webp(bytes(r.payload[:12]))
+        img = decode_webp(bytes(r.payload))
+        assert (img.shape[0], img.shape[1]) == (r.meta.height, r.meta.width)
 
     feats = extract_features(media, dim=8).collect()
     assert all(r.ok and len(r.feature) == 8 for r in feats)
@@ -144,14 +149,11 @@ def test_multimodal_plumbing(spark):
         got = [r.feature for r in feats if r.media_ref == ref][0]
         assert [round(x, 5) for x in got] == [round(x, 5) for x in expected]
 
-    # real-decode path: PNG and JPEG decode for real (ok=True); webp stays
-    # stubbed (ok=False, never crashes)
-    fmt_of = {r.media_ref: r.meta.format for r in rows}
+    # real-decode path: PNG/JPEG/lossless-webp all decode for real now, so
+    # every synthetic payload succeeds even with use_real (the stub only
+    # triggers for lossy formats, which the fixtures no longer emit)
     for r in extract_features(media, dim=8, use_real=True).collect():
-        if fmt_of[r.media_ref] in ("png", "jpeg"):
-            assert r.ok and len(r.feature) == 8
-        else:
-            assert not r.ok and r.feature is None
+        assert r.ok and len(r.feature) == 8
 
 
 def test_media_refs_from_documents(spark):
@@ -320,9 +322,10 @@ def test_multimodal_resize_and_frames(spark):
     rs = resize_images(media, 128, 128).collect()
     assert len(rs) == 8
     assert all(r.ok and r.width == 128 for r in rs)
-    # png/jpeg resize FOR REAL: output is a decodable 128x128 image
+    # png/jpeg/webp resize FOR REAL: output is a decodable 128x128 image
     from anycrawl_spark.functions.jpeg import decode_baseline
     from anycrawl_spark.functions.png import decode_png
+    from anycrawl_spark.functions.webp import decode_webp as decode_webp_rt
     for r in rs:
         if fmt_of[r.media_ref] == "png":
             img = decode_png(bytes(r.payload))
@@ -331,7 +334,8 @@ def test_multimodal_resize_and_frames(spark):
             img = decode_baseline(bytes(r.payload))
             assert img.shape[:2] == (128, 128)
         else:
-            assert len(r.payload) == 128
+            img = decode_webp_rt(bytes(r.payload))
+            assert img.shape[:2] == (128, 128)
     # deterministic: same input -> same resized bytes
     rs2 = {r.media_ref: r.payload for r in resize_images(media, 128, 128).collect()}
     assert all(rs2[r.media_ref] == r.payload for r in rs)
