@@ -438,3 +438,13 @@ def run_reference_js(
     return run_ts_oracle(
         (REFERENCE_ROOT / ts_rel_path).read_text(), driver_js, payload, timeout
     )
+
+
+def fuzz_seed(default: int) -> int:
+    """Seed for a differential-fuzz campaign. The defaults pin the
+    committed corpora (deterministic CI); set ANYCRAWL_FUZZ_SEED_OFFSET to
+    shift every campaign onto a fresh corpus — scripts/fuzz_soak.sh loops
+    offsets to soak the parity kernels beyond the committed case counts."""
+    import os
+
+    return default + int(os.environ.get("ANYCRAWL_FUZZ_SEED_OFFSET", "0"))

@@ -16,6 +16,8 @@ import shutil
 
 import pytest
 
+from node_oracle import fuzz_seed
+
 from anycrawl_spark.functions.capture import (
     brace_expand,
     capture_responses,
@@ -187,7 +189,7 @@ def test_glob_match_differential_fuzz_vs_real_minimatch():
     import random
     import subprocess
 
-    random.seed(20260818)
+    random.seed(fuzz_seed(20260818))
     atoms = ["a", "b", "ab", "a.b", ".", ".x", "..", "c)", "(a)", "x y",
              "a,b", "", "https:", "api.ex.com", "data.json"]
     globs = ["*", "**", "?", "a*", "*.json", "*.", "??", "[a]", "[.]",
@@ -253,7 +255,7 @@ def test_glob_match_option_combos_fuzz_vs_real_minimatch():
     import random
     import subprocess
 
-    random.seed(77)
+    random.seed(fuzz_seed(77))
     atoms = ["a", "A", "b", "aB", "Ab.C", "a.b", ".", ".X", "..", "c)",
              "(a)", "x Y", "a,b", "", "HTTPS:", "API.Ex.Com", "Data.JSON",
              "ß"]

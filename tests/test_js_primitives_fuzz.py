@@ -13,6 +13,8 @@ import subprocess
 
 import pytest
 
+from node_oracle import fuzz_seed
+
 from anycrawl_spark.functions.js import (
     js_json_stringify,
     js_number_to_string,
@@ -50,7 +52,7 @@ def _rand_floats(rnd, n):
 
 
 def test_number_to_string_vs_node():
-    rnd = random.Random(20260826)
+    rnd = random.Random(fuzz_seed(20260826))
     floats = _rand_floats(rnd, 3000)
     payload = [struct.pack("<d", f).hex() for f in floats]
     script = (
@@ -86,7 +88,7 @@ def _rand_json(rnd, depth=0):
 
 
 def test_string_and_stringify_vs_node():
-    rnd = random.Random(20260827)
+    rnd = random.Random(fuzz_seed(20260827))
     vals = [_rand_json(rnd) for _ in range(2000)]
     script = (
         "const vs = JSON.parse(require('fs').readFileSync(0,'utf8'));"
@@ -102,7 +104,7 @@ def test_string_and_stringify_vs_node():
 
 
 def test_trim_and_parse_int_vs_node():
-    rnd = random.Random(20260828)
+    rnd = random.Random(fuzz_seed(20260828))
     ws = ["", " ", "\t", "\n", " ", " ", " ", "﻿",
           "​", "\v", "\f", "　", ""]
     bodies = ["", "0", "42", "-7", "+9", "0x1f", "12ab", "ab", "9" * 25,

@@ -10,6 +10,7 @@ import shutil
 import pytest
 
 from node_oracle import (
+    fuzz_seed,
     REFERENCE_ROOT,
     extract_ts_blocks,
     have_node_oracle,
@@ -113,7 +114,7 @@ def test_llm_extract_kernels_differential_fuzz_vs_reference():
         remove_default_property,
     )
 
-    rnd = random.Random(20260825)
+    rnd = random.Random(fuzz_seed(20260825))
     cases = []
     for _ in range(2500):
         kind = rnd.choice(["removeDefaults", "normalize", "fieldPrompt",

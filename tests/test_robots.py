@@ -6,6 +6,8 @@ robotstxt matcher — no reference-repo counterpart exists (robots gating is
 rebuild-added functionality, SURVEY §2.3 J6).
 """
 
+from node_oracle import fuzz_seed
+
 from anycrawl_spark.crawl.params import robots_decision
 from anycrawl_spark.functions.robots import (
     as_prefix_rules,
@@ -249,7 +251,7 @@ def test_match_pattern_fuzz_vs_brute():
 
     from anycrawl_spark.functions.robots import match_pattern
 
-    rng = random.Random(20260818)
+    rng = random.Random(fuzz_seed(20260818))
     alphabet = "/ab1.*$?**"  # star-weighted: multi-wildcard shapes matter most
     for _ in range(6000):
         pattern = "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
@@ -265,7 +267,7 @@ def test_wildcard_free_rfc_equals_prefix_kernel_fuzz():
     licenses the compile-down in compile_robots)."""
     import random
 
-    rng = random.Random(99)
+    rng = random.Random(fuzz_seed(99))
     for _ in range(1500):
         rules = [
             (

@@ -19,6 +19,7 @@ import shutil
 import pytest
 
 from node_oracle import (
+    fuzz_seed,
     REFERENCE_ROOT,
     extract_ts_blocks,
     have_node_oracle,
@@ -113,7 +114,7 @@ def test_google_url_differential_fuzz_vs_reference(spark):
 
     from anycrawl_spark.operators.serp import build_locale_serp_url
 
-    rnd = random.Random(20260819)
+    rnd = random.Random(fuzz_seed(20260819))
     cases = []
     for _ in range(800):
         cases.append(
@@ -177,7 +178,7 @@ def test_searxng_url_differential_fuzz_vs_reference(spark):
 
     from anycrawl_spark.operators.serp import searxng_build_url
 
-    rnd = random.Random(20260820)
+    rnd = random.Random(fuzz_seed(20260820))
     cases = [
         {
             "query": rnd.choice(_QUERIES),
@@ -239,7 +240,7 @@ def test_ac_engine_url_differential_fuzz_vs_reference(spark):
 
     from anycrawl_spark.operators.serp import ac_build_url
 
-    rnd = random.Random(20260821)
+    rnd = random.Random(fuzz_seed(20260821))
     cases = []
     for _ in range(600):
         opts = {
@@ -372,7 +373,7 @@ def test_searxng_parse_differential_fuzz_vs_reference():
 
     from anycrawl_spark.operators.serp import parse_searxng_results
 
-    rnd = random.Random(20260822)
+    rnd = random.Random(fuzz_seed(20260822))
     payloads = []
     for _ in range(400):
         shape = rnd.random()
@@ -416,7 +417,7 @@ def test_ac_parse_differential_fuzz_vs_reference():
 
     from anycrawl_spark.operators.serp import parse_ac_results
 
-    rnd = random.Random(20260823)
+    rnd = random.Random(fuzz_seed(20260823))
     payloads = []
     for _ in range(400):
         shape = rnd.random()
@@ -496,7 +497,7 @@ console.log(JSON.stringify(cases.map(c => {
     catch (e) { return "ERR:" + e.message; }
 })));
 """
-    rnd = random.Random(20260824)
+    rnd = random.Random(fuzz_seed(20260824))
     reqs = [None, "", "default", " Default ", "google", "GOOGLE ", "searxng",
             "ac-engine", "AC-Engine", "bogus", " searxng\t", " google",
             "Ac-ENGINE", "default "]
@@ -560,7 +561,7 @@ console.log(JSON.stringify(cases.map(([pat, s, kind]) =>
     kind === 'domain' ? matchesDomainPattern(pat, s) : matchesUrlPattern(pat, s))));
 """
     )
-    rnd = random.Random(20260829)
+    rnd = random.Random(fuzz_seed(20260829))
     pat_atoms = ["*", "?", ".", "example", "EXAMPLE", "com", "https://",
                  "/p/", "a", "1", "-", "+", "(x)", "[y]", "$", "^", "{2}",
                  "|", "\\"]

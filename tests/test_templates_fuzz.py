@@ -26,6 +26,7 @@ from anycrawl_spark.functions.templates import (
     validate_variables,
 )
 from node_oracle import (
+    fuzz_seed,
     REFERENCE_ROOT,
     extract_ts_blocks,
     have_node_oracle,
@@ -222,7 +223,7 @@ def _norm(x):
     reason="node or the reference checkout not available",
 )
 def test_templates_differential_fuzz_vs_reference_logic():
-    rnd = random.Random(20260820)
+    rnd = random.Random(fuzz_seed(20260820))
     cases = []
     for _ in range(6000):
         kind = rnd.choice(
@@ -345,7 +346,7 @@ def test_render_differential_fuzz_vs_reference_logic():
         render_url_template,
     )
 
-    rnd = random.Random(20260821)
+    rnd = random.Random(fuzz_seed(20260821))
     cases = []
     for _ in range(6000):
         cases.append({
@@ -443,7 +444,7 @@ def test_domain_validator_differential_fuzz_vs_reference_logic():
         validate_pattern,
     )
 
-    rnd = random.Random(20260822)
+    rnd = random.Random(fuzz_seed(20260822))
     cases = []
     for _ in range(5000):
         kind = rnd.choice(["pattern", "domain", "parse"])

@@ -3,6 +3,8 @@
 import pandas as pd
 import pytest
 
+from node_oracle import fuzz_seed
+
 from anycrawl_spark.functions.urls import (
     canonicalize_url,
     fix_malformed,
@@ -96,7 +98,7 @@ def test_canonicalize_idempotent_on_fuzz_corpus():
     node differential fuzz uses — canonical forms must be fixed points."""
     import random
 
-    random.seed(20260818)
+    random.seed(fuzz_seed(20260818))
     for _ in range(4000):
         u = _gen_fuzz_url(random)
         c = canonicalize_url(u)
@@ -170,7 +172,7 @@ def test_canonicalize_differential_fuzz_vs_whatwg():
 
     from anycrawl_spark.functions.urls import canonicalize_url_host
 
-    random.seed(20260818)
+    random.seed(fuzz_seed(20260818))
     cases = [_gen_fuzz_url(random) for _ in range(4000)]
     script = (
         "const cases = JSON.parse(require('fs').readFileSync(0, 'utf8'));"
