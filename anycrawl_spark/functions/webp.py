@@ -31,13 +31,14 @@ weaker than a second implementation and is documented as such.
 Everything here is per-row kernel code: it runs inside Arrow-batched
 ``mapInPandas`` stages, bytes never cross a shuffle.
 
-Throughput (measured, single core): ~130k px/s on incompressible data
-(bit-at-a-time prefix walk dominates) — a worst-case 1280x720 screenshot
-decodes in ~7 s/row; screenshot-LIKE content (flat regions) LZ77-
-collapses and decodes in milliseconds. That per-row cost parallelizes
-embarrassingly across executor cores and never touches a shuffle; if a
-workload is dominated by megapixel incompressible webp, lift the symbol
-loop into a native kernel — the Spark plumbing is unchanged either way.
+Throughput (measured, single core): ~770k px/s on incompressible data
+(zlib-style flat-table prefix decode: one peek + one list index per
+symbol) — a worst-case 1280x720 all-noise screenshot decodes in ~1.2 s/
+row, and screenshot-LIKE content (flat regions) LZ77-collapses to ~0.16 s
+at that size. The per-row cost parallelizes embarrassingly across
+executor cores and never touches a shuffle; if a workload is dominated by
+megapixel incompressible webp, lift the symbol loop into a native kernel
+— the Spark plumbing is unchanged either way.
 """
 
 from __future__ import annotations
@@ -77,6 +78,22 @@ class _BitReader:
 
     def read_bit(self) -> int:
         return self.read(1)
+
+    def peek(self, n: int) -> int:
+        """Next n wire bits WITHOUT consuming; zero-padded past EOF (the
+        pad is never consumable — ``consume`` checks real availability)."""
+        data = self.data
+        while self.nbits < n and self.pos < len(data):
+            self.bitbuf |= data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.bitbuf & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            raise WebpFormatError("truncated VP8L bitstream")
+        self.bitbuf >>= n
+        self.nbits -= n
 
 
 class _BitWriter:
@@ -137,14 +154,18 @@ def canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _PrefixCode:
-    """Decode side: either a 0/1-bit trivial code or a canonical tree."""
+    """Decode side: a 0/1-bit trivial code, or a zlib-style flat lookup
+    table indexed by the next ``max_len`` RAW wire bits (codes go on the
+    wire MSB-first in an LSB-first stream, so table keys are bit-reversed
+    codes — one peek + one list index + one consume per symbol, instead
+    of a bit-at-a-time tree walk; ~6x on incompressible images)."""
 
-    __slots__ = ("single", "pair", "decode_map", "max_len")
+    __slots__ = ("single", "pair", "table", "max_len")
 
     def __init__(self):
         self.single: int | None = None           # 0-bit code
         self.pair: tuple[int, int] | None = None  # 1-bit code (bit0, bit1)
-        self.decode_map: dict[tuple[int, int], int] = {}
+        self.table: list[tuple[int, int]] | None = None  # peeked -> (sym, len)
         self.max_len = 0
 
     @classmethod
@@ -160,9 +181,17 @@ class _PrefixCode:
         kraft = sum(1 << (MAX_CODE_LENGTH - ln) for _, ln in nz)
         if kraft != 1 << MAX_CODE_LENGTH:
             raise WebpFormatError("invalid (non-complete) prefix code")
+        pc.max_len = max(ln for _, ln in nz)
+        m = pc.max_len
+        pc.table = [(-1, 0)] * (1 << m)
         for sym, (code, ln) in canonical_codes(lengths).items():
-            pc.decode_map[(ln, code)] = sym
-            pc.max_len = max(pc.max_len, ln)
+            rev = 0
+            for i in range(ln):  # bit-reverse: wire order is MSB-first
+                rev |= ((code >> i) & 1) << (ln - 1 - i)
+            entry = (sym, ln)
+            step = 1 << ln
+            for filled in range(rev, 1 << m, step):
+                pc.table[filled] = entry
         return pc
 
     @classmethod
@@ -175,17 +204,13 @@ class _PrefixCode:
         return pc
 
     def read(self, br: _BitReader) -> int:
+        if self.table is not None:
+            sym, ln = self.table[br.peek(self.max_len)]
+            br.consume(ln)  # raises past real EOF (peek zero-pads)
+            return sym
         if self.single is not None:
             return self.single
-        if self.pair is not None:
-            return self.pair[br.read_bit()]
-        code = 0
-        for ln in range(1, self.max_len + 1):
-            code = (code << 1) | br.read_bit()
-            sym = self.decode_map.get((ln, code))
-            if sym is not None:
-                return sym
-        raise WebpFormatError("invalid prefix code in stream")
+        return self.pair[br.read_bit()]
 
 
 def _read_code_lengths(br: _BitReader, alphabet_size: int) -> list[int]:
