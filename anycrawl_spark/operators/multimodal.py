@@ -7,8 +7,10 @@ pure-stdlib codec in ``functions/png.py`` (zlib + struct; all five scanline
 filters, gray/RGB/RGBA), JPEG payloads through ``functions/jpeg.py``
 (baseline T.81, differential-verified against Java ImageIO), and
 lossless-WebP payloads through ``functions/webp.py`` (full VP8L: all four
-transforms, color cache, meta prefix codes) — image features come from
-actual pixels for all three. Only the kernels the container genuinely
+transforms, color cache, meta prefix codes), and GIF payloads through
+``functions/gif.py`` (GIF87a/89a LZW, interlace, transparency,
+differential-verified against Java ImageIO) — image features come from
+actual pixels for all four. Only the kernels the container genuinely
 lacks (the lossy VP8 arithmetic coder, libav) stay STUBBED behind
 ``AnyCrawlDecodeUnavailable`` with a deterministic fake — the Spark-side
 plumbing (schema, batch shape, partitioning, UDF signatures) is real and
@@ -30,6 +32,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from anycrawl_spark.functions.gif import (
+    GIF87A,
+    GIF89A,
+    GifFormatError,
+    decode_gif,
+    decode_gif_indexed,
+    encode_gif,
+)
 from anycrawl_spark.functions.jpeg import (
     JPEG_SOI,
     JpegFormatError,
@@ -86,6 +96,7 @@ class AnyCrawlDecodeUnavailable(NotImplementedError):
 #: exceptions that mean "this payload failed to decode" — fail the ROW
 DECODE_ROW_ERRORS = (
     AnyCrawlDecodeUnavailable, PngFormatError, JpegFormatError, WebpFormatError,
+    GifFormatError,
 )
 
 
@@ -124,14 +135,16 @@ def png_feature(img: np.ndarray, dim: int = 16) -> np.ndarray:
 
 def feature_for_payload(payload: bytes, dim: int = 16, use_real: bool = False) -> np.ndarray:
     """The decode-select kernel shared by the Spark stage AND the sequential
-    oracle mirror: PNG/JPEG bytes -> real decode + png_feature; other
-    formats -> deterministic fake (or the stubbed real path when
-    ``use_real``)."""
+    oracle mirror: PNG/JPEG/GIF/lossless-WebP bytes -> real decode +
+    png_feature; other formats -> deterministic fake (or the stubbed real
+    path when ``use_real``)."""
     head = bytes(payload[:12])
     if head[:8] == PNG_SIGNATURE:
         return png_feature(decode_png(bytes(payload)), dim)
     if head[:2] == JPEG_SOI:
         return png_feature(decode_jpeg(bytes(payload)), dim)
+    if head[:6] in (GIF87A, GIF89A):
+        return png_feature(decode_gif(bytes(payload)), dim)
     if is_webp(head):
         data = bytes(payload)
         kind = classify_webp(data)
@@ -157,20 +170,24 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
     defilter path of the stdlib codec. JPEG refs (1 in 3) get a REAL
     baseline JPEG — gray/RGB, quality, 4:2:0 and restart interval all
     hash-picked, covering every decode path of ``functions/jpeg.py``. WebP
-    refs (1 in 3) get a REAL lossless VP8L stream — subtract-green /
+    refs (1 in 4) get a REAL lossless VP8L stream — subtract-green /
     cross-color / predictor-mode / color-cache / palette / meta-group knobs
-    all hash-picked, covering every decode path of ``functions/webp.py``
+    all hash-picked, covering every decode path of ``functions/webp.py``.
+    GIF refs (1 in 4) get a REAL GIF87a/89a stream — interlace,
+    transparency, local-vs-global color table and palette size all
+    hash-picked, covering every decode path of ``functions/gif.py``
     (lossy VP8 remains the one documented decode stub)."""
     seed = hashlib.blake2b(media_ref.encode(), digest_size=32).digest()
     d = int.from_bytes(seed[:4], "big")
-    fmt = ["png", "jpeg", "webp"][d % 3]
-    if fmt in ("png", "jpeg", "webp"):
+    fmt = ["png", "jpeg", "webp", "gif"][d % 4]
+    if fmt in ("png", "jpeg", "webp", "gif"):
         width = 8 + d % 25
         height = 8 + (d >> 10) % 25
         channels = (
             [1, 3, 4][(d >> 5) % 3] if fmt == "png"
             else [1, 3][(d >> 5) % 2] if fmt == "jpeg"
-            else [3, 4][(d >> 5) % 2]
+            else [3, 4][(d >> 5) % 2] if fmt == "webp"
+            else 3
         )
         n = width * height * channels
         raw = bytearray()
@@ -191,6 +208,18 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
                 quality=40 + (d >> 7) % 58,
                 subsample=channels == 3 and bool((d >> 4) & 1),
                 restart_interval=[0, 0, 1, 3][(d >> 14) % 4],
+            )
+        elif fmt == "gif":
+            # <=64 distinct colors (GIF palettes cap at 256): quantize hard;
+            # knobs hash-picked across the decode matrix
+            img = (img >> 6) << 6
+            payload = encode_gif(
+                img,
+                interlace=bool((d >> 17) & 1),
+                # index 0 always exists (palette has >=1 entry)
+                transparent_index=0 if (d >> 16) & 1 else None,
+                local_color_table=bool((d >> 18) & 1),
+                version=GIF87A if (d >> 19) & 1 and not (d >> 16) & 1 else GIF89A,
             )
         else:  # lossless VP8L, knobs hash-picked across the decode matrix
             if (d >> 16) % 4 == 0:
@@ -239,7 +268,7 @@ def materialize_media(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 def extract_features(media: DataFrame, dim: int = 16, use_real: bool = False) -> DataFrame:
     """payload -> fixed-width feature vector (mapInPandas; Arrow batches).
 
-    PNG/JPEG/lossless-WebP payloads always decode for real (stdlib
+    PNG/JPEG/GIF/lossless-WebP payloads always decode for real (stdlib
     codecs); lossy formats use the deterministic fake, or — with
     ``use_real`` — the stubbed real path (ok=False until a lossy decoder
     exists in the environment)."""
@@ -313,6 +342,20 @@ def jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
     return encode_jpeg(img[ys][:, xs], quality=85)
 
 
+def gif_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for GIF payloads: decode to the INDEX grid
+    (functions/gif.py), nearest-neighbor sample the indices, re-encode with
+    the same palette — lossless, and transparency survives because the
+    transparent INDEX is preserved rather than round-tripped through RGB."""
+    idx, palette, transparent = decode_gif_indexed(payload)
+    src_h, src_w = idx.shape
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return encode_gif(
+        indices=idx[ys][:, xs], palette=palette, transparent_index=transparent
+    )
+
+
 def webp_resize(payload: bytes, width: int, height: int) -> bytes:
     """REAL resize for lossless-WebP payloads: decode (functions/webp.py),
     nearest-neighbor sample, re-encode losslessly."""
@@ -327,10 +370,11 @@ def resize_images(
     media: DataFrame, width: int = 256, height: int = 256, use_real: bool = False
 ) -> DataFrame:
     """payload -> resized payload (mapInPandas; bytes stay in the narrow map,
-    never shuffled). PNG/JPEG/lossless-WebP payloads resize for real (decode
-    -> nearest-neighbor -> re-encode); lossy webp uses the deterministic
-    fake, or the stubbed real path with ``use_real``. The Spark plumbing
-    (schema, batching, partition preservation) is identical across all."""
+    never shuffled). PNG/JPEG/GIF/lossless-WebP payloads resize for real
+    (decode -> nearest-neighbor -> re-encode); lossy webp uses the
+    deterministic fake, or the stubbed real path with ``use_real``. The
+    Spark plumbing (schema, batching, partition preservation) is identical
+    across all."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -343,6 +387,8 @@ def resize_images(
                         out = jpeg_resize(bytes(r.payload), width, height)
                     elif is_webp(bytes(r.payload[:12])) and has_vp8l(bytes(r.payload)):
                         out = webp_resize(bytes(r.payload), width, height)
+                    elif bytes(r.payload[:6]) in (GIF87A, GIF89A):
+                        out = gif_resize(bytes(r.payload), width, height)
                     elif use_real:
                         _try_real_decode(bytes(r.payload))
                         out = None  # unreachable until a real decoder exists

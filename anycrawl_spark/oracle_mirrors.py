@@ -267,8 +267,8 @@ def sql_crawl_round(n_jobs: int = 2, limit: int = 20, max_rounds: int = 20) -> s
 
 def sql_media_features(max_doc_id: int = 50, dim: int = 8) -> str:
     """Expected (media_ref, dim, value, ok) rows: the feature pipeline
-    recomputed sequentially per ref — REAL stdlib PNG/JPEG decode for
-    png/jpeg refs, the deterministic fake for webp — joined against the documents
+    recomputed sequentially per ref — REAL stdlib decode for every fixture
+    format (PNG/JPEG/GIF/lossless-WebP) — joined against the documents
     view so only doc_ids present in the table at this sf survive."""
     from anycrawl_spark.operators.multimodal import feature_for_payload, synth_media
 

@@ -139,6 +139,13 @@ def test_multimodal_plumbing(spark):
         assert is_webp(bytes(r.payload[:12]))
         img = decode_webp(bytes(r.payload))
         assert (img.shape[0], img.shape[1]) == (r.meta.height, r.meta.width)
+    # gif refs carry REAL GIF87a/89a bytes that decode to the meta dims
+    from anycrawl_spark.functions.gif import GIF87A, GIF89A, decode_gif
+
+    for r in by_fmt.get("gif", []):
+        assert bytes(r.payload[:6]) in (GIF87A, GIF89A)
+        img = decode_gif(bytes(r.payload))
+        assert (img.shape[0], img.shape[1]) == (r.meta.height, r.meta.width)
 
     feats = extract_features(media, dim=8).collect()
     assert all(r.ok and len(r.feature) == 8 for r in feats)
@@ -149,8 +156,8 @@ def test_multimodal_plumbing(spark):
         got = [r.feature for r in feats if r.media_ref == ref][0]
         assert [round(x, 5) for x in got] == [round(x, 5) for x in expected]
 
-    # real-decode path: PNG/JPEG/lossless-webp all decode for real now, so
-    # every synthetic payload succeeds even with use_real (the stub only
+    # real-decode path: PNG/JPEG/GIF/lossless-webp all decode for real now,
+    # so every synthetic payload succeeds even with use_real (the stub only
     # triggers for lossy formats, which the fixtures no longer emit)
     for r in extract_features(media, dim=8, use_real=True).collect():
         assert r.ok and len(r.feature) == 8
@@ -322,20 +329,21 @@ def test_multimodal_resize_and_frames(spark):
     rs = resize_images(media, 128, 128).collect()
     assert len(rs) == 8
     assert all(r.ok and r.width == 128 for r in rs)
-    # png/jpeg/webp resize FOR REAL: output is a decodable 128x128 image
+    # png/jpeg/gif/webp resize FOR REAL: output is a decodable 128x128 image
+    from anycrawl_spark.functions.gif import decode_gif as decode_gif_rt
     from anycrawl_spark.functions.jpeg import decode_baseline
     from anycrawl_spark.functions.png import decode_png
     from anycrawl_spark.functions.webp import decode_webp as decode_webp_rt
     for r in rs:
         if fmt_of[r.media_ref] == "png":
             img = decode_png(bytes(r.payload))
-            assert img.shape[:2] == (128, 128)
         elif fmt_of[r.media_ref] == "jpeg":
             img = decode_baseline(bytes(r.payload))
-            assert img.shape[:2] == (128, 128)
+        elif fmt_of[r.media_ref] == "gif":
+            img = decode_gif_rt(bytes(r.payload))
         else:
             img = decode_webp_rt(bytes(r.payload))
-            assert img.shape[:2] == (128, 128)
+        assert img.shape[:2] == (128, 128)
     # deterministic: same input -> same resized bytes
     rs2 = {r.media_ref: r.payload for r in resize_images(media, 128, 128).collect()}
     assert all(rs2[r.media_ref] == r.payload for r in rs)
