@@ -304,6 +304,179 @@ def decode_gif(data: bytes) -> np.ndarray:
     return rgb
 
 
+def decode_gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """Every frame of a GIF87a/89a stream, composited onto the logical
+    screen per the GIF89a disposal model -> list of (delay_ms, (H, W, 4)
+    uint8 RGBA canvas). The canvas starts fully transparent; each frame
+    draws its raster (skipping the transparent index) at its descriptor
+    offset, the displayed state is snapshotted, then disposal runs:
+    0/1 leave, 2 clear the frame rect back to transparent (the
+    browser-consensus reading of "restore to background"), 3 restore the
+    canvas to its pre-draw state. Delays come from each frame's GCE in
+    centiseconds (x10 -> ms; 0 kept as 0 — renderer clamping is display
+    policy, not stream content)."""
+    data = bytes(data)
+    if len(data) < 13 or data[:6] not in (GIF87A, GIF89A):
+        raise GifFormatError("bad GIF signature")
+    screen_w, screen_h = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _read_color_table(data, pos, packed)
+    canvas = np.zeros((screen_h, screen_w, 4), dtype=np.uint8)
+    frames: list[tuple[int, np.ndarray]] = []
+    # pending GCE state — applies to the NEXT image block only (spec 23)
+    transparent: int | None = None
+    delay_cs = 0
+    disposal = 0
+    n = len(data)
+    while True:
+        if pos >= n:
+            raise GifFormatError("unterminated GIF (no trailer)")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            if not frames:
+                raise GifFormatError("no image data before trailer")
+            return frames
+        if block == 0x21:  # extension
+            if pos >= n:
+                raise GifFormatError("truncated extension")
+            label = data[pos]
+            pos += 1
+            body, pos = _read_subblocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:
+                disposal = (body[0] >> 2) & 0x07
+                delay_cs = int.from_bytes(body[1:3], "little")
+                transparent = body[3] if body[0] & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise GifFormatError(f"unknown block 0x{block:02x}")
+        if pos + 9 > n:
+            raise GifFormatError("truncated image descriptor")
+        left, top, w, h = struct.unpack_from("<4H", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        if w == 0 or h == 0:
+            raise GifFormatError("zero-size frame")
+        if left + w > screen_w or top + h > screen_h:
+            raise GifFormatError("frame exceeds logical screen")
+        lct = None
+        if ipacked & 0x80:
+            lct, pos = _read_color_table(data, pos, ipacked)
+        if pos >= n:
+            raise GifFormatError("missing LZW min code size")
+        mcs = data[pos]
+        pos += 1
+        raw, pos = _read_subblocks(data, pos)
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise GifFormatError("frame has no color table")
+        idx = _lzw_decode(raw, mcs, w * h).reshape(h, w)
+        if int(idx.max()) >= palette.shape[0]:
+            raise GifFormatError("palette index out of range")
+        if ipacked & 0x40:
+            idx = _deinterlace(idx)
+        tr = transparent if transparent is not None and transparent < palette.shape[0] else None
+        before = canvas[top : top + h, left : left + w].copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        mask = np.ones((h, w), dtype=bool) if tr is None else idx != tr
+        rgba = np.dstack([palette[idx], np.full((h, w), 255, dtype=np.uint8)])
+        region[mask] = rgba[mask]
+        frames.append((delay_cs * 10, canvas.copy()))
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = 0
+        elif disposal == 3:
+            canvas[top : top + h, left : left + w] = before
+        transparent, delay_cs, disposal = None, 0, 0
+
+
+def encode_gif_animation(
+    frames: list[dict],
+    palette: np.ndarray,
+    *,
+    screen_size: tuple[int, int] | None = None,
+    transparent_index: int | None = None,
+    loop: int | None = 0,
+) -> bytes:
+    """Animated GIF89a encoder for fixtures and the frame-sampling tests.
+
+    ``frames`` is a list of dicts with ``indices`` ((h, w) uint8 into the
+    shared global ``palette``) and optional ``left``/``top`` (sub-rect
+    placement), ``delay_ms`` (GCE delay, rounded to centiseconds),
+    ``disposal`` (0..3) and ``interlace``. ``screen_size`` is (w, h) of
+    the logical screen (default: bounding box of all frames). ``loop``
+    emits the NETSCAPE2.0 application extension (0 = forever, None =
+    omit)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    n_colors = palette.shape[0]
+    if transparent_index is not None and not 0 <= transparent_index < n_colors:
+        raise ValueError("transparent_index outside palette")
+    norm = []
+    for f in frames:
+        idx = np.asarray(f["indices"], dtype=np.uint8)
+        if idx.ndim != 2:
+            raise ValueError("frame indices must be (h, w)")
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("index out of palette range")
+        norm.append({
+            "idx": idx,
+            "left": int(f.get("left", 0)),
+            "top": int(f.get("top", 0)),
+            "delay_cs": max(0, round(int(f.get("delay_ms", 100)) / 10)),
+            "disposal": int(f.get("disposal", 1)),
+            "interlace": bool(f.get("interlace", False)),
+        })
+    if screen_size is None:
+        screen_w = max(f["left"] + f["idx"].shape[1] for f in norm)
+        screen_h = max(f["top"] + f["idx"].shape[0] for f in norm)
+    else:
+        screen_w, screen_h = screen_size
+    for f in norm:
+        if f["left"] + f["idx"].shape[1] > screen_w or f["top"] + f["idx"].shape[0] > screen_h:
+            raise ValueError("frame exceeds logical screen")
+    if max(screen_w, screen_h) > 0xFFFF:
+        raise GifFormatError("dimension exceeds GIF u16 field")
+    size_field = 0
+    while (2 << size_field) < max(n_colors, 2):
+        size_field += 1
+    table_n = 2 << size_field
+    table = np.zeros((table_n, 3), dtype=np.uint8)
+    table[:n_colors] = palette
+    mcs = max(2, size_field + 1)
+
+    out = bytearray()
+    out += GIF89A
+    out += struct.pack("<HH", screen_w, screen_h)
+    out.append(0x80 | size_field)
+    out += b"\x00\x00"
+    out += table.tobytes()
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0"
+        out += b"\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for f in norm:
+        h, w = f["idx"].shape
+        out += b"\x21\xf9\x04"
+        out.append(
+            (f["disposal"] & 0x07) << 2
+            | (0x01 if transparent_index is not None else 0x00)
+        )
+        out += struct.pack("<H", f["delay_cs"])
+        out.append(transparent_index if transparent_index is not None else 0)
+        out.append(0x00)
+        out += b"\x2c"
+        out += struct.pack("<HHHH", f["left"], f["top"], w, h)
+        out.append(0x40 if f["interlace"] else 0x00)
+        rows = _interlace(f["idx"]) if f["interlace"] else f["idx"]
+        out.append(mcs)
+        out += _write_subblocks(_lzw_encode(rows.reshape(-1), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _palette_from_rgb(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     flat = img.reshape(-1, 3)
     palette, inverse = np.unique(flat, axis=0, return_inverse=True)

@@ -37,8 +37,10 @@ from anycrawl_spark.functions.gif import (
     GIF89A,
     GifFormatError,
     decode_gif,
+    decode_gif_frames,
     decode_gif_indexed,
     encode_gif,
+    encode_gif_animation,
 )
 from anycrawl_spark.functions.jpeg import (
     JPEG_SOI,
@@ -175,7 +177,9 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
     all hash-picked, covering every decode path of ``functions/webp.py``.
     GIF refs (1 in 4) get a REAL GIF87a/89a stream — interlace,
     transparency, local-vs-global color table and palette size all
-    hash-picked, covering every decode path of ``functions/gif.py``
+    hash-picked; half of them are ANIMATED (2-5 frames, sub-rect deltas,
+    hash-picked delays and disposal methods, real duration in the
+    metadata), covering every decode path of ``functions/gif.py``
     (lossy VP8 remains the one documented decode stub)."""
     seed = hashlib.blake2b(media_ref.encode(), digest_size=32).digest()
     d = int.from_bytes(seed[:4], "big")
@@ -210,8 +214,60 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
                 restart_interval=[0, 0, 1, 3][(d >> 14) % 4],
             )
         elif fmt == "gif":
-            # <=64 distinct colors (GIF palettes cap at 256): quantize hard;
-            # knobs hash-picked across the decode matrix
+            if (d >> 20) & 1:
+                # ANIMATED (1 in 2 gif refs): 2-5 frames over a shared
+                # 8-color palette — frame 0 full-canvas, later frames
+                # sub-rect deltas with hash-picked offsets, delays
+                # (40-200 ms, centisecond-aligned) and disposal methods,
+                # so the fixture population exercises the whole GIF89a
+                # compositing model; meta carries the real total duration
+                palette = np.frombuffer(
+                    hashlib.blake2b(seed + b"pal", digest_size=24).digest(),
+                    dtype=np.uint8,
+                ).reshape(8, 3)
+                n_frames = 2 + (d >> 21) % 4
+                frames = []
+                duration_ms = 0
+                for k in range(n_frames):
+                    fseed = hashlib.blake2b(
+                        seed + b"frame" + k.to_bytes(2, "big"), digest_size=32
+                    ).digest()
+                    fd = int.from_bytes(fseed[:4], "big")
+                    if k == 0:
+                        fh, fw, left, top = height, width, 0, 0
+                    else:
+                        fw = 1 + fd % width
+                        fh = 1 + (fd >> 8) % height
+                        left = (fd >> 16) % (width - fw + 1)
+                        top = (fd >> 24) % (height - fh + 1)
+                    nn = fw * fh
+                    fraw = bytearray()
+                    ctr = 0
+                    while len(fraw) < nn:
+                        fraw += hashlib.blake2b(
+                            fseed + ctr.to_bytes(4, "big"), digest_size=64
+                        ).digest()
+                        ctr += 1
+                    idx = (
+                        np.frombuffer(bytes(fraw[:nn]), dtype=np.uint8) % 8
+                    ).reshape(fh, fw)
+                    delay = 40 + 10 * ((fd >> 5) % 17)
+                    duration_ms += delay
+                    frames.append({
+                        "indices": idx, "left": left, "top": top,
+                        "delay_ms": delay, "disposal": (fd >> 10) % 4,
+                    })
+                payload = encode_gif_animation(
+                    frames, palette,
+                    transparent_index=0 if (d >> 16) & 1 else None,
+                )
+                return payload, {
+                    "media_type": "image", "format": fmt,
+                    "width": width, "height": height,
+                    "duration_ms": duration_ms, "size_bytes": len(payload),
+                }
+            # static: <=64 distinct colors (GIF palettes cap at 256):
+            # quantize hard; knobs hash-picked across the decode matrix
             img = (img >> 6) << 6
             payload = encode_gif(
                 img,
@@ -420,16 +476,47 @@ FRAMES = T.StructType(
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, use_real: bool = False) -> DataFrame:
-    """video payload -> one row per sampled frame at ``every_ms`` intervals
-    (mapInPandas fan-out; frame bytes are derived deterministically from the
-    payload + timestamp — the ffmpeg decode is the stubbed kernel). Row
-    explosion happens INSIDE the python stage, so upstream partitioning is
-    preserved and no shuffle touches the bytes."""
+    """video/animation payload -> one row per sampled frame at ``every_ms``
+    intervals (mapInPandas fan-out; row explosion happens INSIDE the python
+    stage, so upstream partitioning is preserved and no shuffle touches the
+    bytes).
+
+    Animated GIF payloads sample FOR REAL: the stream's frames are
+    composited per the GIF89a disposal model (functions/gif.py), the frame
+    active at each ``every_ms`` tick is selected by the stream's own GCE
+    delays, and the sampled canvas is emitted as PNG bytes (RGBA-capable;
+    functions/png.py). A malformed GIF emits zero rows for that ref
+    (row-wise failure, same policy as extract_features). Everything else
+    — static images and the container's absent video decoders (libav) —
+    keeps the deterministic fake derived from payload + timestamp, with
+    the frame count driven by metadata duration."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
+                if bytes(r.payload[:6]) in (GIF87A, GIF89A):
+                    try:
+                        frames = decode_gif_frames(bytes(r.payload))
+                    except GifFormatError:
+                        continue  # corrupt payload: fail the ROW, not the task
+                    if len(frames) > 1:
+                        starts = [0]
+                        for delay, _ in frames[:-1]:
+                            starts.append(starts[-1] + delay)
+                        total = starts[-1] + frames[-1][0]
+                        n = max(1, total // every_ms)
+                        j = 0
+                        for i in range(int(n)):
+                            ts = i * every_ms
+                            while j + 1 < len(frames) and starts[j + 1] <= ts:
+                                j += 1
+                            rows.append({
+                                "media_ref": r.media_ref, "frame_idx": i,
+                                "ts_ms": ts,
+                                "frame": encode_png(frames[j][1]),
+                            })
+                        continue
                 duration = (r.meta or {}).get("duration_ms") or 0
                 n = max(1, duration // every_ms) if duration else 1
                 for i in range(int(n)):

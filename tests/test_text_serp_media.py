@@ -348,11 +348,46 @@ def test_multimodal_resize_and_frames(spark):
     rs2 = {r.media_ref: r.payload for r in resize_images(media, 128, 128).collect()}
     assert all(rs2[r.media_ref] == r.payload for r in rs)
 
-    # frame sampling: synthetic images carry duration_ms=None -> 1 frame each
+    # frame sampling: static refs carry duration_ms=None -> 1 fake frame;
+    # ANIMATED GIF refs sample FOR REAL from the stream's own delays
+    from anycrawl_spark.functions.gif import decode_gif_frames
+    from anycrawl_spark.functions.png import decode_png as decode_png_fr
+    from anycrawl_spark.operators.multimodal import synth_media
+
+    info = {}
+    for i in range(8):
+        ref = f"http://media.synth/v/{i}"
+        payload, meta = synth_media(ref)
+        info[ref] = (payload, meta)
+    animated = {r for r, (p, m) in info.items()
+                if m["format"] == "gif" and m["duration_ms"]}
     fr = sample_frames(media, every_ms=500).collect()
-    assert len(fr) == 8 and all(f.frame_idx == 0 and f.ts_ms == 0 for f in fr)
-    # fake a video with a duration: patch meta through a select
-    vid = media.withColumn(
+    per = {}
+    for f in fr:
+        per.setdefault(f.media_ref, []).append(f)
+    for ref, (payload, meta) in info.items():
+        got = sorted(per[ref], key=lambda f: f.frame_idx)
+        if ref in animated:
+            gif_frames = decode_gif_frames(payload)
+            total = sum(d for d, _ in gif_frames)
+            assert len(got) == max(1, total // 500)
+            # each sampled frame is a REAL PNG of the composited canvas,
+            # matching the frame active at that timestamp
+            starts = [0]
+            for d, _ in gif_frames[:-1]:
+                starts.append(starts[-1] + d)
+            for f in got:
+                img = decode_png_fr(bytes(f.frame))
+                j = max(k for k, s in enumerate(starts) if s <= f.ts_ms)
+                import numpy as np
+                assert np.array_equal(img, gif_frames[j][1])
+        else:
+            assert len(got) == 1 and got[0].frame_idx == 0 and got[0].ts_ms == 0
+    # fake a video with a duration: patch meta through a select (restrict
+    # to non-animated payloads — a real animation ignores patched meta and
+    # samples from its own stream)
+    vid = media.filter(~F.col("media_ref").isin(*animated) if animated
+                       else F.lit(True)).withColumn(
         "meta", F.named_struct(
             F.lit("media_type"), F.lit("video"), F.lit("format"), F.lit("mp4"),
             F.lit("width"), F.lit(640), F.lit("height"), F.lit(480),
@@ -364,6 +399,7 @@ def test_multimodal_resize_and_frames(spark):
     per = {}
     for f in frames:
         per.setdefault(f.media_ref, []).append(f.ts_ms)
+    assert len(per) == 8 - len(animated)
     assert all(sorted(v) == [0, 1000, 2000] for v in per.values())
 
 
