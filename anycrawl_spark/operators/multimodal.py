@@ -495,35 +495,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, use_real: bool = False
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                if bytes(r.payload[:6]) in (GIF87A, GIF89A):
-                    try:
-                        frames = decode_gif_frames(bytes(r.payload))
-                    except GifFormatError:
-                        continue  # corrupt payload: fail the ROW, not the task
-                    if len(frames) > 1:
-                        starts = [0]
-                        for delay, _ in frames[:-1]:
-                            starts.append(starts[-1] + delay)
-                        total = starts[-1] + frames[-1][0]
-                        n = max(1, total // every_ms)
-                        j = 0
-                        for i in range(int(n)):
-                            ts = i * every_ms
-                            while j + 1 < len(frames) and starts[j + 1] <= ts:
-                                j += 1
-                            rows.append({
-                                "media_ref": r.media_ref, "frame_idx": i,
-                                "ts_ms": ts,
-                                "frame": encode_png(frames[j][1]),
-                            })
-                        continue
-                duration = (r.meta or {}).get("duration_ms") or 0
-                n = max(1, duration // every_ms) if duration else 1
-                for i in range(int(n)):
-                    ts = i * every_ms
-                    frame = hashlib.blake2b(
-                        r.payload + f"|frame@{ts}".encode(), digest_size=32
-                    ).digest()
+                for i, ts, frame in frames_for_payload(r.payload, r.meta, every_ms):
                     rows.append({
                         "media_ref": r.media_ref, "frame_idx": i,
                         "ts_ms": ts, "frame": frame,
@@ -531,3 +503,43 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, use_real: bool = False
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])
 
     return media.select("media_ref", "payload", "meta").mapInPandas(gen, schema=FRAMES)
+
+
+def frames_for_payload(
+    payload: bytes, meta: dict | None, every_ms: int
+) -> list[tuple[int, int, bytes]]:
+    """The per-payload sampling kernel shared by the Spark stage AND the
+    sequential oracle mirror: (frame_idx, ts_ms, frame_bytes) tuples.
+    Animated GIF -> real composited PNG frames; corrupt GIF -> zero rows;
+    everything else -> metadata-driven deterministic fake."""
+    if bytes(payload[:6]) in (GIF87A, GIF89A):
+        try:
+            frames = decode_gif_frames(bytes(payload))
+        except GifFormatError:
+            return []  # corrupt payload: fail the ROW, not the task
+        if len(frames) > 1:
+            starts = [0]
+            for delay, _ in frames[:-1]:
+                starts.append(starts[-1] + delay)
+            total = starts[-1] + frames[-1][0]
+            n = max(1, total // every_ms)
+            out = []
+            j = 0
+            for i in range(int(n)):
+                ts = i * every_ms
+                while j + 1 < len(frames) and starts[j + 1] <= ts:
+                    j += 1
+                out.append((i, ts, encode_png(frames[j][1])))
+            return out
+    duration = (meta or {}).get("duration_ms") or 0
+    n = max(1, duration // every_ms) if duration else 1
+    return [
+        (
+            i,
+            i * every_ms,
+            hashlib.blake2b(
+                payload + f"|frame@{i * every_ms}".encode(), digest_size=32
+            ).digest(),
+        )
+        for i in range(int(n))
+    ]

@@ -295,6 +295,38 @@ FROM feat f JOIN refs USING (media_ref)
 """
 
 
+def sql_frame_samples(max_doc_id: int = 40, every_ms: int = 100) -> str:
+    """Expected (media_ref, frame_idx, ts_ms, frame_md5) rows: the frame
+    sampler recomputed sequentially per ref through the SAME kernel the
+    Spark stage runs (frames_for_payload — real composited GIF animation
+    frames as PNG bytes, deterministic fake elsewhere), joined against the
+    documents view so only doc_ids present at this sf survive."""
+    import hashlib as _hashlib
+
+    from anycrawl_spark.operators.multimodal import frames_for_payload, synth_media
+
+    rows = []
+    for doc_id in range(max_doc_id):
+        ref = f"http://media.synth/img/{doc_id}"
+        payload, meta = synth_media(ref)
+        for i, ts, frame in frames_for_payload(payload, meta, every_ms):
+            rows.append({
+                "media_ref": ref, "frame_idx": i, "ts_ms": ts,
+                "frame_md5": _hashlib.md5(frame).hexdigest(),
+            })
+    cols = [("media_ref", "VARCHAR"), ("frame_idx", "INTEGER"),
+            ("ts_ms", "INTEGER"), ("frame_md5", "VARCHAR")]
+    feat = values_sql(rows, cols)
+    return f"""
+WITH refs AS (
+  SELECT 'http://media.synth/img/' || doc_id AS media_ref
+  FROM documents WHERE doc_id < {max_doc_id}),
+feat AS ({feat})
+SELECT f.media_ref, f.frame_idx, f.ts_ms, f.frame_md5
+FROM feat f JOIN refs USING (media_ref)
+"""
+
+
 # ----------------------------------------------------------------- ANN LSH
 
 def sql_ann_lsh(dim: int = 64, k: int = 10, bits: int = 4, round_dp: int = 4) -> str:

@@ -1873,6 +1873,29 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_frame_samples(spark, sf_dir):
+    """Frame sampling over the multimodal pipeline: animated-GIF payloads
+    sample REAL composited frames from the stream's own GCE delays
+    (functions/gif.py, emitted as PNG bytes); static/undecodable payloads
+    keep the metadata-driven deterministic fake. Contract surface is scalar
+    only — the binary frame is exposed as its md5 hex."""
+    from anycrawl_spark.operators.multimodal import materialize_media, sample_frames
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(F.concat(F.lit("http://media.synth/img/"), F.col("doc_id")).alias("media_ref"))
+    )
+    media = materialize_media(refs)
+    frames = sample_frames(media, every_ms=100)
+    return frames.select(
+        "media_ref",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("int").alias("ts_ms"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2481,6 +2504,7 @@ EXTRA_QUERIES = {
     "q_queue_depth": q_queue_depth,
     "q_expiry_sweep": q_expiry_sweep,
     "q_host_histogram": q_host_histogram,
+    "q_frame_samples": q_frame_samples,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2488,4 +2512,5 @@ EXTRA_ORACLES = {
     "q_queue_depth": SQL_QUEUE_DEPTH,
     "q_expiry_sweep": SQL_EXPIRY_SWEEP,
     "q_host_histogram": SQL_HOST_HISTOGRAM,
+    "q_frame_samples": _mir.sql_frame_samples(max_doc_id=40, every_ms=100),
 }
