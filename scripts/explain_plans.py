@@ -181,6 +181,24 @@ def main() -> int:
           "materialize + decode are narrow Arrow maps (2 stages, fixture-side; production reads bytes from storage into ONE stage)")
     sections.append(("q_media_features", p))
 
+    # 11b. frame sampling (r5 animated GIF decode): same shape — the only
+    #      exchange carries media_ref strings; neither payload nor sampled
+    #      frame bytes ever cross an exchange (row fan-out happens INSIDE
+    #      the Arrow stage)
+    from anycrawl_spark.queries import EXTRA_QUERIES
+
+    p = plan_of(EXTRA_QUERIES["q_frame_samples"](spark, SF))
+    exch_args = re.findall(
+        r"^\(\d+\) (?:Broadcast)?Exchange\nInput \[\d+\]: \[([^\]]*)\]", p, re.M
+    )
+    check("q_frame_samples",
+          all("payload" not in a and "frame" not in a for a in exch_args),
+          "no exchange carries payload or frame bytes")
+    check("q_frame_samples",
+          len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 2,
+          "materialize + sample are narrow Arrow maps (frame fan-out inside the stage)")
+    sections.append(("q_frame_samples", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
