@@ -399,16 +399,66 @@ def jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def gif_resize(payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize for GIF payloads: decode to the INDEX grid
+    """REAL resize for GIF payloads. Static: decode to the INDEX grid
     (functions/gif.py), nearest-neighbor sample the indices, re-encode with
     the same palette — lossless, and transparency survives because the
-    transparent INDEX is preserved rather than round-tripped through RGB."""
-    idx, palette, transparent = decode_gif_indexed(payload)
-    src_h, src_w = idx.shape
-    ys = (np.arange(height) * src_h) // height
-    xs = (np.arange(width) * src_w) // width
-    return encode_gif(
-        indices=idx[ys][:, xs], palette=palette, transparent_index=transparent
+    transparent INDEX is preserved rather than round-tripped through RGB.
+    Animated: render the composited canvases, nearest-neighbor each one,
+    re-quantize the union of colors (raises row-wise past GIF's 256-color
+    cap) and re-emit FULL frames at the original delays — playback at the
+    new size looks identical, frame for frame, regardless of how the
+    source distributed its sub-rects and disposal methods."""
+    frames = decode_gif_frames(bytes(payload))
+    if len(frames) == 1:
+        idx, palette, transparent = decode_gif_indexed(payload)
+        src_h, src_w = idx.shape
+        ys = (np.arange(height) * src_h) // height
+        xs = (np.arange(width) * src_w) // width
+        return encode_gif(
+            indices=idx[ys][:, xs], palette=palette, transparent_index=transparent
+        )
+    _SENTINEL = np.uint32(1) << 24  # alpha-0 pixels, outside 24-bit RGB space
+    keyed = []
+    for delay, canvas in frames:
+        src_h, src_w = canvas.shape[:2]
+        ys = (np.arange(height) * src_h) // height
+        xs = (np.arange(width) * src_w) // width
+        c = canvas[ys][:, xs]
+        keys = (
+            (c[..., 0].astype(np.uint32) << 16)
+            | (c[..., 1].astype(np.uint32) << 8)
+            | c[..., 2].astype(np.uint32)
+        )
+        keys[c[..., 3] == 0] = _SENTINEL
+        keyed.append((delay, keys))
+    uniq = np.unique(np.concatenate([k.ravel() for _, k in keyed]))
+    has_transparent = bool(uniq[-1] == _SENTINEL)
+    colors = uniq[:-1] if has_transparent else uniq
+    if colors.size + has_transparent > 256:
+        raise GifFormatError(
+            f"{colors.size + has_transparent} colors after compositing; "
+            "GIF palettes cap at 256"
+        )
+    palette = np.stack(
+        [(colors >> 16) & 0xFF, (colors >> 8) & 0xFF, colors & 0xFF], axis=1
+    ).astype(np.uint8)
+    transparent_index = int(colors.size) if has_transparent else None
+    if has_transparent:
+        palette = np.vstack([palette, np.zeros((1, 3), np.uint8)])
+    return encode_gif_animation(
+        [
+            {
+                "indices": np.searchsorted(uniq, k).astype(np.uint8),
+                "delay_ms": delay,
+                # full frames must NOT inherit the previous frame through
+                # their transparent holes: clear to transparent (disposal 2)
+                # so each canvas is exactly the rendered source canvas
+                "disposal": 2,
+            }
+            for delay, k in keyed
+        ],
+        palette,
+        transparent_index=transparent_index,
     )
 
 

@@ -403,6 +403,38 @@ def test_multimodal_resize_and_frames(spark):
     assert all(sorted(v) == [0, 1000, 2000] for v in per.values())
 
 
+def test_gif_resize_preserves_animation():
+    """Animated payloads resize frame-for-frame: the re-encoded stream
+    plays back the nearest-neighbor-sampled canvases at the original
+    delays, with transparency intact (kernel-level, no Spark needed)."""
+    import numpy as np
+
+    from anycrawl_spark.functions.gif import decode_gif_frames
+    from anycrawl_spark.operators.multimodal import gif_resize, synth_media
+
+    checked = 0
+    i = 0
+    while checked < 5:
+        payload, meta = synth_media(f"http://media.synth/img/{i}")
+        i += 1
+        if meta["format"] != "gif" or not meta["duration_ms"]:
+            continue
+        out = gif_resize(payload, 64, 48)
+        src = decode_gif_frames(payload)
+        dst = decode_gif_frames(out)
+        assert len(src) == len(dst)
+        for (d1, c1), (d2, c2) in zip(src, dst):
+            assert d1 == d2
+            sh, sw = c1.shape[:2]
+            ys = (np.arange(48) * sh) // 48
+            xs = (np.arange(64) * sw) // 64
+            exp = c1[ys][:, xs]
+            assert np.array_equal(c2[..., 3] > 0, exp[..., 3] > 0)
+            m = exp[..., 3] > 0
+            assert np.array_equal(c2[..., :3][m], exp[..., :3][m])
+        checked += 1
+
+
 def test_google_locale_resolution_table_parity():
     """resolve_google_locale over the FULL tables: regions lookup, skip-list
     fallback to the first non-skip region, domain join, hl from lr value."""
