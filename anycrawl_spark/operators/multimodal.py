@@ -10,7 +10,11 @@ lossless-WebP payloads through ``functions/webp.py`` (full VP8L: all four
 transforms, color cache, meta prefix codes), and GIF payloads through
 ``functions/gif.py`` (GIF87a/89a LZW, interlace, transparency,
 differential-verified against Java ImageIO) — image features come from
-actual pixels for all four. Only the kernels the container genuinely
+actual pixels for all four. WAV audio payloads decode FOR REAL through
+``functions/wav.py`` (RIFF chunk walk; PCM 8/16/24/32-bit, IEEE float,
+EXTENSIBLE; differential-verified against the stdlib ``wave`` module) —
+audio features, resampling and clip sampling run on actual decoded
+samples. Only the kernels the container genuinely
 lacks (the lossy VP8 arithmetic coder, libav) stay STUBBED behind
 ``AnyCrawlDecodeUnavailable`` with a deterministic fake — the Spark-side
 plumbing (schema, batch shape, partitioning, UDF signatures) is real and
@@ -53,6 +57,13 @@ from anycrawl_spark.functions.png import (
     PngFormatError,
     decode_png,
     encode_png,
+)
+from anycrawl_spark.functions.wav import (
+    WavFormatError,
+    decode_wav,
+    encode_wav,
+    is_wav,
+    resample_linear,
 )
 from anycrawl_spark.functions.webp import (
     WebpFormatError,
@@ -98,7 +109,7 @@ class AnyCrawlDecodeUnavailable(NotImplementedError):
 #: exceptions that mean "this payload failed to decode" — fail the ROW
 DECODE_ROW_ERRORS = (
     AnyCrawlDecodeUnavailable, PngFormatError, JpegFormatError, WebpFormatError,
-    GifFormatError,
+    GifFormatError, WavFormatError,
 )
 
 
@@ -135,11 +146,26 @@ def png_feature(img: np.ndarray, dim: int = 16) -> np.ndarray:
     return flat.reshape(dim, -1).mean(axis=1)
 
 
+def audio_feature(samples: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Real-sample audio feature: chunked RMS energy envelope pooled down
+    to ``dim`` floats. Channels are mixed down by mean first (the envelope
+    of the mixdown, like a waveform display); the frame axis is zero-padded
+    to a multiple of dim so every payload yields a fixed-width vector.
+    Deterministic, rate- and depth-tolerant, computed from actual decoded
+    audio content — the audio analog of ``png_feature``."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    pad = (-len(mono)) % dim
+    if pad:
+        mono = np.concatenate([mono, np.zeros(pad, dtype=np.float64)])
+    chunks = mono.reshape(dim, -1)
+    return np.sqrt((chunks * chunks).mean(axis=1)).astype(np.float32)
+
+
 def feature_for_payload(payload: bytes, dim: int = 16, use_real: bool = False) -> np.ndarray:
     """The decode-select kernel shared by the Spark stage AND the sequential
     oracle mirror: PNG/JPEG/GIF/lossless-WebP bytes -> real decode +
-    png_feature; other formats -> deterministic fake (or the stubbed real
-    path when ``use_real``)."""
+    png_feature; WAV bytes -> real decode + audio_feature; other formats ->
+    deterministic fake (or the stubbed real path when ``use_real``)."""
     head = bytes(payload[:12])
     if head[:8] == PNG_SIGNATURE:
         return png_feature(decode_png(bytes(payload)), dim)
@@ -147,6 +173,9 @@ def feature_for_payload(payload: bytes, dim: int = 16, use_real: bool = False) -
         return png_feature(decode_jpeg(bytes(payload)), dim)
     if head[:6] in (GIF87A, GIF89A):
         return png_feature(decode_gif(bytes(payload)), dim)
+    if is_wav(head):  # RIFF like WebP — the byte-8 fourcc disambiguates
+        samples, _rate = decode_wav(bytes(payload))
+        return audio_feature(samples, dim)
     if is_webp(head):
         data = bytes(payload)
         kind = classify_webp(data)
@@ -183,6 +212,14 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
     (lossy VP8 remains the one documented decode stub)."""
     seed = hashlib.blake2b(media_ref.encode(), digest_size=32).digest()
     d = int.from_bytes(seed[:4], "big")
+    if "/aud/" in media_ref:
+        # AUDIO namespace: a REAL RIFF/WAVE stream — sample rate, duration,
+        # channel count, bit depth (8/16/24/32-bit PCM, float32/float64) and
+        # the EXTENSIBLE wrapper all hash-picked, so the fixture population
+        # exercises every decode path of ``functions/wav.py``. Content is a
+        # per-channel sine (hash-picked frequency/phase/amplitude) plus
+        # low-level deterministic noise from a blake2b counter stream.
+        return _synth_wav(seed, d)
     fmt = ["png", "jpeg", "webp", "gif"][d % 4]
     if fmt in ("png", "jpeg", "webp", "gif"):
         width = 8 + d % 25
@@ -303,6 +340,52 @@ def synth_media(media_ref: str) -> tuple[bytes, dict]:
         "width": width,
         "height": height,
         "duration_ms": None,
+        "size_bytes": len(payload),
+    }
+
+
+def _synth_wav(seed: bytes, d: int) -> tuple[bytes, dict]:
+    """Deterministic WAV fixture: see synth_media's audio branch."""
+    rate = [8000, 16000, 22050, 44100][d % 4]
+    duration_ms = 60 + (d >> 6) % 340
+    frames = rate * duration_ms // 1000
+    channels = 1 + ((d >> 2) & 1)
+    bits, float_fmt = [
+        (8, False), (16, False), (24, False), (32, False), (32, True), (64, True),
+    ][(d >> 8) % 6]
+    extensible = bool((d >> 11) & 1)
+    t = np.arange(frames, dtype=np.float64) / rate
+    chans = []
+    for c in range(channels):
+        cd = int.from_bytes(
+            hashlib.blake2b(seed + b"chan" + bytes([c]), digest_size=8).digest(),
+            "big",
+        )
+        freq = 100.0 + cd % 3900
+        amp = 0.25 + 0.6 * ((cd >> 12) % 256) / 255.0
+        phase = 2.0 * np.pi * ((cd >> 20) % 256) / 256.0
+        x = amp * np.sin(2.0 * np.pi * freq * t + phase)
+        if (cd >> 28) & 1:  # low-level deterministic noise stream
+            raw = bytearray()
+            ctr = 0
+            while len(raw) < frames:
+                raw += hashlib.blake2b(
+                    seed + b"noise" + bytes([c]) + ctr.to_bytes(4, "big"),
+                    digest_size=64,
+                ).digest()
+                ctr += 1
+            noise = np.frombuffer(bytes(raw[:frames]), dtype=np.uint8)
+            x = x + (noise.astype(np.float64) - 127.5) / 127.5 * 0.05
+        chans.append(np.clip(x, -0.999, 0.999))
+    samples = np.stack(chans, axis=1)
+    payload = encode_wav(samples, rate, bits=bits, float_fmt=float_fmt,
+                         extensible=extensible)
+    return payload, {
+        "media_type": "audio",
+        "format": "wav",
+        "width": None,
+        "height": None,
+        "duration_ms": duration_ms,
         "size_bytes": len(payload),
     }
 
@@ -593,3 +676,113 @@ def frames_for_payload(
         )
         for i in range(int(n))
     ]
+
+
+RESAMPLED = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("frames", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def wav_resample(payload: bytes, target_rate: int) -> tuple[bytes, int]:
+    """REAL resample for WAV payloads: decode (functions/wav.py), linear-
+    interpolate the sample grid to ``target_rate``, re-encode as 16-bit PCM
+    (the canonical interchange depth). Returns (bytes, frames) — the audio
+    analog of png_resize."""
+    samples, rate = decode_wav(payload)
+    out = resample_linear(samples, rate, target_rate)
+    return encode_wav(out, target_rate, bits=16), out.shape[0]
+
+
+def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """payload -> resampled WAV payload (mapInPandas; bytes stay in the
+    narrow map, never shuffled — same plan shape as resize_images). WAV
+    payloads resample for real; non-audio payloads and malformed WAVs fail
+    row-wise (ok=False), mirroring the image policy."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    if not is_wav(bytes(r.payload[:12])):
+                        raise WavFormatError("not a WAV payload")
+                    out, frames = wav_resample(bytes(r.payload), target_rate)
+                    rows.append({
+                        "media_ref": r.media_ref, "payload": out,
+                        "sample_rate": target_rate, "frames": frames, "ok": True,
+                    })
+                except DECODE_ROW_ERRORS:
+                    rows.append({
+                        "media_ref": r.media_ref, "payload": None,
+                        "sample_rate": None, "frames": None, "ok": False,
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLED.fields])
+
+    return media.select("media_ref", "payload").mapInPandas(gen, schema=RESAMPLED)
+
+
+CLIPS = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("clip_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("clip", T.BinaryType()),
+    ]
+)
+
+
+def clips_for_payload(
+    payload: bytes, every_ms: int, clip_ms: int
+) -> list[tuple[int, int, bytes]]:
+    """The per-payload clip kernel shared by the Spark stage AND the
+    sequential oracle mirror: WAV payload -> (clip_idx, ts_ms, wav_bytes)
+    windows of ``clip_ms`` starting every ``every_ms`` — real decoded
+    sample slices re-encoded as 16-bit PCM at the source rate (the audio
+    analog of frames_for_payload's real GIF path). Non-audio or corrupt
+    payloads emit zero rows (row-wise failure)."""
+    if not is_wav(bytes(payload[:12])):
+        return []
+    try:
+        samples, rate = decode_wav(bytes(payload))
+    except WavFormatError:
+        return []
+    frames = samples.shape[0]
+    total_ms = frames * 1000 // rate
+    n = max(1, total_ms // every_ms) if total_ms else 1
+    out = []
+    for i in range(int(n)):
+        ts = i * every_ms
+        lo = ts * rate // 1000
+        hi = min(frames, (ts + clip_ms) * rate // 1000)
+        if lo >= frames:
+            break
+        out.append((i, ts, encode_wav(samples[lo:hi], rate, bits=16)))
+    return out
+
+
+def sample_clips(
+    media: DataFrame, every_ms: int = 100, clip_ms: int = 50
+) -> DataFrame:
+    """audio payload -> one row per sampled clip (mapInPandas fan-out; the
+    row explosion happens INSIDE the python stage, so upstream partitioning
+    is preserved and no shuffle touches the bytes — same plan shape as
+    sample_frames)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for i, ts, clip in clips_for_payload(r.payload, every_ms, clip_ms):
+                    rows.append({
+                        "media_ref": r.media_ref, "clip_idx": i,
+                        "ts_ms": ts, "clip": clip,
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in CLIPS.fields])
+
+    return media.select("media_ref", "payload").mapInPandas(gen, schema=CLIPS)

@@ -327,6 +327,71 @@ FROM feat f JOIN refs USING (media_ref)
 """
 
 
+def sql_audio_features(max_doc_id: int = 40, dim: int = 8) -> str:
+    """Expected (media_ref, dim, value, ok) rows for the AUDIO namespace:
+    the feature pipeline recomputed sequentially per ref — REAL stdlib
+    RIFF/WAV decode (functions/wav.py) + chunked-RMS audio_feature — joined
+    against the documents view so only doc_ids present at this sf
+    survive."""
+    from anycrawl_spark.operators.multimodal import feature_for_payload, synth_media
+
+    rows = []
+    for doc_id in range(max_doc_id):
+        ref = f"http://media.synth/aud/{doc_id}"
+        payload, _ = synth_media(ref)
+        vec = feature_for_payload(payload, dim)
+        for i, v in enumerate(vec):
+            rows.append({
+                "media_ref": ref, "dim": i,
+                "value": _round_half_up(float(v), 6), "ok": True,
+            })
+    cols = [("media_ref", "VARCHAR"), ("dim", "INTEGER"),
+            ("value", "DOUBLE"), ("ok", "BOOLEAN")]
+    feat = values_sql(rows, cols)
+    return f"""
+WITH refs AS (
+  SELECT 'http://media.synth/aud/' || doc_id AS media_ref
+  FROM documents WHERE doc_id < {max_doc_id}),
+feat AS ({feat})
+SELECT f.media_ref, f.dim, f.value, f.ok
+FROM feat f JOIN refs USING (media_ref)
+"""
+
+
+def sql_audio_clips(
+    max_doc_id: int = 30, every_ms: int = 100, clip_ms: int = 50
+) -> str:
+    """Expected (media_ref, clip_idx, ts_ms, clip_md5) rows: the clip
+    sampler recomputed sequentially per ref through the SAME kernel the
+    Spark stage runs (clips_for_payload — real decoded sample windows
+    re-encoded as 16-bit-PCM WAV), joined against the documents view so
+    only doc_ids present at this sf survive."""
+    import hashlib as _hashlib
+
+    from anycrawl_spark.operators.multimodal import clips_for_payload, synth_media
+
+    rows = []
+    for doc_id in range(max_doc_id):
+        ref = f"http://media.synth/aud/{doc_id}"
+        payload, _meta = synth_media(ref)
+        for i, ts, clip in clips_for_payload(payload, every_ms, clip_ms):
+            rows.append({
+                "media_ref": ref, "clip_idx": i, "ts_ms": ts,
+                "clip_md5": _hashlib.md5(clip).hexdigest(),
+            })
+    cols = [("media_ref", "VARCHAR"), ("clip_idx", "INTEGER"),
+            ("ts_ms", "INTEGER"), ("clip_md5", "VARCHAR")]
+    feat = values_sql(rows, cols)
+    return f"""
+WITH refs AS (
+  SELECT 'http://media.synth/aud/' || doc_id AS media_ref
+  FROM documents WHERE doc_id < {max_doc_id}),
+feat AS ({feat})
+SELECT f.media_ref, f.clip_idx, f.ts_ms, f.clip_md5
+FROM feat f JOIN refs USING (media_ref)
+"""
+
+
 # ----------------------------------------------------------------- ANN LSH
 
 def sql_ann_lsh(dim: int = 64, k: int = 10, bits: int = 4, round_dp: int = 4) -> str:

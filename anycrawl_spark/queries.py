@@ -1896,6 +1896,56 @@ def q_frame_samples(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio modality of the multimodal pipeline: WAV payloads (REAL
+    stdlib RIFF/PCM/float decode, functions/wav.py) -> chunked-RMS energy
+    features from actual decoded samples. Same contract shape as
+    q_media_features: the vector explodes to (media_ref, dim, value) scalar
+    rows for the driver's pandas-sort canonicalization."""
+    from anycrawl_spark.operators.multimodal import extract_features, materialize_media
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(F.concat(F.lit("http://media.synth/aud/"), F.col("doc_id")).alias("media_ref"))
+    )
+    media = materialize_media(refs)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_ref",
+        F.posexplode("feature").alias("dim", "value"),
+        "ok",
+    ).select(
+        "media_ref",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        "ok",
+    )
+
+
+def q_audio_clips(spark, sf_dir):
+    """Clip sampling over the audio pipeline: WAV payloads -> fixed-length
+    sample windows (every 100 ms, 50 ms long), each re-encoded as a real
+    16-bit-PCM WAV from the decoded samples (functions/wav.py). Contract
+    surface is scalar only — the binary clip is exposed as its md5 hex,
+    mirroring q_frame_samples."""
+    from anycrawl_spark.operators.multimodal import materialize_media, sample_clips
+
+    refs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select(F.concat(F.lit("http://media.synth/aud/"), F.col("doc_id")).alias("media_ref"))
+    )
+    media = materialize_media(refs)
+    clips = sample_clips(media, every_ms=100, clip_ms=50)
+    return clips.select(
+        "media_ref",
+        F.col("clip_idx").cast("int").alias("clip_idx"),
+        F.col("ts_ms").cast("int").alias("ts_ms"),
+        F.md5("clip").alias("clip_md5"),
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2505,6 +2555,8 @@ EXTRA_QUERIES = {
     "q_expiry_sweep": q_expiry_sweep,
     "q_host_histogram": q_host_histogram,
     "q_frame_samples": q_frame_samples,
+    "q_audio_features": q_audio_features,
+    "q_audio_clips": q_audio_clips,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2513,4 +2565,6 @@ EXTRA_ORACLES = {
     "q_expiry_sweep": SQL_EXPIRY_SWEEP,
     "q_host_histogram": SQL_HOST_HISTOGRAM,
     "q_frame_samples": _mir.sql_frame_samples(max_doc_id=40, every_ms=100),
+    "q_audio_features": _mir.sql_audio_features(max_doc_id=40, dim=8),
+    "q_audio_clips": _mir.sql_audio_clips(max_doc_id=30, every_ms=100, clip_ms=50),
 }

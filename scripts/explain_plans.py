@@ -199,6 +199,22 @@ def main() -> int:
           "materialize + sample are narrow Arrow maps (frame fan-out inside the stage)")
     sections.append(("q_frame_samples", p))
 
+    # 11c. audio clips (r5 real WAV decode): same shape as frame sampling —
+    #      the only exchange carries media_ref strings; neither payload nor
+    #      clip bytes ever cross an exchange (clip fan-out happens INSIDE
+    #      the Arrow stage)
+    p = plan_of(EXTRA_QUERIES["q_audio_clips"](spark, SF))
+    exch_args = re.findall(
+        r"^\(\d+\) (?:Broadcast)?Exchange\nInput \[\d+\]: \[([^\]]*)\]", p, re.M
+    )
+    check("q_audio_clips",
+          all("payload" not in a and "clip" not in a for a in exch_args),
+          "no exchange carries payload or clip bytes")
+    check("q_audio_clips",
+          len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 2,
+          "materialize + clip-sample are narrow Arrow maps (clip fan-out inside the stage)")
+    sections.append(("q_audio_clips", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
