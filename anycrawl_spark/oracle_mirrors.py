@@ -392,6 +392,68 @@ FROM feat f JOIN refs USING (media_ref)
 """
 
 
+def sql_pii_redact(max_doc_id: int = 300) -> str:
+    """Full SQL restatement of q_pii_redact: the SAME portable regex
+    patterns (functions/pii.py PII_PATTERNS — no backreferences/lookaround,
+    so Java regex and RE2 agree) run through DuckDB's RE2 with the 'g'
+    flag, over the same deterministic per-doc_id plant. A true value
+    oracle: counts AND the md5 of the redacted bytes."""
+    from anycrawl_spark.functions.pii import sql_pii_counts, sql_redact_pii
+
+    counts = ",\n       ".join(sql_pii_counts("t"))
+    redact = sql_redact_pii("t")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com call +1-415-555-0'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           WHEN 1 THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+                || '.0.1 pay 4111 1111 1111 '
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS t
+  FROM documents WHERE doc_id < {max_doc_id})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {counts},
+       md5({redact}) AS redacted_md5
+FROM base
+"""
+
+
+def sql_decontaminate(
+    max_doc_id: int = 400,
+    n: int = 8,
+    bench_mod: int = 37,
+    bench_rem: int = 3,
+    snippet_tokens: int = 12,
+) -> str:
+    """Full SQL restatement of q_decontaminate: the same lowercase
+    whitespace tokenization, benchmark snippets (first ``snippet_tokens``
+    tokens of every doc_id % bench_mod == bench_rem document), token
+    n-grams via correlated UNNEST(range(...)), and the gram-equality join
+    + per-doc distinct-gram count."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id < {max_doc_id}),
+bench AS (
+  SELECT DISTINCT array_to_string(t[i:i+{n - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, least(len(t), {snippet_tokens}) - {n - 2})) AS u(i)
+  WHERE doc_id % {bench_mod} = {bench_rem} AND len(t) >= {n}),
+doc_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_contaminated_grams
+FROM doc_grams JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------------------------- ANN LSH
 
 def sql_ann_lsh(dim: int = 64, k: int = 10, bits: int = 4, round_dp: int = 4) -> str:

@@ -1946,6 +1946,64 @@ def q_audio_clips(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII detection + redaction (functions/pii.py): emails, payment-card
+    digit runs, IPs and phone numbers planted deterministically per doc_id
+    (the synthetic corpus is digit-free, so the planted spans are the only
+    PII), counted per category and replaced with typed placeholders — pure
+    JVM regexp column math, zero Python, zero shuffles. The redacted text
+    ships as md5 so the oracle checks the REPLACEMENT bytes too, not just
+    the counts."""
+    from anycrawl_spark.functions.pii import PII_PATTERNS, pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    m = F.col("doc_id") % 3
+    plant = (
+        F.when(m == 0, F.concat(
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call +1-415-555-0"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0")))
+        .when(m == 1, F.concat(
+            F.lit(" from 10."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(".0.1 pay 4111 1111 1111 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")))
+    txt = F.concat(F.col("text"), plant)
+    counts = [
+        c.cast("long").alias(f"n_{cat}")
+        for c, (cat, _p, _t_) in zip(pii_counts(txt), PII_PATTERNS)
+    ]
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *counts,
+        F.md5(redact_pii(txt)).alias("redacted_md5"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): documents
+    sharing any token 8-gram with a held-out benchmark (snippets = first 12
+    tokens of every doc_id % 37 == 3 document, so each benchmark doc flags
+    itself — and any verbatim duplicate — as contaminated). The benchmark
+    gram set broadcasts; corpus text never shuffles — the only exchange
+    carries MATCHED (doc_id, gram) rows."""
+    from anycrawl_spark.operators.decontaminate import (
+        contaminated_docs,
+        tokens_lower,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = tokens_lower(F.col("text"))
+    bench = docs.filter((F.col("doc_id") % 37) == 3).select(
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("snippet")
+    )
+    out = contaminated_docs(docs, bench, n=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_contaminated_grams").cast("long").alias("n_contaminated_grams"),
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2557,6 +2615,8 @@ EXTRA_QUERIES = {
     "q_frame_samples": q_frame_samples,
     "q_audio_features": q_audio_features,
     "q_audio_clips": q_audio_clips,
+    "q_pii_redact": q_pii_redact,
+    "q_decontaminate": q_decontaminate,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2567,4 +2627,7 @@ EXTRA_ORACLES = {
     "q_frame_samples": _mir.sql_frame_samples(max_doc_id=40, every_ms=100),
     "q_audio_features": _mir.sql_audio_features(max_doc_id=40, dim=8),
     "q_audio_clips": _mir.sql_audio_clips(max_doc_id=30, every_ms=100, clip_ms=50),
+    "q_pii_redact": _mir.sql_pii_redact(max_doc_id=300),
+    "q_decontaminate": _mir.sql_decontaminate(max_doc_id=400, n=8, bench_mod=37,
+                                              bench_rem=3, snippet_tokens=12),
 }

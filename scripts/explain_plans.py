@@ -215,6 +215,33 @@ def main() -> int:
           "materialize + clip-sample are narrow Arrow maps (clip fan-out inside the stage)")
     sections.append(("q_audio_clips", p))
 
+    # 11d. PII redaction (r5): the whole query is regexp column math inside
+    #      the scan stage — zero exchanges, zero Python
+    p = plan_of(EXTRA_QUERIES["q_pii_redact"](spark, SF))
+    check("q_pii_redact",
+          len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0,
+          "pure scan-stage map (0 exchanges)")
+    check("q_pii_redact",
+          "Python" not in p and "InPandas" not in p,
+          "pure JVM regexp math (no Python stage)")
+    sections.append(("q_pii_redact", p))
+
+    # 11e. decontamination (r5): benchmark gram set broadcasts; corpus text
+    #      never crosses an exchange — the only shuffle carries matched
+    #      (doc_id, gram) rows for the final per-doc distinct count
+    p = plan_of(EXTRA_QUERIES["q_decontaminate"](spark, SF))
+    check("q_decontaminate",
+          len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) >= 1
+          and len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0,
+          "benchmark gram join is broadcast, never sort-merge")
+    exch_args = re.findall(
+        r"^\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p, re.M
+    )
+    check("q_decontaminate",
+          all("text" not in a for a in exch_args),
+          "corpus text never crosses a shuffle (matched grams only)")
+    sections.append(("q_decontaminate", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
