@@ -454,6 +454,62 @@ GROUP BY doc_id
 """
 
 
+def sql_repetition_stats(max_doc_id: int = 300) -> str:
+    """Full SQL restatement of q_repetition_stats: same lowercase
+    whitespace tokenization, n-grams via correlated UNNEST(range(...)),
+    per-doc groupBy counts. Gram keys join tokens with ' ' — collision-free
+    because whitespace-split tokens cannot contain spaces (the python
+    kernel's tuple keys are equivalent). All outputs cast to BIGINT
+    (DuckDB sum() would otherwise widen to HUGEINT and fail the dtype-
+    sensitive compare)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id < {max_doc_id}),
+uni AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w),
+unistats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(max(c) AS BIGINT) AS top_token_count
+  FROM uni GROUP BY doc_id),
+big AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+      FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2)
+    GROUP BY doc_id, g) GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_trigram_count FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)
+    GROUP BY doc_id, g) GROUP BY doc_id),
+five AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_5grams,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_5grams FROM (
+    SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+    FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5)
+  GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+       coalesce(top_token_count, 0) AS top_token_count,
+       coalesce(top_bigram_count, 0) AS top_bigram_count,
+       coalesce(top_trigram_count, 0) AS top_trigram_count,
+       coalesce(n_5grams, 0) AS n_5grams,
+       coalesce(n_distinct_5grams, 0) AS n_distinct_5grams
+FROM (SELECT DISTINCT doc_id FROM toks) d
+LEFT JOIN unistats USING (doc_id)
+LEFT JOIN big USING (doc_id)
+LEFT JOIN tri USING (doc_id)
+LEFT JOIN five USING (doc_id)
+"""
+
+
 # ----------------------------------------------------------------- ANN LSH
 
 def sql_ann_lsh(dim: int = 64, k: int = 10, bits: int = 4, round_dp: int = 4) -> str:

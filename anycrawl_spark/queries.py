@@ -2004,6 +2004,30 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition statistics (functions/repetition.py): the
+    seven exact per-document counts behind the repetition quality gate —
+    token/distinct-token mass, top 1/2/3-gram occurrence counts, 5-gram
+    duplicate mass. One Arrow pass in the scan stage; counts (not
+    fractions) so the DuckDB mirror compares bit-exactly with no
+    float-rounding dialect risk."""
+    from anycrawl_spark.functions.repetition import with_repetition_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = with_repetition_stats(d)
+    r = F.col("rep")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        r["n_tokens"].alias("n_tokens"),
+        r["n_distinct_tokens"].alias("n_distinct_tokens"),
+        r["top_token_count"].alias("top_token_count"),
+        r["top_bigram_count"].alias("top_bigram_count"),
+        r["top_trigram_count"].alias("top_trigram_count"),
+        r["n_5grams"].alias("n_5grams"),
+        r["n_distinct_5grams"].alias("n_distinct_5grams"),
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2617,6 +2641,7 @@ EXTRA_QUERIES = {
     "q_audio_clips": q_audio_clips,
     "q_pii_redact": q_pii_redact,
     "q_decontaminate": q_decontaminate,
+    "q_repetition_stats": q_repetition_stats,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2630,4 +2655,5 @@ EXTRA_ORACLES = {
     "q_pii_redact": _mir.sql_pii_redact(max_doc_id=300),
     "q_decontaminate": _mir.sql_decontaminate(max_doc_id=400, n=8, bench_mod=37,
                                               bench_rem=3, snippet_tokens=12),
+    "q_repetition_stats": _mir.sql_repetition_stats(max_doc_id=300),
 }

@@ -242,6 +242,18 @@ def main() -> int:
           "corpus text never crosses a shuffle (matched grams only)")
     sections.append(("q_decontaminate", p))
 
+    # 11f. repetition stats (r5): ONE Arrow pass in the scan stage — the
+    #      pure-SQL alternative would shuffle O(corpus tokens) rows per
+    #      statistic
+    p = plan_of(EXTRA_QUERIES["q_repetition_stats"](spark, SF))
+    check("q_repetition_stats",
+          len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1,
+          "ONE Arrow kernel pass (all seven counts)")
+    check("q_repetition_stats",
+          len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0,
+          "text never crosses an exchange (0 shuffles)")
+    sections.append(("q_repetition_stats", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
