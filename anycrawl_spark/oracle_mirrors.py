@@ -510,6 +510,31 @@ LEFT JOIN five USING (doc_id)
 """
 
 
+def sql_normalize_text(max_doc_id: int = 60) -> str:
+    """Oracle for q_normalize_text: HAND-DERIVED golden expectations per
+    fixture (NORMALIZE_FIXTURES carries (raw, expected) pairs justified
+    char-by-char against the Unicode rules), joined to the documents view
+    by case_id = doc_id % k. The Spark side computes through the Arrow
+    kernel; the oracle side never runs the kernel."""
+    from anycrawl_spark.functions.normalize import NORMALIZE_FIXTURES
+
+    k = len(NORMALIZE_FIXTURES)
+    rows = [
+        {"case_id": i, "normalized": exp}
+        for i, (_raw, exp) in enumerate(NORMALIZE_FIXTURES)
+    ]
+    feat = values_sql(rows, [("case_id", "INTEGER"), ("normalized", "VARCHAR")])
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % {k} AS INTEGER) AS case_id
+  FROM documents WHERE doc_id < {max_doc_id}),
+g AS ({feat})
+SELECT d.doc_id, d.case_id, g.normalized
+FROM d JOIN g USING (case_id)
+"""
+
+
 # ----------------------------------------------------------------- ANN LSH
 
 def sql_ann_lsh(dim: int = 64, k: int = 10, bits: int = 4, round_dp: int = 4) -> str:

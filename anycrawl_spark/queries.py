@@ -2028,6 +2028,32 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Dedup-key text normalization (functions/normalize.py, CCNet-style):
+    unicode fixture strings assigned per doc_id run through the Arrow
+    kernel; the oracle carries HAND-DERIVED golden expectations per fixture
+    (see NORMALIZE_FIXTURES), so the pipeline — not the kernel against
+    itself — is what the comparison proves. The kernel's NFKC step is
+    additionally differential-verified against java.text.Normalizer in
+    tests/test_normalize.py."""
+    from anycrawl_spark.functions.normalize import NORMALIZE_FIXTURES, with_normalized
+
+    k = len(NORMALIZE_FIXTURES)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    raw = F.element_at(
+        F.array(*[F.lit(r) for r, _exp in NORMALIZE_FIXTURES]),
+        ((F.col("doc_id") % k) + 1).cast("int"),
+    )
+    df = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % k).cast("int").alias("case_id"),
+        raw.alias("raw"),
+    )
+    return with_normalized(df, "raw", "normalized").select(
+        "doc_id", "case_id", "normalized"
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2492,7 +2518,10 @@ QUERIES = {
 # so the driver's hard signal checks the r4 frontier-critical operators;
 # q_union_dedup / q_pagination / q_queue_depth / q_expiry_sweep /
 # q_host_histogram (trivial shapes, exercised transitively by the crawl-loop
-# queries) moved to EXTRA_QUERIES so local coverage stays 55/55.
+# queries) moved to EXTRA_QUERIES so local coverage lost nothing (the local
+# gate verifies QUERIES + EXTRA_QUERIES — 61 oracle-backed queries total
+# after the r5 additions: frame/audio sampling, audio features, PII,
+# decontamination, repetition stats).
 assert len(QUERIES) <= 50, f"driver contract window is 50, got {len(QUERIES)}"
 
 def verify_against_duckdb(spark, sf_dir: str, names=None) -> list[tuple[str, str]]:
@@ -2642,6 +2671,7 @@ EXTRA_QUERIES = {
     "q_pii_redact": q_pii_redact,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,
+    "q_normalize_text": q_normalize_text,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2656,4 +2686,5 @@ EXTRA_ORACLES = {
     "q_decontaminate": _mir.sql_decontaminate(max_doc_id=400, n=8, bench_mod=37,
                                               bench_rem=3, snippet_tokens=12),
     "q_repetition_stats": _mir.sql_repetition_stats(max_doc_id=300),
+    "q_normalize_text": _mir.sql_normalize_text(max_doc_id=60),
 }

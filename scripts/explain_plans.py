@@ -254,6 +254,17 @@ def main() -> int:
           "text never crosses an exchange (0 shuffles)")
     sections.append(("q_repetition_stats", p))
 
+    # 11g. dedup-key normalization (r5): same kernel discipline — one Arrow
+    #      pass in the scan stage, no exchange
+    p = plan_of(EXTRA_QUERIES["q_normalize_text"](spark, SF))
+    check("q_normalize_text",
+          len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1,
+          "ONE Arrow kernel pass")
+    check("q_normalize_text",
+          len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0,
+          "text never crosses an exchange (0 shuffles)")
+    sections.append(("q_normalize_text", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
