@@ -535,6 +535,40 @@ FROM d JOIN g USING (case_id)
 """
 
 
+def sql_pack_manifest(max_doc_id: int = 500, budget: int = 64) -> str:
+    """Full SQL restatement of q_pack_manifest: the sequential form of the
+    prefix sum (a plain window cumsum — fine in an oracle, a scale trap in
+    the engine), pack ids via exact integer division (//), slice bounds via
+    greatest/least, manifest rows via generate_series."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id < {max_doc_id}),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_tok
+  FROM docs),
+spans AS (
+  SELECT doc_id, n_tokens, start_tok,
+         start_tok // {budget} AS fp,
+         (start_tok + n_tokens - 1) // {budget} AS lp
+  FROM off WHERE n_tokens > 0)
+SELECT CAST(p AS BIGINT) AS pack_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(greatest(start_tok, p * {budget}) - start_tok AS BIGINT)
+         AS doc_tok_start,
+       CAST(greatest(start_tok, p * {budget}) - p * {budget} AS BIGINT)
+         AS pack_tok_start,
+       CAST(least(start_tok + n_tokens, (p + 1) * {budget})
+            - greatest(start_tok, p * {budget}) AS BIGINT) AS slice_len
+FROM spans, UNNEST(generate_series(fp, lp)) AS g(p)
+"""
+
+
 # ----------------------------------------------------------------- ANN LSH
 
 def sql_ann_lsh(dim: int = 64, k: int = 10, bits: int = 4, round_dp: int = 4) -> str:

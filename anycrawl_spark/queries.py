@@ -2054,6 +2054,25 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_pack_manifest(spark, sf_dir):
+    """Sequence packing (operators/packing.py): documents concatenated in
+    doc_id order, token stream cut every 64 tokens, loader manifest emitted
+    as one row per (pack, doc) slice. The global prefix sum runs as the
+    TWO-PHASE distributed form (per-partition totals -> driver offsets ->
+    intra-partition window) — never a single-partition global window; all
+    outputs are exact integers."""
+    from anycrawl_spark.operators.packing import pack_manifest
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return pack_manifest(d, budget=64).select(
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_tok_start",
+        "pack_tok_start",
+        "slice_len",
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2672,6 +2691,7 @@ EXTRA_QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,
     "q_normalize_text": q_normalize_text,
+    "q_pack_manifest": q_pack_manifest,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2687,4 +2707,5 @@ EXTRA_ORACLES = {
                                               bench_rem=3, snippet_tokens=12),
     "q_repetition_stats": _mir.sql_repetition_stats(max_doc_id=300),
     "q_normalize_text": _mir.sql_normalize_text(max_doc_id=60),
+    "q_pack_manifest": _mir.sql_pack_manifest(max_doc_id=500, budget=64),
 }

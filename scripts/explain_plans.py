@@ -265,6 +265,24 @@ def main() -> int:
           "text never crosses an exchange (0 shuffles)")
     sections.append(("q_normalize_text", p))
 
+    # 11h. sequence packing (r5): the global prefix sum must be the
+    #      TWO-PHASE form — an intra-partition window over doc-level
+    #      metadata, never a single-partition global window
+    p = plan_of(EXTRA_QUERIES["q_pack_manifest"](spark, SF))
+    check("q_pack_manifest",
+          "SinglePartition" not in p,
+          "no single-partition exchange (two-phase prefix sum)")
+    check("q_pack_manifest",
+          len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1,
+          "ONE window (the intra-partition cumsum)")
+    exch_args = re.findall(
+        r"^\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p, re.M
+    )
+    check("q_pack_manifest",
+          all("text" not in a for a in exch_args),
+          "document text never crosses an exchange (doc-level metadata only)")
+    sections.append(("q_pack_manifest", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
