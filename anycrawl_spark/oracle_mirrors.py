@@ -569,6 +569,42 @@ FROM spans, UNNEST(generate_series(fp, lp)) AS g(p)
 """
 
 
+def sql_mixture_sample(shares: dict[str, float]) -> str:
+    """Full SQL restatement of q_mixture_sample: the rates re-derive from
+    the SAME per-source counts inside SQL (shares LEFT JOIN counts, so a
+    share naming an absent source forces N* = 0 exactly like the python
+    solver), and the keep decision is the identical lexicographic
+    substr(md5(...), 1, 8) < threshold compare. IEEE double ops in the
+    rate math are identical in both engines (same division/multiply
+    order), so the printf('%08x', floor(rate * 2^32)) thresholds match
+    the python side bit-exactly."""
+    share_rows = ", ".join(
+        f"('{s}', {v!r})" for s, v in sorted(shares.items())
+    )
+    return f"""
+WITH shares(source, share) AS (VALUES {share_rows}),
+counts AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY source),
+lim AS (
+  SELECT min(coalesce(c, 0) / share) AS nstar
+  FROM shares LEFT JOIN counts USING (source) WHERE share > 0),
+rates AS (
+  SELECT c.source,
+         least(1.0, (SELECT nstar FROM lim) * coalesce(s.share, 0.0) / c.c)
+           AS rate
+  FROM counts c LEFT JOIN shares s USING (source)),
+thr AS (
+  SELECT source,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT))
+         END AS t
+  FROM rates)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t
+"""
+
+
 # ----------------------------------------------------------------- ANN LSH
 
 def sql_ann_lsh(dim: int = 64, k: int = 10, bits: int = 4, round_dp: int = 4) -> str:

@@ -2073,6 +2073,23 @@ def q_pack_manifest(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Source-mixture sampling (operators/sampling.py): deterministic
+    md5-threshold sampling per source at the rates that make the kept
+    corpus match target shares {src0: .5, src1: .25, src2: .15, src3: .1}
+    (every other source drops to 0). The keep decision is a lexicographic
+    hex-string compare, so the DuckDB oracle — which re-derives the rates
+    from the same counts in SQL — matches bit-exactly with no float-
+    conversion dialect risk."""
+    from anycrawl_spark.operators.sampling import mixture_sample
+
+    shares = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(d, shares).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2692,6 +2709,7 @@ EXTRA_QUERIES = {
     "q_repetition_stats": q_repetition_stats,
     "q_normalize_text": q_normalize_text,
     "q_pack_manifest": q_pack_manifest,
+    "q_mixture_sample": q_mixture_sample,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2708,4 +2726,7 @@ EXTRA_ORACLES = {
     "q_repetition_stats": _mir.sql_repetition_stats(max_doc_id=300),
     "q_normalize_text": _mir.sql_normalize_text(max_doc_id=60),
     "q_pack_manifest": _mir.sql_pack_manifest(max_doc_id=500, budget=64),
+    "q_mixture_sample": _mir.sql_mixture_sample(
+        {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
+    ),
 }

@@ -283,6 +283,18 @@ def main() -> int:
           "document text never crosses an exchange (doc-level metadata only)")
     sections.append(("q_pack_manifest", p))
 
+    # 11i. mixture sampling (r5): after the O(sources) count collect, the
+    #      keep decision is a pure scan-stage JVM filter — no exchange, no
+    #      python
+    p = plan_of(EXTRA_QUERIES["q_mixture_sample"](spark, SF))
+    check("q_mixture_sample",
+          len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0,
+          "pure scan-stage filter (0 exchanges)")
+    check("q_mixture_sample",
+          "Python" not in p and "InPandas" not in p,
+          "keep decision is JVM md5 + string compare (no Python)")
+    sections.append(("q_mixture_sample", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
