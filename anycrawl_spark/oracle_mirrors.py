@@ -605,6 +605,59 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t
 """
 
 
+def sql_link_rank(
+    n_nodes: int = 300,
+    fanout: int = 4,
+    iterations: int = 3,
+    m0: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """Full SQL restatement of q_link_rank: the synthetic digraph is
+    regenerated with the identical int64 mixing arithmetic, and each
+    PageRank round is unrolled into a (contrib, rank) CTE pair using the
+    same per-edge floor division ``(mass * 85) // (100 * outdeg)``.
+    Integer sums are order-independent, so this matches the distributed
+    engine bit-exactly — the whole point of the integer-mass design."""
+    teleport = m0 * (damp_den - damp_num) // damp_den
+    rounds = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+c{i} AS (
+  SELECT e.dst,
+         sum((r.mass * {damp_num}) // ({damp_den} * o.od)) AS in_mass
+  FROM edges e
+  JOIN {prev} r ON r.id = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.id, CAST({teleport} + coalesce(c{i}.in_mass, 0) AS BIGINT) AS mass
+  FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.id)""")
+        prev = f"r{i}"
+    return f"""
+WITH nodes AS (
+  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < {n_nodes}),
+raw_edges AS (
+  SELECT id AS src,
+         ((id * 2654435761 + (j + 1) * 40503 + 12345) % 2147483647)
+           % {n_nodes} AS dst
+  FROM nodes, UNNEST(generate_series(0, {fanout - 1})) AS g(j)),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+indeg AS (SELECT dst, count(*) AS ind FROM edges GROUP BY dst),
+r0 AS (SELECT id, CAST({m0} AS BIGINT) AS mass FROM nodes),{",".join(rounds)}
+SELECT n.id AS doc_id,
+       {prev}.mass AS rank_mass,
+       CAST(coalesce(o.od, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(i.ind, 0) AS BIGINT) AS in_deg
+FROM nodes n
+JOIN {prev} ON {prev}.id = n.id
+LEFT JOIN outdeg o ON o.src = n.id
+LEFT JOIN indeg i ON i.dst = n.id
+"""
+
+
 # ----------------------------------------------------------------- ANN LSH
 
 def sql_ann_lsh(dim: int = 64, k: int = 10, bits: int = 4, round_dp: int = 4) -> str:

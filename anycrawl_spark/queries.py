@@ -2090,6 +2090,27 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_link_rank(spark, sf_dir):
+    """Frontier link-graph centrality (operators/linkrank.py): integer-mass
+    PageRank — 3 Pregel rounds over a deterministic 4-out-edge synthetic
+    digraph on the first 300 docs. All mass arithmetic is exact int64 with
+    per-edge floor division, so the per-destination sums are shuffle-order
+    independent and the DuckDB oracle (the same rounds unrolled as CTEs)
+    matches bit-exactly — float PageRank could never hash-match across
+    engines because reduction order differs."""
+    from anycrawl_spark.operators.linkrank import pagerank_int, synthetic_link_graph
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    edges = synthetic_link_graph(d, n_nodes=300, fanout=4)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    return pagerank_int(edges, nodes, iterations=3).select(
+        F.col("id").cast("long").alias("doc_id"),
+        "rank_mass",
+        "out_deg",
+        "in_deg",
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2710,6 +2731,7 @@ EXTRA_QUERIES = {
     "q_normalize_text": q_normalize_text,
     "q_pack_manifest": q_pack_manifest,
     "q_mixture_sample": q_mixture_sample,
+    "q_link_rank": q_link_rank,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2729,4 +2751,5 @@ EXTRA_ORACLES = {
     "q_mixture_sample": _mir.sql_mixture_sample(
         {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
     ),
+    "q_link_rank": _mir.sql_link_rank(n_nodes=300, fanout=4, iterations=3),
 }

@@ -295,6 +295,19 @@ def main() -> int:
           "keep decision is JVM md5 + string compare (no Python)")
     sections.append(("q_mixture_sample", p))
 
+    # 11j. link-graph centrality (r5): each Pregel round is a join + a
+    #      TWO-PHASE integer sum (partial_sum below the dst exchange); no
+    #      cartesian, no Python anywhere in the rank rounds
+    p = plan_of(EXTRA_QUERIES["q_link_rank"](spark, SF))
+    check("q_link_rank", "Cartesian" not in p, "no cartesian product")
+    check("q_link_rank",
+          "Python" not in p and "InPandas" not in p,
+          "rank rounds are pure JVM join+sum")
+    check("q_link_rank",
+          re.search(r"partial_sum|partial_count", p) is not None,
+          "final degree aggregation is two-phase (map-side partial)")
+    sections.append(("q_link_rank", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
