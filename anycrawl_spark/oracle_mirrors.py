@@ -605,6 +605,54 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t
 """
 
 
+def sql_bm25_topk(query_terms: list[str], k: int = 10) -> str:
+    """Full SQL restatement of q_bm25_topk: the same exact-integer BM25
+    variant (operators/retrieval.py module docstring) — pre-log Robertson
+    idf scaled by 10^4, cleared-denominator TF saturation scaled by 10^6,
+    per-(doc,term) integer division, int64 sum, (score desc, doc_id) tie
+    break. DuckDB's sum() widens to HUGEINT, so the final score is cast
+    back to BIGINT to match Spark's long."""
+    from anycrawl_spark.operators.retrieval import IDF_SCALE, SAT_SCALE
+
+    terms = sorted({t.lower() for t in query_terms})
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS t
+  FROM docs),
+qterms(term) AS (VALUES {qvals}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ((2 * ((SELECT n FROM stats) - dfreq.df) + 1) * {IDF_SCALE})
+           // (2 * dfreq.df + 1) AS idf,
+         (44 * tf.tf * (SELECT t FROM stats) * {SAT_SCALE})
+           // (20 * tf.tf * (SELECT t FROM stats)
+               + 6 * (SELECT t FROM stats)
+               + 18 * dl.dl * (SELECT n FROM stats)) AS sat
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum((idf * sat) // {SAT_SCALE}) AS BIGINT) AS bm25_scaled,
+       CAST(count(*) AS BIGINT) AS matched_terms
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25_scaled DESC, doc_id
+LIMIT {k}
+"""
+
+
 def sql_link_rank(
     n_nodes: int = 300,
     fanout: int = 4,

@@ -2111,6 +2111,23 @@ def q_link_rank(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """First-party keyword retrieval (operators/retrieval.py): exact-
+    integer BM25 top-10 for the query {join, spark, window} over the full
+    documents table. All scoring is int64 (k1=6/5, b=3/4 as exact
+    rationals, pre-log Robertson idf), so multi-term sums are reduction-
+    order independent and the DuckDB restatement matches bit-exactly;
+    ties break on doc_id so the top-k cut is deterministic too."""
+    from anycrawl_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["join", "spark", "window"], k=10).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "bm25_scaled",
+        "matched_terms",
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2732,6 +2749,7 @@ EXTRA_QUERIES = {
     "q_pack_manifest": q_pack_manifest,
     "q_mixture_sample": q_mixture_sample,
     "q_link_rank": q_link_rank,
+    "q_bm25_topk": q_bm25_topk,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2752,4 +2770,5 @@ EXTRA_ORACLES = {
         {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
     ),
     "q_link_rank": _mir.sql_link_rank(n_nodes=300, fanout=4, iterations=3),
+    "q_bm25_topk": _mir.sql_bm25_topk(["join", "spark", "window"], k=10),
 }

@@ -308,6 +308,21 @@ def main() -> int:
           "final degree aggregation is two-phase (map-side partial)")
     sections.append(("q_link_rank", p))
 
+    # 11k. BM25 retrieval (r5): query-term filter sits below the postings
+    #      shuffle (only matching tokens leave the scan stage), the df join
+    #      broadcasts (O(query terms)), and top-k is a bounded heap
+    p = plan_of(EXTRA_QUERIES["q_bm25_topk"](spark, SF))
+    check("q_bm25_topk",
+          "TakeOrderedAndProject" in p,
+          "top-k is TakeOrderedAndProject (per-partition heaps, k rows to driver)")
+    check("q_bm25_topk",
+          "BroadcastHashJoin" in p,
+          "document-frequency join broadcasts")
+    check("q_bm25_topk",
+          "Cartesian" not in p and "Python" not in p and "InPandas" not in p,
+          "pure JVM scoring, no cartesian")
+    sections.append(("q_bm25_topk", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
