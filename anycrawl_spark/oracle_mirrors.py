@@ -605,6 +605,35 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t
 """
 
 
+def sql_bpe_encode(max_doc_id: int = 45) -> str:
+    """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
+    fixture word (BPE_FIXTURES docstring traces every merge against the
+    Sennrich et al. paper example), joined to the documents view by
+    case_id = doc_id % k. The Spark side trains + encodes through the
+    real kernel; the oracle side never runs it."""
+    from anycrawl_spark.functions.bpe import BPE_FIXTURES
+
+    k = len(BPE_FIXTURES)
+    rows = [
+        {"case_id": i, "word": w, "pieces": exp, "n_pieces": len(exp.split())}
+        for i, (w, exp) in enumerate(BPE_FIXTURES)
+    ]
+    feat = values_sql(
+        rows,
+        [("case_id", "INTEGER"), ("word", "VARCHAR"),
+         ("pieces", "VARCHAR"), ("n_pieces", "BIGINT")],
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % {k} AS INTEGER) AS case_id
+  FROM documents WHERE doc_id < {max_doc_id}),
+g AS ({feat})
+SELECT d.doc_id, d.case_id, g.word, g.pieces, g.n_pieces
+FROM d JOIN g USING (case_id)
+"""
+
+
 def sql_bm25_topk(query_terms: list[str], k: int = 10) -> str:
     """Full SQL restatement of q_bm25_topk: the same exact-integer BM25
     variant (operators/retrieval.py module docstring) — pre-log Robertson

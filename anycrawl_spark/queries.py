@@ -2128,6 +2128,43 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Real BPE tokenization (functions/bpe.py): merges trained by the
+    Sennrich algorithm on the paper's own example corpus (bit-deterministic
+    — lexicographic tie-breaks), fixture words assigned per doc_id and
+    encoded through the Arrow kernel. The oracle carries HAND-DERIVED
+    golden piece sequences (each merge traced in the BPE_FIXTURES
+    docstring), so the pipeline — not the kernel against itself — is what
+    the comparison proves."""
+    from anycrawl_spark.functions.bpe import (
+        BPE_FIXTURES,
+        SENNRICH_CORPUS,
+        bpe_pieces,
+        train_bpe,
+    )
+
+    merges = train_bpe(SENNRICH_CORPUS, 5)
+    k = len(BPE_FIXTURES)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 45)
+    word = F.element_at(
+        F.array(*[F.lit(w) for w, _exp in BPE_FIXTURES]),
+        ((F.col("doc_id") % k) + 1).cast("int"),
+    )
+    df = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % k).cast("int").alias("case_id"),
+        word.alias("word"),
+    )
+    pieces = bpe_pieces(F.col("word"), merges)
+    return df.select(
+        "doc_id",
+        "case_id",
+        "word",
+        F.concat_ws(" ", pieces).alias("pieces"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2750,6 +2787,7 @@ EXTRA_QUERIES = {
     "q_mixture_sample": q_mixture_sample,
     "q_link_rank": q_link_rank,
     "q_bm25_topk": q_bm25_topk,
+    "q_bpe_encode": q_bpe_encode,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2771,4 +2809,5 @@ EXTRA_ORACLES = {
     ),
     "q_link_rank": _mir.sql_link_rank(n_nodes=300, fanout=4, iterations=3),
     "q_bm25_topk": _mir.sql_bm25_topk(["join", "spark", "window"], k=10),
+    "q_bpe_encode": _mir.sql_bpe_encode(max_doc_id=45),
 }

@@ -323,6 +323,17 @@ def main() -> int:
           "pure JVM scoring, no cartesian")
     sections.append(("q_bm25_topk", p))
 
+    # 11l. BPE encode (r5): the whole tokenizer is ONE Arrow stage in the
+    #      scan — merges ride the closure, nothing shuffles
+    p = plan_of(EXTRA_QUERIES["q_bpe_encode"](spark, SF))
+    check("q_bpe_encode",
+          len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1,
+          "encode is exactly ONE Arrow-batched stage")
+    check("q_bpe_encode",
+          len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0,
+          "tokenization never shuffles (0 exchanges)")
+    sections.append(("q_bpe_encode", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
