@@ -605,6 +605,70 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t
 """
 
 
+def sql_curriculum_buckets(n_buckets: int = 10) -> str:
+    """Full SQL restatement of q_curriculum_buckets in the SEQUENTIAL form
+    — a plain per-source row_number window (fine for an oracle, the skew
+    trap the engine's two-phase histogram form exists to avoid). The
+    total order (n_tokens, doc_id) and the ((rank-1)*B) // n bucket
+    formula match the engine exactly."""
+    toks = (
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_tokens, doc_id
+         ) AS BIGINT) AS rank,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM d)
+SELECT doc_id, source, n_tokens, rank,
+       CAST(((rank - 1) * {n_buckets}) // n AS BIGINT) AS bucket
+FROM r
+"""
+
+
+def sql_anchor_terms(
+    n_nodes: int = 200, fanout: int = 4, n_words: int = 3, k: int = 3
+) -> str:
+    """Full SQL restatement of q_anchor_terms: the synthetic graph is
+    regenerated with the identical int64 mixing, each edge's anchor is the
+    source doc's first n_words lowercase tokens, and the per-target top-k
+    uses the same (cnt desc, term) deterministic ordering."""
+    toks = (
+        "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+WITH nodes AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {toks} AS toks
+  FROM documents WHERE doc_id < {n_nodes}),
+raw_edges AS (
+  SELECT id AS src,
+         ((id * 2654435761 + (j + 1) * 40503 + 12345) % 2147483647)
+           % {n_nodes} AS dst
+  FROM nodes, UNNEST(generate_series(0, {fanout - 1})) AS g(j)),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+anchors AS (
+  SELECT e.dst AS target_id, unnest(list_slice(n.toks, 1, {n_words})) AS term
+  FROM edges e JOIN nodes n ON n.id = e.src),
+counts AS (
+  SELECT target_id, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM anchors GROUP BY target_id, term),
+ranked AS (
+  SELECT target_id, term, cnt,
+         CAST(row_number() OVER (
+           PARTITION BY target_id ORDER BY cnt DESC, term
+         ) AS BIGINT) AS rnk
+  FROM counts)
+SELECT target_id, term, cnt, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

@@ -2165,6 +2165,41 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_anchor_terms(spark, sf_dir):
+    """Inbound anchor-text aggregation (operators/anchors.py): the
+    synthetic link graph on the first 200 docs, each edge carrying the
+    source doc's 3-token excerpt as its anchor; per target, the top-3
+    anchor terms by count with lexicographic tie-break. Counts and ranks
+    are exact integers; the window's rank cut is pushed map-side
+    (WindowGroupLimit, plan-checked)."""
+    from anycrawl_spark.operators.anchors import edge_anchors_from_docs, top_anchor_terms
+    from anycrawl_spark.operators.linkrank import synthetic_link_graph
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    edges = synthetic_link_graph(d, n_nodes=200, fanout=4)
+    anchors = edge_anchors_from_docs(edges, d, n_words=3)
+    return top_anchor_terms(anchors, k=3).select(
+        F.col("target_id").cast("long").alias("target_id"), "term", "cnt", "rnk"
+    )
+
+
+def q_curriculum_buckets(spark, sf_dir):
+    """Length-curriculum deciles (operators/curriculum.py): every doc's
+    exact rank and decile within its source under (token count, doc_id) —
+    computed the two-phase histogram way (never a whole-source sort
+    window), bit-equal to the oracle's plain row_number restatement."""
+    from anycrawl_spark.operators.curriculum import curriculum_buckets
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return curriculum_buckets(d, "n_tokens", n_buckets=10).select(
+        "doc_id", "source", "n_tokens", "rank", "bucket"
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2788,6 +2823,8 @@ EXTRA_QUERIES = {
     "q_link_rank": q_link_rank,
     "q_bm25_topk": q_bm25_topk,
     "q_bpe_encode": q_bpe_encode,
+    "q_anchor_terms": q_anchor_terms,
+    "q_curriculum_buckets": q_curriculum_buckets,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2810,4 +2847,6 @@ EXTRA_ORACLES = {
     "q_link_rank": _mir.sql_link_rank(n_nodes=300, fanout=4, iterations=3),
     "q_bm25_topk": _mir.sql_bm25_topk(["join", "spark", "window"], k=10),
     "q_bpe_encode": _mir.sql_bpe_encode(max_doc_id=45),
+    "q_anchor_terms": _mir.sql_anchor_terms(n_nodes=200, fanout=4, n_words=3, k=3),
+    "q_curriculum_buckets": _mir.sql_curriculum_buckets(n_buckets=10),
 }

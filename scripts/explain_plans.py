@@ -334,6 +334,38 @@ def main() -> int:
           "tokenization never shuffles (0 exchanges)")
     sections.append(("q_bpe_encode", p))
 
+    # 11m. anchor-text aggregation (r5): term counts two-phase, the
+    #      per-target rank cut pushed map-side
+    p = plan_of(EXTRA_QUERIES["q_anchor_terms"](spark, SF))
+    check("q_anchor_terms",
+          "WindowGroupLimit" in p,
+          "top-k rank cut pushed below the shuffle (map-side WindowGroupLimit)")
+    check("q_anchor_terms",
+          re.search(r"partial_count", p) is not None,
+          "term counting is two-phase")
+    check("q_anchor_terms",
+          "Cartesian" not in p and "InPandas" not in p,
+          "pure JVM, no cartesian")
+    sections.append(("q_anchor_terms", p))
+
+    # 11n. curriculum buckets (r5): the row-level rank window partitions on
+    #      (source, key) — never bare source (the whole-source sort-window
+    #      skew trap); only the tiny histogram windows key on source alone
+    p = plan_of(EXTRA_QUERIES["q_curriculum_buckets"](spark, SF))
+    # windowspecdefinition(...) AS _weN#M], [partition cols], [order cols]
+    # — capture the explicit partition bracket, not the spec args (those
+    # also list order columns, which would false-pass a bare-source window
+    # ordered by the key).
+    rw = re.findall(
+        r"row_number\(\) windowspecdefinition[^\n]*?\], \[([^\]]*)\], \[", p)
+    check("q_curriculum_buckets",
+          bool(rw) and all("n_tokens#" in s for s in rw),
+          "row-level rank window includes the key in its partitioning")
+    check("q_curriculum_buckets",
+          "Cartesian" not in p and "Python" not in p and "InPandas" not in p,
+          "pure JVM, no cartesian")
+    sections.append(("q_curriculum_buckets", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
