@@ -669,6 +669,56 @@ SELECT target_id, term, cnt, rnk FROM ranked WHERE rnk <= {k}
 """
 
 
+def sql_warc_manifest() -> str:
+    """Full SQL restatement of q_warc_manifest: the WARC/1.1 response
+    record header grammar (functions/warc.py) rebuilt as DuckDB string
+    math — CRLF as chr(13)||chr(10), the record id and block digest as
+    md5(), the constant-width sha1-base32 payload digest as a 32-char
+    placeholder (length-only), Content-Length as octet_length of the
+    UTF-8 payload, and per-segment byte offsets as a cumsum window over
+    URL order."""
+    crlf = "chr(13) || chr(10)"
+    head = f"""
+           'WARC/1.1' || {crlf} ||
+           'WARC-Type: response' || {crlf} ||
+           'WARC-Record-ID: <urn:anycrawl:' || md5(url || '|' || warc_date) || '>' || {crlf} ||
+           'WARC-Date: ' || warc_date || {crlf} ||
+           'WARC-Target-URI: ' || url || {crlf} ||
+           'Content-Type: text/plain; charset=utf-8' || {crlf} ||
+           'WARC-Block-Digest: md5:' || md5(text) || {crlf} ||
+           'WARC-Payload-Digest: sha1:' || repeat('A', 32) || {crlf} ||
+           'Content-Length: ' || CAST(octet_length(encode(text)) AS VARCHAR) || {crlf} ||
+           {crlf}"""
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.example/p/'
+            || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS segment,
+         '2026-08-20T'
+            || lpad(CAST(((doc_id * 977) % 86400) // 3600 AS VARCHAR), 2, '0') || ':'
+            || lpad(CAST((((doc_id * 977) % 86400) // 60) % 60 AS VARCHAR), 2, '0') || ':'
+            || lpad(CAST(((doc_id * 977) % 86400) % 60 AS VARCHAR), 2, '0') || 'Z'
+            AS warc_date
+  FROM documents),
+m AS (
+  SELECT doc_id, url, segment, warc_date,
+         'urn:anycrawl:' || md5(url || '|' || warc_date) AS record_id,
+         'md5:' || md5(text) AS block_digest,
+         CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+         CAST(octet_length(encode({head}
+         )) + octet_length(encode(text)) + 4 AS BIGINT) AS record_len
+  FROM d)
+SELECT doc_id, url, segment, warc_date, record_id, block_digest,
+       content_length, record_len,
+       CAST(coalesce(sum(record_len) OVER (
+         PARTITION BY segment ORDER BY url
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) AS byte_offset
+FROM m
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

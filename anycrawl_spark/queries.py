@@ -2200,6 +2200,54 @@ def q_curriculum_buckets(spark, sf_dir):
     )
 
 
+def q_warc_manifest(spark, sf_dir):
+    """WARC/1.1 archival manifest (functions/warc.py + sources/warc.py):
+    every document as a response record — deterministic record URI,
+    md5-labelled block digest, exact serialized byte length (the
+    sha1-base32 payload digest has constant width, so length math stays
+    pure JVM), and the record's byte offset within its host segment
+    (cumsum window per segment, offsets relative to the first response
+    record; the writer reports warcinfo_len separately). The oracle
+    restates the whole header grammar as SQL string math."""
+    from anycrawl_spark.sources.warc import warc_manifest
+
+    sec = (F.col("doc_id") * 977) % 86400
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".example")
+        ).alias("segment"),
+        F.concat(
+            F.lit("2026-08-20T"),
+            two(F.floor(sec / 3600)),
+            F.lit(":"),
+            two(F.floor(sec / 60) % 60),
+            F.lit(":"),
+            two(sec % 60),
+            F.lit("Z"),
+        ).alias("warc_date"),
+    )
+    return warc_manifest(d).select(
+        "doc_id",
+        "url",
+        "segment",
+        "warc_date",
+        "record_id",
+        "block_digest",
+        "content_length",
+        "record_len",
+        F.col("offset").alias("byte_offset"),
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2825,6 +2873,7 @@ EXTRA_QUERIES = {
     "q_bpe_encode": q_bpe_encode,
     "q_anchor_terms": q_anchor_terms,
     "q_curriculum_buckets": q_curriculum_buckets,
+    "q_warc_manifest": q_warc_manifest,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2849,4 +2898,5 @@ EXTRA_ORACLES = {
     "q_bpe_encode": _mir.sql_bpe_encode(max_doc_id=45),
     "q_anchor_terms": _mir.sql_anchor_terms(n_nodes=200, fanout=4, n_words=3, k=3),
     "q_curriculum_buckets": _mir.sql_curriculum_buckets(n_buckets=10),
+    "q_warc_manifest": _mir.sql_warc_manifest(),
 }

@@ -366,6 +366,21 @@ def main() -> int:
           "pure JVM, no cartesian")
     sections.append(("q_curriculum_buckets", p))
 
+    # 11o. WARC manifest (r5): the whole record-length/offset accounting is
+    #      JVM column math — digests via built-in md5, lengths via
+    #      octet_length, offsets via the per-segment cumsum window
+    p = plan_of(EXTRA_QUERIES["q_warc_manifest"](spark, SF))
+    check("q_warc_manifest",
+          "Python" not in p and "InPandas" not in p,
+          "record accounting is pure JVM column math (no python stage)")
+    check("q_warc_manifest",
+          "hashpartitioning(segment" in p,
+          "the only exchange keys on the segment (offset window locality)")
+    check("q_warc_manifest",
+          "Cartesian" not in p,
+          "no cartesian")
+    sections.append(("q_warc_manifest", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
