@@ -719,6 +719,104 @@ FROM m
 """
 
 
+def sql_cdx_index() -> str:
+    """Full SQL restatement of q_cdx_index: the messy-URL synthesis, the
+    complete SURT canonicalization (lowercase, scheme/fragment drop, www
+    strip, default-port drop, host-label reversal, query-param sort —
+    DuckDB list/regex functions mirroring the Spark column math), the
+    WARC response-record length grammar, and the absolute offset.
+
+    The warcinfo framing constant 267 is HAND-DERIVED from the grammar
+    in functions/warc.py (never imported from it — the kernel must not
+    oracle itself): version line 10 + 'WARC-Type: warcinfo'+CRLF 21 +
+    record-id line (30 constant chars + 32 hex + '>'+CRLF) 65 +
+    'WARC-Date: '+20+CRLF 33 + 'WARC-Filename: '+CRLF 17 (+ filename
+    octets, added per-row) + 'Content-Type: application/warc-fields'+
+    CRLF 39 + 'Content-Length: 56'+CRLF 20 + blank CRLF 2 + 56-octet
+    warc-fields payload + record trailer 4 = 267.
+    tests/test_surt_cdx.py pins the same 267 against the live kernel."""
+    crlf = "chr(13) || chr(10)"
+    head = f"""
+           'WARC/1.1' || {crlf} ||
+           'WARC-Type: response' || {crlf} ||
+           'WARC-Record-ID: <urn:anycrawl:' || md5(url || '|' || warc_date) || '>' || {crlf} ||
+           'WARC-Date: ' || warc_date || {crlf} ||
+           'WARC-Target-URI: ' || url || {crlf} ||
+           'Content-Type: text/plain; charset=utf-8' || {crlf} ||
+           'WARC-Block-Digest: md5:' || md5(text) || {crlf} ||
+           'WARC-Payload-Digest: sha1:' || repeat('A', 32) || {crlf} ||
+           'Content-Length: ' || CAST(octet_length(encode(text)) AS VARCHAR) || {crlf} ||
+           {crlf}"""
+    return f"""
+WITH d AS (
+  SELECT text,
+         (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END)
+           || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+           || 'H' || CAST(doc_id % 40 AS VARCHAR) || '.Example.ORG'
+           || (CASE doc_id % 5 WHEN 0 THEN ':8080' WHEN 1 THEN ':80'
+               WHEN 2 THEN ':443' ELSE '' END)
+           || '/Page/' || CAST(doc_id AS VARCHAR)
+           || (CASE doc_id % 4
+               WHEN 0 THEN '?b=' || CAST(doc_id AS VARCHAR) || '&a=1&A=2'
+               WHEN 1 THEN '?z=9' WHEN 2 THEN '?' ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN '#Sec-2' ELSE '' END) AS url,
+         'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS segment,
+         '2026-08-20T'
+           || lpad(CAST(((doc_id * 977) % 86400) // 3600 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST((((doc_id * 977) % 86400) // 60) % 60 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST(((doc_id * 977) % 86400) % 60 AS VARCHAR), 2, '0') || 'Z'
+           AS warc_date
+  FROM documents),
+u0 AS (
+  SELECT *, str_split(regexp_replace(lower(url), '^https?://', ''), '#')[1] AS u
+  FROM d),
+p0 AS (
+  SELECT *,
+         regexp_extract(u, '^([^/?]*)', 1) AS hostport,
+         substr(u, length(regexp_extract(u, '^([^/?]*)', 1)) + 1) AS rest
+  FROM u0),
+h0 AS (
+  SELECT *,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                        '^www\\.', '') AS host
+  FROM p0),
+s0 AS (
+  SELECT *,
+         array_to_string(list_reverse(str_split(host, '.')), ',')
+           || (CASE WHEN port <> '' AND port NOT IN ('80', '443')
+               THEN ':' || port ELSE '' END) AS revh,
+         CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+         strpos(rest, '?') AS qpos
+  FROM h0),
+k0 AS (
+  SELECT *,
+         CASE WHEN qpos > 0
+           THEN revh || ')' || path || '?' || array_to_string(
+                  list_sort(str_split(substr(rest, qpos + 1), '&')), '&')
+           ELSE revh || ')' || path END AS surt_key
+  FROM s0),
+m AS (
+  SELECT surt_key, url, segment, warc_date,
+         'md5:' || md5(text) AS block_digest,
+         CAST(octet_length(encode({head}
+         )) + octet_length(encode(text)) + 4 AS BIGINT) AS record_len
+  FROM k0)
+SELECT surt_key,
+       regexp_replace(warc_date, '[-T:Z]', '', 'g') AS cdx_ts,
+       url,
+       segment || '.warc' AS filename,
+       CAST(267 + octet_length(encode(segment || '.warc'))
+         + coalesce(sum(record_len) OVER (
+             PARTITION BY segment ORDER BY url
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS abs_offset,
+       record_len, block_digest
+FROM m
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

@@ -2248,6 +2248,53 @@ def q_warc_manifest(spark, sf_dir):
     )
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index over the WARC layer (functions/surt.py +
+    sources/warc.py cdx_index): every document becomes a capture row
+    keyed by its SURT (host labels reversed, www stripped, default ports
+    dropped, query params sorted, fragment dropped — all pure JVM string
+    math) with the 14-digit CDX timestamp and the record's ABSOLUTE byte
+    position in its .warc segment (warcinfo framing included via the
+    constant-width warcinfo length argument). URLs are deliberately
+    messy — mixed case, www/no-www, default/explicit ports, unsorted
+    query params, trailing '?', fragments — so the oracle restates the
+    whole canonicalization, not just the happy path."""
+    from anycrawl_spark.sources.warc import cdx_index
+
+    did = F.col("doc_id")
+    sec = (did * 977) % 86400
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("H"), (did % 40).cast("string"), F.lit(".Example.ORG"),
+        F.when(did % 5 == 0, F.lit(":8080"))
+        .when(did % 5 == 1, F.lit(":80"))
+        .when(did % 5 == 2, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/Page/"), did.cast("string"),
+        F.when(did % 4 == 0, F.concat(F.lit("?b="), did.cast("string"), F.lit("&a=1&A=2")))
+        .when(did % 4 == 1, F.lit("?z=9"))
+        .when(did % 4 == 2, F.lit("?"))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#Sec-2")).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "text",
+        url.alias("url"),
+        F.concat(F.lit("h"), (did % 40).cast("string"), F.lit(".example")).alias(
+            "segment"
+        ),
+        F.concat(
+            F.lit("2026-08-20T"),
+            two(F.floor(sec / 3600)), F.lit(":"),
+            two(F.floor(sec / 60) % 60), F.lit(":"),
+            two(sec % 60), F.lit("Z"),
+        ).alias("warc_date"),
+    )
+    return cdx_index(d)
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2874,6 +2921,7 @@ EXTRA_QUERIES = {
     "q_anchor_terms": q_anchor_terms,
     "q_curriculum_buckets": q_curriculum_buckets,
     "q_warc_manifest": q_warc_manifest,
+    "q_cdx_index": q_cdx_index,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2899,4 +2947,5 @@ EXTRA_ORACLES = {
     "q_anchor_terms": _mir.sql_anchor_terms(n_nodes=200, fanout=4, n_words=3, k=3),
     "q_curriculum_buckets": _mir.sql_curriculum_buckets(n_buckets=10),
     "q_warc_manifest": _mir.sql_warc_manifest(),
+    "q_cdx_index": _mir.sql_cdx_index(),
 }

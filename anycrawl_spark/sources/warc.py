@@ -109,6 +109,47 @@ def warc_manifest(
     )
 
 
+# Serialized length of a warcinfo record with an EMPTY filename: every
+# other field is constant-width (record id = 32 hex, date = 20 chars,
+# fixed warc-fields payload), so a segment's warcinfo length is exactly
+# WARCINFO_BASE + octet_length(filename) — pinned to the kernel by
+# tests/test_surt_cdx.py so the grammar can't drift silently.
+WARCINFO_BASE = 267
+
+
+def cdx_index(
+    df: DataFrame,
+    segment_col: str = "segment",
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDX capture-index rows over the WARC manifest: (surt_key, cdx_ts,
+    filename, abs_offset, record_len, block_digest) — the pywb/wayback
+    lookup tuple. abs_offset is the record's absolute byte position in
+    its segment file (warcinfo framing included, via the constant-width
+    argument above), so a reader can seek straight to the record. Pure
+    JVM end-to-end: SURT is column string math, offsets ride the
+    manifest's cumsum window."""
+    from anycrawl_spark.functions.surt import surt_key_col
+
+    man = warc_manifest(df, segment_col, url_col, date_col, text_col)
+    filename = F.concat(F.col(segment_col), F.lit(".warc"))
+    return man.select(
+        surt_key_col(F.col(url_col)).alias("surt_key"),
+        F.regexp_replace(F.col(date_col), "[-T:Z]", "").alias("cdx_ts"),
+        F.col(url_col).alias("url"),
+        filename.alias("filename"),
+        (
+            F.lit(WARCINFO_BASE).cast("long")
+            + F.octet_length(filename).cast("long")
+            + F.col("offset")
+        ).alias("abs_offset"),
+        "record_len",
+        "block_digest",
+    )
+
+
 _SEGMENT_SCHEMA = (
     "segment string, filename string, blob binary, n_records long, "
     "warcinfo_len long, total_len long"

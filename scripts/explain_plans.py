@@ -381,6 +381,19 @@ def main() -> int:
           "no cartesian")
     sections.append(("q_warc_manifest", p))
 
+    # 11p. CDX index (r5): SURT + timestamp + absolute offsets all JVM
+    p = plan_of(EXTRA_QUERIES["q_cdx_index"](spark, SF))
+    check("q_cdx_index",
+          "Python" not in p and "InPandas" not in p,
+          "SURT + offset accounting is pure JVM column math")
+    check("q_cdx_index",
+          "hashpartitioning(segment" in p,
+          "the only exchange keys on the segment (offset window locality)")
+    check("q_cdx_index",
+          "Cartesian" not in p,
+          "no cartesian")
+    sections.append(("q_cdx_index", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
