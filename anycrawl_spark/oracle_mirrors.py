@@ -817,6 +817,51 @@ FROM m
 """
 
 
+def sql_recrawl_priority(horizon: int = 10000, k: int = 5, scale: int = 1000) -> str:
+    """Full SQL restatement of q_recrawl_priority: the same digest
+    mixing, lag-window change detection, fixed-point rate (half-scale
+    cold-start prior), staleness priority, and per-host top-k with
+    (priority desc, url asc) tie-breaks."""
+    return f"""
+WITH v AS (
+  SELECT CAST(user_id AS BIGINT) AS url_id,
+         CAST(event_id AS BIGINT) AS seq,
+         CAST(((event_id % 7) * 2654435761) % 13 AS VARCHAR) AS digest
+  FROM events),
+c AS (
+  SELECT url_id, seq, digest,
+         CASE WHEN lag(digest) OVER (PARTITION BY url_id ORDER BY seq)
+                   IS NOT NULL
+               AND digest <> lag(digest) OVER (PARTITION BY url_id ORDER BY seq)
+              THEN 1 ELSE 0 END AS chg
+  FROM v),
+s AS (
+  SELECT url_id,
+         CAST(count(*) AS BIGINT) AS n_visits,
+         CAST(sum(chg) AS BIGINT) AS n_changes,
+         CAST(max(seq) AS BIGINT) AS last_seq
+  FROM c GROUP BY url_id),
+p AS (
+  SELECT 'h' || CAST(url_id % 20 AS VARCHAR) AS host,
+         url_id, n_visits, n_changes, last_seq,
+         CAST(CASE WHEN n_visits > 1
+              THEN (n_changes * {scale}) // (n_visits - 1)
+              ELSE {scale // 2} END AS BIGINT) AS rate_scaled,
+         CAST({horizon} - last_seq AS BIGINT) AS age
+  FROM s),
+r AS (
+  SELECT *, CAST(rate_scaled * age AS BIGINT) AS priority FROM p),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, url_id
+         ) AS BIGINT) AS rnk
+  FROM r)
+SELECT host, url_id, n_visits, n_changes, last_seq, rate_scaled, age,
+       priority, rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

@@ -2295,6 +2295,43 @@ def q_cdx_index(spark, sf_dir):
     return cdx_index(d)
 
 
+def q_recrawl_priority(spark, sf_dir):
+    """Recrawl scheduling (operators/freshness.py; Cho & Garcia-Molina
+    revisit policy in exact fixed point): the events table reinterpreted
+    as a visit history (user_id = url, event_id = visit seq, content
+    digest synthesized by deterministic int mixing), per-URL change
+    rates from a lag window, staleness priority = rate × age, and the
+    per-host top-5 refresh batch with deterministic tie-breaks."""
+    from anycrawl_spark.operators.freshness import (
+        recrawl_batch,
+        recrawl_priorities,
+        visit_change_stats,
+    )
+
+    visits = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("url_id"),
+        F.col("event_id").cast("long").alias("seq"),
+        (((F.col("event_id") % 7) * F.lit(2654435761)) % 13)
+        .cast("string")
+        .alias("digest"),
+    )
+    stats = visit_change_stats(visits)
+    pri = recrawl_priorities(stats, horizon_seq=10000).withColumn(
+        "host", F.concat(F.lit("h"), (F.col("url_id") % 20).cast("string"))
+    )
+    return recrawl_batch(pri, k=5).select(
+        "host",
+        "url_id",
+        "n_visits",
+        "n_changes",
+        "last_seq",
+        "rate_scaled",
+        "age",
+        "priority",
+        "rnk",
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2922,6 +2959,7 @@ EXTRA_QUERIES = {
     "q_curriculum_buckets": q_curriculum_buckets,
     "q_warc_manifest": q_warc_manifest,
     "q_cdx_index": q_cdx_index,
+    "q_recrawl_priority": q_recrawl_priority,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2948,4 +2986,5 @@ EXTRA_ORACLES = {
     "q_curriculum_buckets": _mir.sql_curriculum_buckets(n_buckets=10),
     "q_warc_manifest": _mir.sql_warc_manifest(),
     "q_cdx_index": _mir.sql_cdx_index(),
+    "q_recrawl_priority": _mir.sql_recrawl_priority(horizon=10000, k=5),
 }

@@ -394,6 +394,19 @@ def main() -> int:
           "no cartesian")
     sections.append(("q_cdx_index", p))
 
+    # 11q. recrawl priorities (r5): lag window per-url, budget cut map-side
+    p = plan_of(EXTRA_QUERIES["q_recrawl_priority"](spark, SF))
+    check("q_recrawl_priority",
+          "Python" not in p and "InPandas" not in p,
+          "change-rate pipeline is pure JVM")
+    check("q_recrawl_priority",
+          "WindowGroupLimit" in p,
+          "per-host refresh budget cut pushed map-side")
+    check("q_recrawl_priority",
+          re.search(r"partial_count", p) is not None,
+          "per-url stats aggregate two-phase")
+    sections.append(("q_recrawl_priority", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
