@@ -862,6 +862,38 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
+def sql_frontier_sharding(n_old: int = 16, n_new: int = 17) -> str:
+    """Full SQL restatement of q_frontier_sharding in the RELATIONAL
+    form (UNNEST shards + arg_max by md5 weight) — deliberately a
+    different computational shape than the engine's greatest-of-structs
+    projection, so the two derivations cross-check each other."""
+
+    def assign(n: int, alias: str) -> str:
+        return f"""
+  SELECT host, CAST(arg_max(s, md5(host || ':' || CAST(s AS VARCHAR)))
+               AS BIGINT) AS {alias}
+  FROM hosts, UNNEST(generate_series(0, {n - 1})) AS g(s)
+  GROUP BY host"""
+
+    return f"""
+WITH hosts AS (
+  SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.net' AS host
+  FROM documents),
+w_old AS ({assign(n_old, "shard_old")}),
+w_new AS ({assign(n_new, "shard_new")}),
+j AS (
+  SELECT w_new.host, shard_old, shard_new
+  FROM w_new JOIN w_old USING (host))
+SELECT shard_new AS shard,
+       CAST(count(*) AS BIGINT) AS n_hosts_new,
+       CAST(sum(CASE WHEN shard_old = shard_new THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stayed,
+       CAST(sum(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_in
+FROM j GROUP BY shard_new
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

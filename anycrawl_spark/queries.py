@@ -2332,6 +2332,28 @@ def q_recrawl_priority(spark, sf_dir):
     )
 
 
+def q_frontier_sharding(spark, sf_dir):
+    """Rendezvous-hash frontier sharding (operators/sharding.py): 500
+    synthetic hosts assigned to 16 shards by HRW argmax (a pure
+    greatest-of-structs projection, zero exchanges for the assignment),
+    then the 16→17 resize accounting per new shard — HRW's minimal-
+    disruption property shows up as n_moved_in = 0 for every surviving
+    shard (only shard 16 receives movers)."""
+    from anycrawl_spark.operators.sharding import resize_stats
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("h"), F.col("doc_id").cast("string"), F.lit(".example.net")
+        ).alias("host")
+    )
+    return resize_stats(hosts, n_old=16, n_new=17).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_hosts_new",
+        "n_stayed",
+        "n_moved_in",
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2960,6 +2982,7 @@ EXTRA_QUERIES = {
     "q_warc_manifest": q_warc_manifest,
     "q_cdx_index": q_cdx_index,
     "q_recrawl_priority": q_recrawl_priority,
+    "q_frontier_sharding": q_frontier_sharding,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -2987,4 +3010,5 @@ EXTRA_ORACLES = {
     "q_warc_manifest": _mir.sql_warc_manifest(),
     "q_cdx_index": _mir.sql_cdx_index(),
     "q_recrawl_priority": _mir.sql_recrawl_priority(horizon=10000, k=5),
+    "q_frontier_sharding": _mir.sql_frontier_sharding(n_old=16, n_new=17),
 }

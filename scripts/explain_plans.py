@@ -407,6 +407,17 @@ def main() -> int:
           "per-url stats aggregate two-phase")
     sections.append(("q_recrawl_priority", p))
 
+    # 11r. frontier sharding (r5): HRW assignment is a zero-exchange
+    #      projection; only the resize accounting aggregates
+    p = plan_of(EXTRA_QUERIES["q_frontier_sharding"](spark, SF))
+    check("q_frontier_sharding",
+          "Python" not in p and "InPandas" not in p,
+          "HRW argmax is pure JVM (greatest-of-structs projection)")
+    check("q_frontier_sharding",
+          len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+          "one exchange total — the resize-stats groupBy; assignment adds none")
+    sections.append(("q_frontier_sharding", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
