@@ -894,6 +894,62 @@ FROM j GROUP BY shard_new
 """
 
 
+def sql_trap_signals() -> str:
+    """Full SQL restatement of q_trap_signals with the RELATIONAL
+    repeat-segment derivation (UNNEST each URL's path segments, group,
+    HAVING count>=3) — cross-checking the engine's sorted-adjacency
+    zip_with form."""
+    return r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'trap' || CAST(doc_id % 30 AS VARCHAR) || '.example' AS host,
+         'http://trap' || CAST(doc_id % 30 AS VARCHAR) || '.example' ||
+         (CASE (doc_id % 30) % 3
+          WHEN 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN '/a/' || CAST(doc_id % 5 AS VARCHAR)
+                   || '/a/' || CAST(doc_id AS VARCHAR) || '/a/x'
+          ELSE '/q?x=' || CAST(doc_id AS VARCHAR) || '&y=1&z=2' END) AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, host,
+         list_filter(str_split(
+           regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1), '/'),
+           x -> x <> '') AS segs,
+         regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM d),
+rep AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS rep3 FROM (
+    SELECT doc_id, seg, count(*) AS c
+    FROM p, UNNEST(segs) AS t(seg)
+    GROUP BY doc_id, seg HAVING count(*) >= 3)
+  GROUP BY doc_id),
+per_url AS (
+  SELECT p.doc_id, host,
+         CAST(len(segs) AS BIGINT) AS depth,
+         coalesce(rep.rep3, 0) AS rep3,
+         CAST(CASE WHEN q <> '' THEN len(str_split(q, '&')) ELSE 0 END
+              AS BIGINT) AS params
+  FROM p LEFT JOIN rep ON p.doc_id = rep.doc_id),
+agg AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(max(depth) AS BIGINT) AS max_depth,
+         CAST(sum(rep3) AS BIGINT) AS n_repeat_urls,
+         CAST((sum(params) * 100) // count(*) AS BIGINT) AS params_x100
+  FROM per_url GROUP BY host)
+SELECT host, n_urls, max_depth, n_repeat_urls, params_x100,
+       CAST(CASE WHEN max_depth >= 5 THEN 1 ELSE 0 END AS BIGINT) AS deep,
+       CAST(CASE WHEN n_repeat_urls * 5 >= n_urls THEN 1 ELSE 0 END AS BIGINT)
+         AS repeaty,
+       CAST(CASE WHEN params_x100 >= 200 THEN 1 ELSE 0 END AS BIGINT) AS paramy,
+       CAST((CASE WHEN max_depth >= 5 THEN 1 ELSE 0 END)
+          + 2 * (CASE WHEN n_repeat_urls * 5 >= n_urls THEN 1 ELSE 0 END)
+          + 2 * (CASE WHEN params_x100 >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS trap_score
+FROM agg
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

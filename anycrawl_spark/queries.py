@@ -2354,6 +2354,45 @@ def q_frontier_sharding(spark, sf_dir):
     )
 
 
+def q_trap_signals(spark, sf_dir):
+    """Crawl-trap detection (operators/traps.py): 30 synthetic hosts in
+    three behavior classes — normal (/p/id), path-loop (/a/x/a/y/a/z:
+    segment 'a' three times → the repeat signature), and param-explosion
+    (?x=id&y=1&z=2) — aggregated into per-host depth/repeat/param
+    signals, boolean gates, and the integer trap score. The engine
+    detects repeats via sorted-adjacency zip_with (no explode); the
+    oracle uses the relational UNNEST+HAVING form."""
+    from anycrawl_spark.operators.traps import trap_signals
+
+    did = F.col("doc_id")
+    k = did % 30
+    url = F.concat(
+        F.lit("http://trap"), k.cast("string"), F.lit(".example"),
+        F.when(
+            k % 3 == 0, F.concat(F.lit("/p/"), did.cast("string"))
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("/a/"), (did % 5).cast("string"),
+                F.lit("/a/"), did.cast("string"),
+                F.lit("/a/x"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/q?x="), did.cast("string"), F.lit("&y=1&z=2"))
+        ),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("trap"), k.cast("string"), F.lit(".example")).alias("host"),
+        url.alias("url"),
+    )
+    return trap_signals(d).select(
+        "host", "n_urls", "max_depth", "n_repeat_urls", "params_x100",
+        "deep", "repeaty", "paramy", "trap_score",
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -2983,6 +3022,7 @@ EXTRA_QUERIES = {
     "q_cdx_index": q_cdx_index,
     "q_recrawl_priority": q_recrawl_priority,
     "q_frontier_sharding": q_frontier_sharding,
+    "q_trap_signals": q_trap_signals,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3011,4 +3051,5 @@ EXTRA_ORACLES = {
     "q_cdx_index": _mir.sql_cdx_index(),
     "q_recrawl_priority": _mir.sql_recrawl_priority(horizon=10000, k=5),
     "q_frontier_sharding": _mir.sql_frontier_sharding(n_old=16, n_new=17),
+    "q_trap_signals": _mir.sql_trap_signals(),
 }

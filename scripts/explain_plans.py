@@ -418,6 +418,19 @@ def main() -> int:
           "one exchange total — the resize-stats groupBy; assignment adds none")
     sections.append(("q_frontier_sharding", p))
 
+    # 11s. trap signals (r5): repeat detection without explode, two-phase agg
+    p = plan_of(EXTRA_QUERIES["q_trap_signals"](spark, SF))
+    check("q_trap_signals",
+          "Python" not in p and "InPandas" not in p,
+          "trap signal pipeline is pure JVM")
+    check("q_trap_signals",
+          "Generate" not in p,
+          "repeat-segment detection stays array-local (no explode)")
+    check("q_trap_signals",
+          re.search(r"partial_count", p) is not None,
+          "per-host aggregate is two-phase")
+    sections.append(("q_trap_signals", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
