@@ -950,6 +950,31 @@ FROM agg
 """
 
 
+def sql_compaction_plan(target_kb: int = 4096, small_kb: int = 2048) -> str:
+    """Full SQL restatement of q_compaction_plan: identical manifest
+    synthesis and the same (bytes asc, file asc) prefix-sum next-fit
+    packing; big files contribute 0 to the prefix and get bin -1."""
+    return f"""
+WITH m AS (
+  SELECT 'p' || CAST(doc_id % 8 AS VARCHAR) AS partition,
+         CAST(doc_id AS BIGINT) AS file_id,
+         CAST(CASE WHEN doc_id % 11 = 0 THEN ((doc_id * 37) % 3000) + 4096
+              ELSE ((doc_id * 7919) % 1990) + 10 END AS BIGINT) AS kb
+  FROM documents),
+c AS (
+  SELECT partition, file_id, kb,
+         CAST(coalesce(sum(CASE WHEN kb < {small_kb} THEN kb ELSE 0 END) OVER (
+           PARTITION BY partition ORDER BY kb, file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM m)
+SELECT partition, file_id, kb, cum_before,
+       CAST(CASE WHEN kb < {small_kb} THEN cum_before // {target_kb}
+            ELSE -1 END AS BIGINT) AS bin
+FROM c
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

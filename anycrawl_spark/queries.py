@@ -2393,6 +2393,29 @@ def q_trap_signals(spark, sf_dir):
     )
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/compaction.py): a
+    synthetic snapshot manifest — 8 table partitions, file sizes from
+    deterministic int mixing with every 11th file already target-sized —
+    packed next-fit toward 4 MB bins with 2 MB as the small-file
+    threshold. Output is the file-level plan (prefix KB + bin; -1 =
+    leave in place)."""
+    from anycrawl_spark.operators.compaction import compaction_plan
+
+    did = F.col("doc_id")
+    manifest = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("p"), (did % 8).cast("string")).alias("partition"),
+        did.cast("long").alias("file_id"),
+        F.when(did % 11 == 0, ((did * 37) % 3000) + 4096)
+        .otherwise(((did * 7919) % 1990) + 10)
+        .cast("long")
+        .alias("kb"),
+    )
+    return compaction_plan(manifest, target_kb=4096, small_kb=2048).select(
+        "partition", "file_id", "kb", "cum_before", "bin"
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3023,6 +3046,7 @@ EXTRA_QUERIES = {
     "q_recrawl_priority": q_recrawl_priority,
     "q_frontier_sharding": q_frontier_sharding,
     "q_trap_signals": q_trap_signals,
+    "q_compaction_plan": q_compaction_plan,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3052,4 +3076,5 @@ EXTRA_ORACLES = {
     "q_recrawl_priority": _mir.sql_recrawl_priority(horizon=10000, k=5),
     "q_frontier_sharding": _mir.sql_frontier_sharding(n_old=16, n_new=17),
     "q_trap_signals": _mir.sql_trap_signals(),
+    "q_compaction_plan": _mir.sql_compaction_plan(target_kb=4096, small_kb=2048),
 }

@@ -431,6 +431,16 @@ def main() -> int:
           "per-host aggregate is two-phase")
     sections.append(("q_trap_signals", p))
 
+    # 11t. compaction plan (r5): metadata-only window per table partition
+    p = plan_of(EXTRA_QUERIES["q_compaction_plan"](spark, SF))
+    check("q_compaction_plan",
+          "Python" not in p and "InPandas" not in p and "Cartesian" not in p,
+          "packing plan is pure JVM window math")
+    check("q_compaction_plan",
+          "windowspecdefinition(partition#" in p,
+          "cumsum window partitions by the table partition")
+    sections.append(("q_compaction_plan", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
