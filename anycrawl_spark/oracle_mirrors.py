@@ -975,6 +975,58 @@ FROM c
 """
 
 
+def sql_snapshot_diff() -> str:
+    """Full SQL restatement of q_snapshot_diff: identical mutation
+    synthesis, the same lowercase-token 3-gram distinct sets, and the
+    set-difference/intersection counts + scaled Jaccard distance."""
+    toks = (
+        "list_filter(regexp_split_to_array(trim(lower({t})), '\\s+'),"
+        " x -> x <> '')"
+    )
+    grams = (
+        "list_distinct(list_transform("
+        " generate_series(1, greatest(len({l}) - 2, 0)),"
+        " i -> array_to_string(list_slice({l}, i, i + 2), ' ')))"
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         'u' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents),
+pair AS (
+  SELECT url, text AS t_old,
+         CASE WHEN id % 3 = 0 THEN text
+              WHEN id % 3 = 1 THEN text || ' fresh update section '
+                   || CAST(id AS VARCHAR)
+              ELSE substr(text, 15) || ' tail note ' || CAST(id AS VARCHAR)
+         END AS t_new
+  FROM d),
+toksed AS (
+  SELECT url, {toks.format(t='t_old')} AS lo, {toks.format(t='t_new')} AS ln
+  FROM pair),
+sh AS (
+  SELECT url, {grams.format(l='lo')} AS da, {grams.format(l='ln')} AS db
+  FROM toksed),
+cnt AS (
+  SELECT url,
+         CAST(len(da) AS BIGINT) AS n_old,
+         CAST(len(db) AS BIGINT) AS n_new,
+         CAST(len(list_filter(db, x -> NOT list_contains(da, x))) AS BIGINT)
+           AS n_added,
+         CAST(len(list_filter(da, x -> NOT list_contains(db, x))) AS BIGINT)
+           AS n_removed,
+         CAST(len(list_filter(da, x -> list_contains(db, x))) AS BIGINT)
+           AS n_common
+  FROM sh)
+SELECT url, n_old, n_new, n_added, n_removed, n_common,
+       CAST(CASE WHEN n_added + n_removed + n_common > 0
+            THEN ((n_added + n_removed) * 1000)
+                 // (n_added + n_removed + n_common)
+            ELSE 0 END AS BIGINT) AS change_x1000
+FROM cnt
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

@@ -2416,6 +2416,36 @@ def q_compaction_plan(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot content diffing (operators/diffing.py): the documents
+    table as crawl N, a deterministic mutation of it as crawl N+1 —
+    doc_id%3==0 unchanged, %3==1 suffix-appended, %3==2 head-truncated
+    and suffixed — diffed as distinct token-3-gram sets into exact
+    added/removed/common counts and the scaled Jaccard distance."""
+    from anycrawl_spark.operators.diffing import snapshot_diff
+
+    did = F.col("doc_id")
+    base = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"), "text", did.alias("_id")
+    )
+    old = base.select("url", "text")
+    new = base.select(
+        "url",
+        F.when(F.col("_id") % 3 == 0, F.col("text"))
+        .when(
+            F.col("_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" fresh update section "),
+                     F.col("_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.substring(F.col("text"), 15, 1000000),
+                     F.lit(" tail note "), F.col("_id").cast("string"))
+        )
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3047,6 +3077,7 @@ EXTRA_QUERIES = {
     "q_frontier_sharding": q_frontier_sharding,
     "q_trap_signals": q_trap_signals,
     "q_compaction_plan": q_compaction_plan,
+    "q_snapshot_diff": q_snapshot_diff,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3077,4 +3108,5 @@ EXTRA_ORACLES = {
     "q_frontier_sharding": _mir.sql_frontier_sharding(n_old=16, n_new=17),
     "q_trap_signals": _mir.sql_trap_signals(),
     "q_compaction_plan": _mir.sql_compaction_plan(target_kb=4096, small_kb=2048),
+    "q_snapshot_diff": _mir.sql_snapshot_diff(),
 }

@@ -441,6 +441,19 @@ def main() -> int:
           "cumsum window partitions by the table partition")
     sections.append(("q_compaction_plan", p))
 
+    # 11u. snapshot diff (r5): shingle sets stay array-local, one url join
+    p = plan_of(EXTRA_QUERIES["q_snapshot_diff"](spark, SF))
+    check("q_snapshot_diff",
+          "Python" not in p and "InPandas" not in p,
+          "diffing is pure JVM array math")
+    check("q_snapshot_diff",
+          "Generate" not in p,
+          "shingle sets never explode")
+    check("q_snapshot_diff",
+          "Cartesian" not in p,
+          "no cartesian")
+    sections.append(("q_snapshot_diff", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
