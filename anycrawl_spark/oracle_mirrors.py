@@ -1027,6 +1027,50 @@ FROM cnt
 """
 
 
+def sql_fair_alloc() -> str:
+    """Full SQL restatement of q_fair_alloc: same demand/capacity
+    synthesis and the same closed-form water-filling — rank window,
+    prefix sums, the monotone break condition, the largest satisfied
+    rank K per host, and the base+remainder split for the rest."""
+    return """
+WITH d AS (
+  SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS host,
+         CAST(doc_id AS BIGINT) AS job_id,
+         CAST((doc_id * 7919) % 97 AS BIGINT) AS demand,
+         CAST(100 + ((doc_id % 25) * 53) % 400 AS BIGINT) AS capacity
+  FROM documents),
+r AS (
+  SELECT *,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n,
+         CAST(sum(demand) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS prefix
+  FROM d
+  WINDOW w AS (PARTITION BY host ORDER BY demand, job_id)),
+s AS (
+  SELECT *,
+         (demand * (n - k + 1) + prefix - demand) <= capacity AS sat
+  FROM r),
+m AS (
+  SELECT *,
+         CAST(max(CASE WHEN sat THEN k ELSE 0 END)
+              OVER (PARTITION BY host) AS BIGINT) AS bigk,
+         CAST(max(CASE WHEN sat THEN prefix ELSE 0 END)
+              OVER (PARTITION BY host) AS BIGINT) AS prefk
+  FROM s)
+SELECT host, job_id, demand, capacity, k,
+       CAST(CASE WHEN k <= bigk THEN demand
+            ELSE (CASE WHEN n - bigk > 0
+                  THEN (capacity - prefk) // (n - bigk)
+                       + (CASE WHEN k - bigk <= (capacity - prefk) % (n - bigk)
+                          THEN 1 ELSE 0 END)
+                  ELSE 0 END)
+       END AS BIGINT) AS alloc,
+       CAST(CASE WHEN k <= bigk THEN 1 ELSE 0 END AS BIGINT) AS fully_served
+FROM m
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

@@ -2446,6 +2446,24 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new)
 
 
+def q_fair_alloc(spark, sf_dir):
+    """Max-min fair capacity allocation (operators/fairshare.py): 25
+    hosts with deterministic capacities, each contested by the jobs
+    whose doc_id maps there, demands from int mixing (including zero
+    demands and over-subscribed hosts). Closed-form water-filling in
+    pure window math; alloc/fully_served are exact integers."""
+    from anycrawl_spark.operators.fairshare import fairshare_alloc
+
+    did = F.col("doc_id")
+    demands = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (did % 25).cast("string")).alias("host"),
+        did.cast("long").alias("job_id"),
+        (((did * 7919) % 97)).cast("long").alias("demand"),
+        (F.lit(100) + ((did % 25) * 53) % 400).cast("long").alias("capacity"),
+    )
+    return fairshare_alloc(demands)
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3078,6 +3096,7 @@ EXTRA_QUERIES = {
     "q_trap_signals": q_trap_signals,
     "q_compaction_plan": q_compaction_plan,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_fair_alloc": q_fair_alloc,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3109,4 +3128,5 @@ EXTRA_ORACLES = {
     "q_trap_signals": _mir.sql_trap_signals(),
     "q_compaction_plan": _mir.sql_compaction_plan(target_kb=4096, small_kb=2048),
     "q_snapshot_diff": _mir.sql_snapshot_diff(),
+    "q_fair_alloc": _mir.sql_fair_alloc(),
 }

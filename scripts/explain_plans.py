@@ -454,6 +454,16 @@ def main() -> int:
           "no cartesian")
     sections.append(("q_snapshot_diff", p))
 
+    # 11v. fair allocation (r5): closed-form water-filling, windows on host
+    p = plan_of(EXTRA_QUERIES["q_fair_alloc"](spark, SF))
+    check("q_fair_alloc",
+          "Python" not in p and "InPandas" not in p and "Cartesian" not in p,
+          "water-filling is pure JVM window math")
+    check("q_fair_alloc",
+          "windowspecdefinition(host#" in p,
+          "all windows key on host (politeness co-partitioning)")
+    sections.append(("q_fair_alloc", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
