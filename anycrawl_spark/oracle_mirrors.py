@@ -1071,6 +1071,38 @@ FROM m
 """
 
 
+def sql_latency_percentiles(percentiles: list[int]) -> str:
+    """Full SQL restatement of q_latency_percentiles: same histogram,
+    cumulative window, integer ceil threshold, and min-value-at-rank
+    lookup (NOT DuckDB's quantile_disc — restating the derivation keeps
+    the definition under test)."""
+    plist = ", ".join(f"({p})" for p in sorted(set(percentiles)))
+    return f"""
+WITH d AS (
+  SELECT event_type AS grp,
+         CAST((event_id * 37) % 1000 AS BIGINT) AS value
+  FROM events),
+hist AS (
+  SELECT grp, value, CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY grp, value),
+cum AS (
+  SELECT grp, value,
+         CAST(sum(c) OVER (PARTITION BY grp ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM hist),
+ps(p) AS (VALUES {plist}),
+x AS (
+  SELECT grp, value, cum, n, CAST(p AS BIGINT) AS p,
+         CAST((p * n + 99) // 100 AS BIGINT) AS rank_needed
+  FROM cum, ps)
+SELECT grp, p, n, rank_needed, CAST(min(value) AS BIGINT) AS q_value
+FROM x WHERE cum >= rank_needed
+GROUP BY grp, p, n, rank_needed
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

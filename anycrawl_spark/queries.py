@@ -2464,6 +2464,22 @@ def q_fair_alloc(spark, sf_dir):
     return fairshare_alloc(demands)
 
 
+def q_latency_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (operators/quantiles.py): synthetic
+    fetch latencies (deterministic int mixing) grouped by event_type,
+    exact nearest-rank p50/p90/p99 via the two-phase histogram — never a
+    global sort, never approxQuantile's seed-dependent error."""
+    from anycrawl_spark.operators.quantiles import exact_percentiles
+
+    d = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        ((F.col("event_id") * 37) % 1000).cast("long").alias("value"),
+    )
+    return exact_percentiles(d, [50, 90, 99]).select(
+        "grp", "p", "n", "rank_needed", "q_value"
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3097,6 +3113,7 @@ EXTRA_QUERIES = {
     "q_compaction_plan": q_compaction_plan,
     "q_snapshot_diff": q_snapshot_diff,
     "q_fair_alloc": q_fair_alloc,
+    "q_latency_percentiles": q_latency_percentiles,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3129,4 +3146,5 @@ EXTRA_ORACLES = {
     "q_compaction_plan": _mir.sql_compaction_plan(target_kb=4096, small_kb=2048),
     "q_snapshot_diff": _mir.sql_snapshot_diff(),
     "q_fair_alloc": _mir.sql_fair_alloc(),
+    "q_latency_percentiles": _mir.sql_latency_percentiles([50, 90, 99]),
 }

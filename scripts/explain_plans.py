@@ -464,6 +464,19 @@ def main() -> int:
           "all windows key on host (politeness co-partitioning)")
     sections.append(("q_fair_alloc", p))
 
+    # 11w. exact percentiles (r5): two-phase histogram, no global sort
+    p = plan_of(EXTRA_QUERIES["q_latency_percentiles"](spark, SF))
+    check("q_latency_percentiles",
+          "Python" not in p and "InPandas" not in p and "Cartesian" not in p,
+          "percentile pipeline is pure JVM")
+    check("q_latency_percentiles",
+          re.search(r"partial_count", p) is not None,
+          "histogram aggregates two-phase")
+    check("q_latency_percentiles",
+          "rangepartitioning" not in p,
+          "no global sort of the data (histogram windows only)")
+    sections.append(("q_latency_percentiles", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
