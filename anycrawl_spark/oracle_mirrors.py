@@ -1103,6 +1103,38 @@ GROUP BY grp, p, n, rank_needed
 """
 
 
+def sql_sessionize(gap_s: int = 1800) -> str:
+    """Full SQL restatement of q_sessionize — the same gaps-and-islands
+    lag + running-sum derivation over integer epoch seconds."""
+    return f"""
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s  -- floor, not round:
+         -- Spark's timestamp->long cast truncates sub-second fractions
+  FROM events),
+g AS (
+  SELECT user_id, epoch_s,
+         CASE WHEN lag(epoch_s) OVER w IS NULL
+               OR epoch_s - lag(epoch_s) OVER w > {gap_s}
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s)),
+s AS (
+  SELECT user_id, epoch_s,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY epoch_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM g)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_s) AS BIGINT) AS start_s,
+       CAST(max(epoch_s) AS BIGINT) AS end_s,
+       CAST(max(epoch_s) - min(epoch_s) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

@@ -2480,6 +2480,25 @@ def q_latency_percentiles(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): the events
+    table cut into 30-minute-gap sessions per user — the batch
+    gaps-and-islands form of the session windows the streaming layer
+    models; exact integer epoch math, per-session rollups."""
+    from anycrawl_spark.operators.sessions import session_stats
+
+    return session_stats(
+        _t(spark, sf_dir, "events"), gap_s=1800, key_col="user_id"
+    ).select(
+        F.col("key").cast("long").alias("user_id"),
+        "session_seq",
+        "n_events",
+        "start_s",
+        "end_s",
+        "duration_s",
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3114,6 +3133,7 @@ EXTRA_QUERIES = {
     "q_snapshot_diff": q_snapshot_diff,
     "q_fair_alloc": q_fair_alloc,
     "q_latency_percentiles": q_latency_percentiles,
+    "q_sessionize": q_sessionize,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3147,4 +3167,5 @@ EXTRA_ORACLES = {
     "q_snapshot_diff": _mir.sql_snapshot_diff(),
     "q_fair_alloc": _mir.sql_fair_alloc(),
     "q_latency_percentiles": _mir.sql_latency_percentiles([50, 90, 99]),
+    "q_sessionize": _mir.sql_sessionize(gap_s=1800),
 }

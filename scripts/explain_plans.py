@@ -477,6 +477,16 @@ def main() -> int:
           "no global sort of the data (histogram windows only)")
     sections.append(("q_latency_percentiles", p))
 
+    # 11x. sessionization (r5): per-key windows, two-phase rollup
+    p = plan_of(EXTRA_QUERIES["q_sessionize"](spark, SF))
+    check("q_sessionize",
+          "Python" not in p and "InPandas" not in p and "Cartesian" not in p,
+          "gaps-and-islands is pure JVM window math")
+    check("q_sessionize",
+          "windowspecdefinition(user_id#" in p,
+          "both windows partition by the session key")
+    sections.append(("q_sessionize", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
