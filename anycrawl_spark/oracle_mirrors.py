@@ -1135,6 +1135,51 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def sql_aimd_rates(
+    n_rounds: int = 6, init: int = 8, incr: int = 2, cap: int = 64, floor_min: int = 1
+) -> str:
+    """Full SQL restatement of q_aimd_rates with the recurrence UNROLLED
+    round-by-round as chained CTEs — a different computational shape
+    than the engine's higher-order fold, proving the fold semantics."""
+    flags = ", ".join(
+        f"max(CASE WHEN r = {i} THEN t END) AS t{i}" for i in range(n_rounds)
+    )
+    steps = []
+    prev = "s0"
+    for i in range(n_rounds):
+        steps.append(f"""
+s{i + 1} AS (
+  SELECT k,
+         CAST(CASE WHEN t{i} = 1 THEN greatest(rate // 2, {floor_min})
+              ELSE least(rate + {incr}, {cap}) END AS BIGINT) AS rate,
+         CAST(h + t{i} AS BIGINT) AS h,
+         CAST(least(mn, CASE WHEN t{i} = 1 THEN greatest(rate // 2, {floor_min})
+              ELSE least(rate + {incr}, {cap}) END) AS BIGINT) AS mn,
+         CAST(greatest(mx, CASE WHEN t{i} = 1 THEN greatest(rate // 2, {floor_min})
+              ELSE least(rate + {incr}, {cap}) END) AS BIGINT) AS mx,
+         {', '.join(f't{j}' for j in range(i + 1, n_rounds)) or 'NULL AS _pad'}
+  FROM {prev})""")
+        prev = f"s{i + 1}"
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id % 25 AS BIGINT) AS k,
+         CAST(doc_id // 25 AS BIGINT) AS r,
+         CASE WHEN ((doc_id % 25) * 7 + (doc_id // 25) * 13) % 5 = 0
+              THEN 1 ELSE 0 END AS t
+  FROM documents WHERE doc_id < 150),
+f AS (SELECT k, {flags} FROM base GROUP BY k),
+s0 AS (
+  SELECT k, CAST({init} AS BIGINT) AS rate, CAST(0 AS BIGINT) AS h,
+         CAST({init} AS BIGINT) AS mn, CAST({init} AS BIGINT) AS mx,
+         {', '.join(f't{j}' for j in range(n_rounds))}
+  FROM f),{','.join(steps)}
+SELECT 'h' || CAST(k AS VARCHAR) AS host,
+       CAST({n_rounds} AS BIGINT) AS n_rounds,
+       rate AS final_rate, h AS n_halvings, mn AS min_rate, mx AS max_rate
+FROM {prev}
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

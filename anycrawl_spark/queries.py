@@ -2499,6 +2499,29 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_aimd_rates(spark, sf_dir):
+    """AIMD rate adaptation (operators/aimd.py): 25 hosts × 6 rounds of
+    synthetic throttle outcomes (deterministic int mixing), evolved
+    through the additive-increase/multiplicative-decrease recurrence as
+    ONE higher-order fold per host — no per-round joins, no python. The
+    oracle unrolls the same 6 rounds as chained CTEs."""
+    from anycrawl_spark.operators.aimd import aimd_rates
+
+    did = F.col("doc_id")
+    rounds = (
+        _t(spark, sf_dir, "documents")
+        .filter(did < 150)
+        .select(
+            F.concat(F.lit("h"), (did % 25).cast("string")).alias("host"),
+            (did / 25).cast("long").alias("round"),
+            (((did % 25) * 7 + (did / 25).cast("long") * 13) % 5 == 0)
+            .cast("long")
+            .alias("throttled"),
+        )
+    )
+    return aimd_rates(rounds, init=8, incr=2, cap=64, floor_min=1)
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3134,6 +3157,7 @@ EXTRA_QUERIES = {
     "q_fair_alloc": q_fair_alloc,
     "q_latency_percentiles": q_latency_percentiles,
     "q_sessionize": q_sessionize,
+    "q_aimd_rates": q_aimd_rates,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3168,4 +3192,7 @@ EXTRA_ORACLES = {
     "q_fair_alloc": _mir.sql_fair_alloc(),
     "q_latency_percentiles": _mir.sql_latency_percentiles([50, 90, 99]),
     "q_sessionize": _mir.sql_sessionize(gap_s=1800),
+    "q_aimd_rates": _mir.sql_aimd_rates(
+        n_rounds=6, init=8, incr=2, cap=64, floor_min=1
+    ),
 }

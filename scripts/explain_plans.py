@@ -487,6 +487,19 @@ def main() -> int:
           "both windows partition by the session key")
     sections.append(("q_sessionize", p))
 
+    # 11y. AIMD rates (r5): the evolution is one JVM fold, no per-round joins
+    p = plan_of(EXTRA_QUERIES["q_aimd_rates"](spark, SF))
+    check("q_aimd_rates",
+          "Python" not in p and "InPandas" not in p and "Cartesian" not in p,
+          "AIMD fold is pure JVM")
+    check("q_aimd_rates",
+          "aggregate(" in p,
+          "evolution runs as a higher-order fold (no unrolled joins)")
+    check("q_aimd_rates",
+          re.search(r"partial_", p) is not None,
+          "round collection aggregates two-phase")
+    sections.append(("q_aimd_rates", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
