@@ -1180,6 +1180,48 @@ FROM {prev}
 """
 
 
+def sql_bitext_pairs(min_ratio_x100: int = 50) -> str:
+    """Full SQL restatement of q_bitext_pairs: same URL synthesis, the
+    same closed-set marker regex (DuckDB regexp_replace needs 'g' to
+    match Spark's global semantics), the self-join on the wildcarded
+    key, and the integer STRAND ratio."""
+    langs = "de|en|es|fr|it|ja|nl|pl|pt|ru|zh"
+    toks = (
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    )
+    return f"""
+WITH d AS (
+  SELECT 'http://site' || CAST((doc_id // 3) % 20 AS VARCHAR) || '.example/' ||
+         (CASE WHEN doc_id % 17 = 0 THEN 'nolang'
+          ELSE (CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                ELSE 'fr' END) END) ||
+         '/page/' || CAST(doc_id // 3 AS VARCHAR) AS url,
+         CAST(len({toks}) AS BIGINT) AS len
+  FROM documents),
+keyed AS (
+  SELECT url,
+         regexp_extract(url, '/({langs})/', 1) AS lang,
+         regexp_replace(url, '/({langs})/', '/*/', 'g') AS key,
+         len
+  FROM d
+  WHERE regexp_extract(url, '/({langs})/', 1) <> ''),
+pairs AS (
+  SELECT a.key, a.lang AS lang_a, b.lang AS lang_b,
+         a.url AS url_a, b.url AS url_b,
+         a.len AS len_a, b.len AS len_b
+  FROM keyed a JOIN keyed b ON a.key = b.key AND a.lang < b.lang)
+SELECT key, lang_a, lang_b, url_a, url_b, len_a, len_b,
+       CAST(CASE WHEN greatest(len_a, len_b) > 0
+            THEN (least(len_a, len_b) * 100) // greatest(len_a, len_b)
+            ELSE 0 END AS BIGINT) AS ratio_x100,
+       CAST(CASE WHEN (CASE WHEN greatest(len_a, len_b) > 0
+            THEN (least(len_a, len_b) * 100) // greatest(len_a, len_b)
+            ELSE 0 END) >= {min_ratio_x100} THEN 1 ELSE 0 END AS BIGINT)
+         AS accepted
+FROM pairs
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

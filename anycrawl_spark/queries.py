@@ -2522,6 +2522,32 @@ def q_aimd_rates(spark, sf_dir):
     return aimd_rates(rounds, init=8, incr=2, cap=64, floor_min=1)
 
 
+def q_bitext_pairs(spark, sf_dir):
+    """Bitext candidate mining (operators/bitext.py; STRAND-style):
+    20 synthetic sites × page groups of three language editions
+    (en/de/fr path segments; every 17th doc gets a no-marker URL and
+    drops out), self-joined on the wildcarded key with the exact-integer
+    STRAND length-ratio filter."""
+    from anycrawl_spark.operators.bitext import bitext_candidates
+
+    did = F.col("doc_id")
+    lang = (
+        F.when(did % 3 == 0, F.lit("en"))
+        .when(did % 3 == 1, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    grp = F.floor(did / 3).cast("long")
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://site"), (grp % 20).cast("string"), F.lit(".example/"),
+            F.when(did % 17 == 0, F.lit("nolang")).otherwise(lang),
+            F.lit("/page/"), grp.cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return bitext_candidates(d, min_ratio_x100=50)
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3158,6 +3184,7 @@ EXTRA_QUERIES = {
     "q_latency_percentiles": q_latency_percentiles,
     "q_sessionize": q_sessionize,
     "q_aimd_rates": q_aimd_rates,
+    "q_bitext_pairs": q_bitext_pairs,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3195,4 +3222,5 @@ EXTRA_ORACLES = {
     "q_aimd_rates": _mir.sql_aimd_rates(
         n_rounds=6, init=8, incr=2, cap=64, floor_min=1
     ),
+    "q_bitext_pairs": _mir.sql_bitext_pairs(min_ratio_x100=50),
 }

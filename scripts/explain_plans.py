@@ -500,6 +500,16 @@ def main() -> int:
           "round collection aggregates two-phase")
     sections.append(("q_aimd_rates", p))
 
+    # 11z. bitext mining (r5): scan-stage keying, bounded self-join
+    p = plan_of(EXTRA_QUERIES["q_bitext_pairs"](spark, SF))
+    check("q_bitext_pairs",
+          "Python" not in p and "InPandas" not in p,
+          "marker keying + ratio filter are pure JVM")
+    check("q_bitext_pairs",
+          "CartesianProduct" not in p and "NestedLoop" not in p,
+          "the pair join is a hash join on the key (groups bounded by |langs|)")
+    sections.append(("q_bitext_pairs", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
