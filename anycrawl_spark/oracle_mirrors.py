@@ -1222,6 +1222,36 @@ FROM pairs
 """
 
 
+def sql_index_delta() -> str:
+    """Oracle for q_index_delta as the BATCH REBUILD: tokenize the
+    effective corpus (base minus tombstones, plus re-adds and fresh
+    docs) from scratch and roll up (term, df, sum_tf). The engine
+    answers with the arithmetic-adjustment path — the hash gate
+    therefore checks the incremental == batch equivalence itself."""
+    return r"""
+WITH eff AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 400 AND doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id, text || ' updated revision' AS text FROM documents
+  WHERE doc_id < 400 AND doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM eff),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  GROUP BY doc_id, term)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS sum_tf
+FROM tf GROUP BY term
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

@@ -2548,6 +2548,35 @@ def q_bitext_pairs(spark, sf_dir):
     return bitext_candidates(d, min_ratio_x100=50)
 
 
+def q_index_delta(spark, sf_dir):
+    """Incremental index maintenance (operators/index_maintenance.py):
+    base index = docs 0-399; the round tombstones every 10th base doc,
+    re-adds every 20th with ' updated revision' appended, and adds docs
+    400+. The ENGINE path adjusts (term, df, sum_tf) arithmetically from
+    the delta; the ORACLE is the batch rebuild over the effective corpus
+    — the hash gate checks incremental == batch."""
+    from anycrawl_spark.operators.index_maintenance import (
+        incremental_rollup,
+        postings_rollup,
+    )
+    from anycrawl_spark.operators.retrieval import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base_docs = docs.filter(did < 400).select("doc_id", "text")
+    tombstones = base_docs.filter(did % 10 == 0).select("doc_id")
+    readds = (
+        docs.filter((did < 400) & (did % 20 == 0))
+        .select("doc_id", F.concat("text", F.lit(" updated revision")).alias("text"))
+    )
+    fresh = docs.filter(did >= 400).select("doc_id", "text")
+    base_postings = inverted_index(base_docs)
+    delta_postings = inverted_index(readds.unionByName(fresh))
+    return incremental_rollup(
+        postings_rollup(base_postings), base_postings, delta_postings, tombstones
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3185,6 +3214,7 @@ EXTRA_QUERIES = {
     "q_sessionize": q_sessionize,
     "q_aimd_rates": q_aimd_rates,
     "q_bitext_pairs": q_bitext_pairs,
+    "q_index_delta": q_index_delta,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3223,4 +3253,5 @@ EXTRA_ORACLES = {
         n_rounds=6, init=8, incr=2, cap=64, floor_min=1
     ),
     "q_bitext_pairs": _mir.sql_bitext_pairs(min_ratio_x100=50),
+    "q_index_delta": _mir.sql_index_delta(),
 }

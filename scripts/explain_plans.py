@@ -510,6 +510,16 @@ def main() -> int:
           "the pair join is a hash join on the key (groups bounded by |langs|)")
     sections.append(("q_bitext_pairs", p))
 
+    # 11aa. index delta (r5): broadcast tombstones, adjustment arithmetic
+    p = plan_of(EXTRA_QUERIES["q_index_delta"](spark, SF))
+    check("q_index_delta",
+          "Python" not in p and "InPandas" not in p and "Cartesian" not in p,
+          "incremental maintenance is pure JVM")
+    check("q_index_delta",
+          "BroadcastHashJoin" in p,
+          "tombstone anti/semi joins broadcast (round-sized side)")
+    sections.append(("q_index_delta", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
