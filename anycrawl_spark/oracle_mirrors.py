@@ -1252,6 +1252,60 @@ FROM tf GROUP BY term
 """
 
 
+def sql_variant_clusters() -> str:
+    """Full SQL restatement of q_variant_clusters: identical URL
+    synthesis and the same fold rules (DuckDB backrefs are \\1 where
+    Java's are $1; every fold pattern is anchored so single-vs-global
+    replace semantics cannot diverge)."""
+    return r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         CAST(doc_id // 4 AS BIGINT) AS k,
+         CAST(doc_id % 4 AS BIGINT) AS v
+  FROM documents),
+u AS (
+  SELECT 'http://' ||
+         (CASE v WHEN 1 THEN 'www.' WHEN 2 THEN 'm.' ELSE '' END) ||
+         'shop' || CAST(k % 15 AS VARCHAR) || '.example' ||
+         (CASE WHEN k % 2 = 0
+          THEN '/p/' || CAST(k AS VARCHAR)
+               || (CASE WHEN v = 3 THEN '/index.html' ELSE '/' END)
+          ELSE '/item/' || CAST(k AS VARCHAR)
+               || (CASE WHEN v = 3 THEN '/amp' ELSE '' END) END) ||
+         (CASE v WHEN 1 THEN '?utm_source=x&utm_campaign=y'
+          WHEN 2 THEN '?gclid=' || CAST(did AS VARCHAR)
+               || (CASE WHEN k % 5 = 0 THEN '&color=red' ELSE '' END)
+          WHEN 3 THEN '?ref=tw' ELSE '' END) AS url
+  FROM d),
+parts AS (
+  SELECT url,
+         str_split(str_split(url, '#')[1], '?')[1] AS base,
+         CASE WHEN strpos(url, '?') > 0
+              THEN substr(str_split(url, '#')[1], strpos(url, '?') + 1)
+              ELSE '' END AS q
+  FROM u),
+folded AS (
+  SELECT url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(base, '^(https?://)(?:www|m|amp)\.', '\1'),
+             '/index\.html?$', '/'),
+           '/amp$', '') AS fbase,
+         array_to_string(list_filter(str_split(q, '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+             '^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)=')), '&') AS qs
+  FROM parts),
+keyed AS (
+  SELECT url,
+         CASE WHEN qs <> '' THEN fbase || '?' || qs ELSE fbase END
+           AS variant_key
+  FROM folded)
+SELECT variant_key, CAST(count(*) AS BIGINT) AS n_variants,
+       min(url) AS sample_url
+FROM keyed GROUP BY variant_key
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

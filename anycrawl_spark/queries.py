@@ -2577,6 +2577,51 @@ def q_index_delta(spark, sf_dir):
     )
 
 
+def q_variant_clusters(spark, sf_dir):
+    """URL variant folding (operators/variants.py): page groups of four
+    presentation variants — clean, www.+utm, m.+gclid (every 5th group
+    keeps a REAL color= param that must survive), and index.html or
+    /amp twins — folded to canonical keys and clustered. Expected
+    cluster sizes: 4, or 3+1 where the surviving param forks the key."""
+    from anycrawl_spark.operators.variants import variant_clusters
+
+    did = F.col("doc_id")
+    k = F.floor(did / 4).cast("long")
+    v = did % 4
+    host = F.concat(
+        F.when(v == 1, F.lit("www.")).when(v == 2, F.lit("m.")).otherwise(F.lit("")),
+        F.lit("shop"), (k % 15).cast("string"), F.lit(".example"),
+    )
+    path = F.when(
+        k % 2 == 0,
+        F.concat(
+            F.lit("/p/"), k.cast("string"),
+            F.when(v == 3, F.lit("/index.html")).otherwise(F.lit("/")),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("/item/"), k.cast("string"),
+            F.when(v == 3, F.lit("/amp")).otherwise(F.lit("")),
+        )
+    )
+    query = (
+        F.when(v == 1, F.lit("?utm_source=x&utm_campaign=y"))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("?gclid="), did.cast("string"),
+                F.when(k % 5 == 0, F.lit("&color=red")).otherwise(F.lit("")),
+            ),
+        )
+        .when(v == 3, F.lit("?ref=tw"))
+        .otherwise(F.lit(""))
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://"), host, path, query).alias("url")
+    )
+    return variant_clusters(d)
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3215,6 +3260,7 @@ EXTRA_QUERIES = {
     "q_aimd_rates": q_aimd_rates,
     "q_bitext_pairs": q_bitext_pairs,
     "q_index_delta": q_index_delta,
+    "q_variant_clusters": q_variant_clusters,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3254,4 +3300,5 @@ EXTRA_ORACLES = {
     ),
     "q_bitext_pairs": _mir.sql_bitext_pairs(min_ratio_x100=50),
     "q_index_delta": _mir.sql_index_delta(),
+    "q_variant_clusters": _mir.sql_variant_clusters(),
 }

@@ -520,6 +520,16 @@ def main() -> int:
           "tombstone anti/semi joins broadcast (round-sized side)")
     sections.append(("q_index_delta", p))
 
+    # 11ab. variant folding (r5): scan-stage fold, two-phase cluster rollup
+    p = plan_of(EXTRA_QUERIES["q_variant_clusters"](spark, SF))
+    check("q_variant_clusters",
+          "Python" not in p and "InPandas" not in p and "Cartesian" not in p,
+          "variant folding is pure JVM string/array math")
+    check("q_variant_clusters",
+          re.search(r"partial_count", p) is not None,
+          "cluster rollup is two-phase")
+    sections.append(("q_variant_clusters", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
