@@ -403,3 +403,30 @@ def duplicate_passages(
     return win.join(dup, "digest").select(
         id_col, "token_start", "digest", "n_occurrences", "n_docs"
     )
+
+
+def source_overlap(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — the curation view OVER the
+    near-dup pair stream: roll verified pairs up by unordered source
+    pair. Sixth consumer of the dedup stack (Dolma/RefinedWeb-style
+    pipelines publish exactly this matrix to decide which overlapping
+    corpus to keep). The labels join is broadcast-sized relative to
+    pairs at contract scale and hash-co-partitioned at corpus scale;
+    the rollup is one two-phase groupBy over (src_lo, src_hi)."""
+    s = docs.select(F.col(id_col), F.col(source_col))
+    a = s.withColumnRenamed(id_col, "id_a").withColumnRenamed(source_col, "_sa")
+    b = s.withColumnRenamed(id_col, "id_b").withColumnRenamed(source_col, "_sb")
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        joined.select(
+            F.least("_sa", "_sb").alias("src_lo"),
+            F.greatest("_sa", "_sb").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

@@ -1306,6 +1306,47 @@ FROM keyed GROUP BY variant_key
 """
 
 
+def sql_source_overlap(threshold: float = 0.5) -> str:
+    """Oracle for q_source_overlap: the exact ALL-PAIRS Jaccard over the
+    same planted corpus (the SQL_NEAR_DUPLICATES derivation, carrying
+    source labels) rolled up by unordered source pair — value-checking
+    the engine's LSH path under the max-recall banding convention."""
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id < 30),
+tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM base),
+mutated AS (
+  SELECT t.doc_id + 10000 AS doc_id,
+         array_to_string(tk[1:greatest(len(tk) - 3, 1)], ' ') AS text,
+         'recrawl' AS source
+  FROM tokd t),
+alldocs AS (
+  SELECT doc_id, text, source FROM base
+  UNION ALL SELECT doc_id, text, source FROM mutated),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+                                 FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)])
+         END AS sh
+  FROM (SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM alldocs)),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4)
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT least(sa, sb) AS src_lo, greatest(sa, sb) AS src_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE jaccard >= {threshold}
+GROUP BY least(sa, sb), greatest(sa, sb)
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

@@ -2622,6 +2622,33 @@ def q_variant_clusters(spark, sf_dir):
     return variant_clusters(d)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (operators/dedup.py
+    source_overlap): the q_near_duplicates fixture with source labels —
+    base docs keep their corpus source, the mutated copies land in a
+    synthetic 'recrawl' source — rolled up to (src_lo, src_hi, n_pairs).
+    Same max-recall banding convention as q_near_duplicates, so the
+    exact all-pairs oracle value-checks the LSH path end to end."""
+    from anycrawl_spark.operators.dedup import near_duplicates, source_overlap
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", "text", "source"
+    )
+    toks = TX.tokens(F.col("text"))
+    mutated = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
+        ).alias("text"),
+        F.lit("recrawl").alias("source"),
+    )
+    alldocs = d.unionByName(mutated)
+    pairs = near_duplicates(
+        alldocs.select("doc_id", "text"), threshold=0.5, bands=12
+    ).select("id_a", "id_b")
+    return source_overlap(pairs, alldocs)
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3261,6 +3288,7 @@ EXTRA_QUERIES = {
     "q_bitext_pairs": q_bitext_pairs,
     "q_index_delta": q_index_delta,
     "q_variant_clusters": q_variant_clusters,
+    "q_source_overlap": q_source_overlap,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3301,4 +3329,5 @@ EXTRA_ORACLES = {
     "q_bitext_pairs": _mir.sql_bitext_pairs(min_ratio_x100=50),
     "q_index_delta": _mir.sql_index_delta(),
     "q_variant_clusters": _mir.sql_variant_clusters(),
+    "q_source_overlap": _mir.sql_source_overlap(threshold=0.5),
 }

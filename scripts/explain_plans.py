@@ -530,6 +530,16 @@ def main() -> int:
           "cluster rollup is two-phase")
     sections.append(("q_variant_clusters", p))
 
+    # 11ac. source overlap (r5): the curation rollup over the LSH pair stream
+    p = plan_of(EXTRA_QUERIES["q_source_overlap"](spark, SF))
+    check("q_source_overlap",
+          "CartesianProduct" not in p,
+          "pairing stays LSH-bucketed (no all-pairs join)")
+    check("q_source_overlap",
+          re.search(r"partial_count", p) is not None,
+          "matrix rollup is two-phase")
+    sections.append(("q_source_overlap", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
