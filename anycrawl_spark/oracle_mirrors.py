@@ -1347,6 +1347,45 @@ GROUP BY least(sa, sb), greatest(sa, sb)
 """
 
 
+def sql_retention_plan(
+    now_s: int, keep_last: int = 5, keep_days: int = 7, keep_weeks: int = 4
+) -> str:
+    """Full SQL restatement of q_retention_plan: same snapshot
+    synthesis, recency rank, day/week bucketing, oldest-of-bucket
+    selection, and the tiered keep decision."""
+    return f"""
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS snapshot_id,
+         CAST({now_s} - (doc_id * 17995 + (doc_id * doc_id) % 4999) AS BIGINT)
+           AS ts_s
+  FROM documents WHERE doc_id < 200),
+b AS (
+  SELECT snapshot_id, ts_s,
+         CAST(row_number() OVER (ORDER BY ts_s DESC, snapshot_id DESC)
+              AS BIGINT) AS recency_rank,
+         CAST(({now_s} - ts_s) // 86400 AS BIGINT) AS day_bucket,
+         CAST(({now_s} - ts_s) // 604800 AS BIGINT) AS week_bucket
+  FROM s),
+f AS (
+  SELECT *,
+         CAST(CASE WHEN recency_rank <= {keep_last} THEN 1 ELSE 0 END
+              AS BIGINT) AS keep_recent,
+         CAST(CASE WHEN row_number() OVER (
+                PARTITION BY day_bucket ORDER BY ts_s, snapshot_id) = 1
+              AND day_bucket >= 0 AND day_bucket < {keep_days}
+              THEN 1 ELSE 0 END AS BIGINT) AS keep_daily,
+         CAST(CASE WHEN row_number() OVER (
+                PARTITION BY week_bucket ORDER BY ts_s, snapshot_id) = 1
+              AND week_bucket >= 0 AND week_bucket < {keep_weeks}
+              THEN 1 ELSE 0 END AS BIGINT) AS keep_weekly
+  FROM b)
+SELECT snapshot_id, ts_s, recency_rank, day_bucket, week_bucket,
+       keep_recent, keep_daily, keep_weekly,
+       CAST(greatest(keep_recent, keep_daily, keep_weekly) AS BIGINT) AS keep
+FROM f
+"""
+
+
 def sql_bpe_encode(max_doc_id: int = 45) -> str:
     """Oracle for q_bpe_encode: HAND-DERIVED golden piece sequences per
     fixture word (BPE_FIXTURES docstring traces every merge against the

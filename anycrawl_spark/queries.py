@@ -2649,6 +2649,27 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(pairs, alldocs)
 
 
+def q_retention_plan(spark, sf_dir):
+    """Snapshot retention planning (operators/retention.py): 200
+    synthetic snapshots spread over ~6 weeks (irregular spacing via int
+    mixing), tiered keep-last-5 / daily-7 / weekly-4 policy, every
+    decision an exact integer."""
+    from anycrawl_spark.operators.retention import retention_plan
+
+    did = F.col("doc_id")
+    now_s = 1_700_000_000
+    snaps = _t(spark, sf_dir, "documents").filter(did < 200).select(
+        did.cast("long").alias("snapshot_id"),
+        (
+            F.lit(now_s)
+            - (did * 17995 + (did * did % 4999)).cast("long")
+        ).alias("ts_s"),
+    )
+    return retention_plan(
+        snaps, now_s=now_s, keep_last=5, keep_days=7, keep_weeks=4
+    )
+
+
 def q_duplicate_passages(spark, sf_dir):
     """Passage-level exact-substring dedup (fifth dedup family; Lee et al.
     2021 ExactSubstr recast as window-fingerprint groupBy): duplicated
@@ -3289,6 +3310,7 @@ EXTRA_QUERIES = {
     "q_index_delta": q_index_delta,
     "q_variant_clusters": q_variant_clusters,
     "q_source_overlap": q_source_overlap,
+    "q_retention_plan": q_retention_plan,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3330,4 +3352,7 @@ EXTRA_ORACLES = {
     "q_index_delta": _mir.sql_index_delta(),
     "q_variant_clusters": _mir.sql_variant_clusters(),
     "q_source_overlap": _mir.sql_source_overlap(threshold=0.5),
+    "q_retention_plan": _mir.sql_retention_plan(
+        now_s=1_700_000_000, keep_last=5, keep_days=7, keep_weeks=4
+    ),
 }

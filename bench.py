@@ -518,8 +518,18 @@ def bench_gate() -> dict:
     bus (see BENCH/scaling_last_run.md caveat + the multiprocessing
     calibration at 0.92). Median-of-5: the local[2] level is rock-stable
     (<2% spread) but local[8] carries this VM's usual ~10% run-to-run
-    noise, which a 3-run median straddling the 0.8 line cannot resolve."""
+    noise, which a 3-run median straddling the 0.8 line cannot resolve.
+
+    Quiet-gated like the full bench phases (the 2026-08-20 re-run showed
+    why: calib multi 3.22 s co-tenancy took the local[8] walls from a
+    20.8 s floor to a 55.1 s tail and read a phantom 0.604 kernel
+    efficiency — the contended side of the pair absorbs ALL the noise,
+    so the ratio is noise-amplifying, not noise-averaging)."""
+    calib_pre, quiet_wait, quiet = wait_for_quiet_window()
     out = _run_pair((2, 8), nruns=5)
+    out["calib_pre"] = calib_pre
+    out["quiet_wait_sec"] = quiet_wait
+    out["noisy"] = not quiet
     _write_gate_md(out)
     return out
 

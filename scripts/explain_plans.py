@@ -540,6 +540,13 @@ def main() -> int:
           "matrix rollup is two-phase")
     sections.append(("q_source_overlap", p))
 
+    # 11ad. retention plan (r5): metadata-only window math
+    p = plan_of(EXTRA_QUERIES["q_retention_plan"](spark, SF))
+    check("q_retention_plan",
+          "Python" not in p and "InPandas" not in p and "Cartesian" not in p,
+          "tiered retention is pure JVM window math over the manifest")
+    sections.append(("q_retention_plan", p))
+
     # 12. auto politeness skew detection (r4): the 1/64 hash sample filters
     #     BEFORE the count shuffle, and the aggregation is two-phase (the
     #     shuffle carries partial counts, not rows). Audits the OPERATOR's
