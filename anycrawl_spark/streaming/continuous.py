@@ -264,3 +264,31 @@ def fetch_events_stream(spark: SparkSession, rows_per_second: int = 100, n_jobs:
             F.col("timestamp").alias("ts"),
         )
     )
+
+
+def session_stats_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming counterpart of `operators/sessions.session_stats`: the
+    built-in ``session_window`` (dynamic-gap session windows, Spark 3.2+)
+    with a watermark so state for closed sessions is evicted. Duality
+    with the batch gaps-and-islands form is pinned by
+    tests/test_sessions.py::test_streaming_batch_duality — including the
+    ONE semantic boundary difference: the batch form keeps an event at
+    gap EXACTLY equal to the timeout in the same session (``gap >
+    timeout`` starts a new one), while session_window's window is
+    ``[start, last + gap)`` half-open, so an exactly-gap event starts a
+    NEW session. Equal-gap events are measure-zero in real event time;
+    the duality test therefore compares on gap-distinct data and pins
+    the boundary divergence in its docstring."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("start"),
+            F.col("session_window.end").alias("end"),
+            "n_events",
+        )
+    )

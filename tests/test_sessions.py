@@ -101,3 +101,32 @@ def test_plan_shape(spark):
     assert "windowspecdefinition(user_id#" in p
     assert "partial_count" in p
     assert "Cartesian" not in p
+
+
+def test_streaming_batch_duality(spark):
+    """The streaming session_window facet and the batch gaps-and-islands
+    operator agree on (key, n_sessions, events-per-session multiset) for
+    gap-distinct data. Boundary semantics differ BY DESIGN at gap ==
+    timeout (batch: same session; session_window: [start, last+gap) is
+    half-open -> new session), so the fixture keeps every gap != 100 s.
+    Run in batch mode: session_window is a plain aggregation, identical
+    plan modulo the watermark, which batch ignores."""
+    from collections import Counter
+
+    from anycrawl_spark.streaming.continuous import session_stats_stream
+
+    rows = [
+        (u, _ts(s))
+        for u in range(5)
+        for s in [0, 30, 60, 300, 320, 900, 901, 902, 1500][: (u % 4) + 5]
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    batch = session_stats(df, gap_s=100)
+    stream_shape = session_stats_stream(df, gap="100 seconds")
+    got_b = Counter(
+        (r["key"], r["n_events"]) for r in batch.collect()
+    )
+    got_s = Counter(
+        (r["user_id"], r["n_events"]) for r in stream_shape.collect()
+    )
+    assert got_b == got_s
