@@ -318,6 +318,123 @@ def duplicate_clusters(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, public).
+
+    For every node u with neighbour set N(u): connect every STRICTLY LARGER
+    neighbour v > u to m(u) = min(N(u) + {u}). Input/output are SYMMETRIC
+    edge lists held as (u, v) rows with both directions present.
+
+    Shape: ONE two-phase groupBy(u) min + ONE shuffle join back on u +
+    distinct — fixed-width id columns only, pure JVM.
+    """
+    mins = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    out = (
+        edges.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large->small, then for every node u
+    connect all of its SMALLER-OR-EQUAL neighbours (and u itself) to
+    m(u) = min over that set. Output is a directed (child, parent) list with
+    child > parent."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    j = directed.join(mins, "u")
+    # (v, m) for every small neighbour v != m, plus (u, m)
+    out = (
+        j.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(j.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    O(log n)-round algorithm of Kiveris et al. 2014 ("Connected Components
+    in MapReduce and Beyond", public) that ``duplicate_clusters``'s
+    docstring names as the long-chain upgrade. Hash-min label propagation
+    converges in diameter rounds — fine for near-clique dedup components,
+    quadratic-wall on adversarial chains (a 10^4-long chain of pairwise
+    near-dup boilerplate pages is 10^4 rounds). Large/small-star halves
+    component "height" every alternation, so rounds = O(log n) REGARDLESS
+    of diameter.
+
+    Same input/output contract as ``duplicate_clusters``: pairs
+    (id_a, id_b) in, (id_col, cluster_id, cluster_size, is_canonical) out,
+    cluster_id = min member id. Cross-checked against label propagation and
+    a driver-side union-find in tests/test_dedup_clusters_star.py.
+
+    Scale shape, per alternation: large-star is one two-phase groupBy min +
+    one shuffle join + distinct; small-star the same over the directed
+    orientation — every exchange carries two fixed-width id columns, never
+    text. Convergence is detected on the small-star output (already a
+    (child, parent) star forest when fixed): ONE count of changed rows via
+    a full-row subtract, O(E) fixed-width. ``localCheckpoint`` truncates
+    the iterative lineage each round (reliable ``checkpoint`` on a real
+    cluster). Raises RuntimeError if not converged in ``max_iters``
+    (log2(10^10) ~ 34 alternations bounds any realistic component).
+    """
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = sym.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=True)
+    star = sym.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    converged = False
+    for _ in range(max_iters):
+        ls = _large_star(star.unionByName(star.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct())
+        new_star = _small_star(ls).localCheckpoint(eager=True)
+        changed = (
+            new_star.subtract(star).limit(1).count()
+            + star.subtract(new_star).limit(1).count()
+        )
+        star = new_star
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "alternations (unexpected: rounds are O(log n)); raise max_iters"
+        )
+    # star is now a (child, parent) forest of height 1: parent = component min
+    labels = vertices.join(
+        star.select(F.col("u").alias("id"), F.col("v").alias("label")), "id", "left"
+    ).select("id", F.coalesce("label", "id").alias("label"))
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def duplicate_passages(
     docs: DataFrame,
     window: int = 20,

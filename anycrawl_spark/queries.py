@@ -2768,6 +2768,117 @@ FROM comp c JOIN sizes s USING (cluster_id)
 """
 
 
+def q_star_clusters(spark, sf_dir):
+    """Connected components via alternating large-star/small-star
+    (``dedup.connected_components_star``, Kiveris et al. 2014) — the
+    O(log n)-round variant for adversarially long duplicate chains that
+    hash-min label propagation (q_dup_clusters) cannot finish within its
+    round budget. Planted topology: doc_ids 0..127 form 4 path components
+    of 32 vertices each (diameter 31 — beyond label-prop's default
+    25-round budget) plus intra-block shortcut edges (i, i+16) for
+    i%32<8, so the oracle's transitive closure must cross cycles too.
+    Oracle: DuckDB WITH RECURSIVE transitive closure, min-reachable-id
+    per vertex (same convention as q_dup_clusters)."""
+    from anycrawl_spark.operators.dedup import connected_components_star
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 128)
+    chain = d.filter(F.col("doc_id") % 32 != 31).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    cross = d.filter(F.col("doc_id") % 32 < 8).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 16).alias("id_b")
+    )
+    return connected_components_star(chain.unionByName(cross))
+
+
+def q_hll_hosts(spark, sf_dir):
+    """Mergeable HyperLogLog cardinality (``operators/sketches.py``,
+    Flajolet et al. 2007) — distinct user_id per event_type as a
+    64-register sketch, next to the exact distinct for accuracy reading.
+    The hash is the repo's 60-bit md5 convention so DuckDB rebuilds the
+    IDENTICAL registers; the harmonic sum is carried as an exact bigint
+    (S = sum 2^(54-M_j)) so no float-accumulation order can diverge
+    between engines — the only floats are one division and the
+    small-range log, rounded to 4."""
+    from anycrawl_spark.operators.sketches import hll_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    card = hll_cardinality(ev, ["event_type"], "user_id", p=6)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return card.join(exact, "event_type")
+
+
+def _sql_hll_hosts() -> str:
+    # 60-bit md5 int, digit-for-digit the same arithmetic as the Spark conv()
+    h60 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), {d}, 1)) - 1)"
+        f" * {16 ** (15 - d)}"
+        for d in range(1, 16)
+    )
+    mask = (1 << 54) - 1
+    c = repr(0.709 * 64 * 64 * float(1 << 54))  # same literal as the Spark side
+    return f"""
+WITH h AS (
+  SELECT event_type, CAST({h60} AS BIGINT) AS h FROM events),
+r AS (
+  SELECT event_type, h >> 54 AS idx,
+         CASE WHEN (h & {mask}) = 0 THEN 55
+              ELSE 55 - length(bin(h & {mask})) END AS rho
+  FROM h),
+mx AS (SELECT event_type, idx, max(rho) AS rho FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         CAST(64 - count(*) AS BIGINT) AS n_zero_registers,
+         CAST(sum(rho) AS BIGINT) AS register_sum,
+         CAST(sum(CAST(power(2.0, 54 - rho) AS BIGINT)) AS BIGINT)
+           + CAST(64 - count(*) AS BIGINT) * {1 << 54} AS s_int
+  FROM mx GROUP BY 1),
+est AS (
+  SELECT event_type, n_zero_registers, register_sum,
+         {c} / s_int AS raw
+  FROM agg)
+SELECT e.event_type, e.n_zero_registers, e.register_sum,
+       round(CASE WHEN e.n_zero_registers > 0 AND raw <= 160.0
+                  THEN 64.0 * ln(64.0 / e.n_zero_registers) ELSE raw END, 4)
+         AS estimate,
+       x.exact_distinct
+FROM est e
+JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1) x USING (event_type)
+"""
+
+
+SQL_HLL_HOSTS = _sql_hll_hosts()
+
+
+SQL_STAR_CLUSTERS = r"""
+WITH RECURSIVE ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 128),
+e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM ids WHERE doc_id % 32 <> 31
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 16 AS b FROM ids WHERE doc_id % 32 < 8),
+edges AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION
+  SELECT b AS src, a AS dst FROM e0),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
 def q_robots_gate(spark, sf_dir):
     """RFC 9309 robots.txt gating over RAW robots.txt text
     (functions/robots.py parse + group-select + wildcard longest-match;
@@ -3311,6 +3422,8 @@ EXTRA_QUERIES = {
     "q_variant_clusters": q_variant_clusters,
     "q_source_overlap": q_source_overlap,
     "q_retention_plan": q_retention_plan,
+    "q_star_clusters": q_star_clusters,
+    "q_hll_hosts": q_hll_hosts,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3355,4 +3468,6 @@ EXTRA_ORACLES = {
     "q_retention_plan": _mir.sql_retention_plan(
         now_s=1_700_000_000, keep_last=5, keep_days=7, keep_weeks=4
     ),
+    "q_star_clusters": SQL_STAR_CLUSTERS,
+    "q_hll_hosts": SQL_HLL_HOSTS,
 }

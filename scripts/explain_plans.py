@@ -591,6 +591,38 @@ def main() -> int:
           "no cartesian anywhere in the round")
     sections.append(("dup_clusters_round", p))
 
+    # 13b. large-star round (r5 session-5): the O(log n) CC alternation
+    #      (connected_components_star) — same invariants as 13: pure JVM,
+    #      two-phase min, no cartesian; every exchange carries two
+    #      fixed-width id columns.
+    from anycrawl_spark.operators.dedup import _large_star, _small_star
+
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    ).distinct()
+    p = plan_of(_small_star(_large_star(sym)))
+    check("star_cc_round",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "large/small-star alternation is pure JVM (no python stage)")
+    check("star_cc_round", "partial_min" in p,
+          "two-phase min (map-side partial aggregation)")
+    check("star_cc_round", "Cartesian" not in p,
+          "no cartesian anywhere in the alternation")
+    sections.append(("star_cc_round", p))
+
+    # 13c. HLL cardinality sketch (r5 session-5): ONE data-scale two-phase
+    #      groupBy((group, idx)) max + an O(groups) rollup — pure JVM, no
+    #      python stage, fixed-width register rows on the exchange.
+    p = plan_of(EXTRA_QUERIES["q_hll_hosts"](spark, SF))
+    check("q_hll_hosts",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "sketch build is pure JVM column math (no python stage)")
+    check("q_hll_hosts", "partial_max" in p,
+          "two-phase register max (map-side partial aggregation)")
+    check("q_hll_hosts", "Cartesian" not in p,
+          "no cartesian in the sketch/exact join")
+    sections.append(("q_hll_hosts", p))
+
     # 14. sitemap ingestion (r4): bodies are parsed in ONE Arrow stage whose
     #     output is cached (InMemoryRelation), so the index->child trust
     #     self-join does NOT re-parse bodies; the trust join broadcasts the
