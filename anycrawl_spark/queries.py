@@ -2810,6 +2810,55 @@ def q_hll_hosts(spark, sf_dir):
     return card.join(exact, "event_type")
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) file-layout clustering (``operators/layout.py``) —
+    the Iceberg write-ordered-by-zorder / Delta OPTIMIZE ZORDER lever,
+    restated as exact-integer column math: normalize (user_id, ts) onto
+    16-bit grids, bit-interleave, assign files by top z-bits (no global
+    sort), report per-file row counts and per-dimension bounding boxes —
+    the min/max footer stats multidimensional pruning would see. Seconds
+    via integer `div` so both engines floor identically; every z-value is
+    bit-for-bit reproducible in DuckDB."""
+    from anycrawl_spark.operators.layout import layout_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        # repo convention (sessions.py): session TZ pinned UTC, so this is
+        # DuckDB's floor(epoch(ts)) on the naive value
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+    )
+    return layout_stats(ev, "user_id", "ts_s", bits=16, n_files=16)
+
+
+def _sql_zorder_layout() -> str:
+    interleave = " + ".join(
+        f"((na >> {i}) & 1) * {1 << (2 * i)} + ((nb >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(16)
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+b AS (
+  SELECT min(user_id) AS lo_a, max(user_id) AS hi_a,
+         min(ts_s) AS lo_b, max(ts_s) AS hi_b
+  FROM e),
+n AS (
+  SELECT user_id, ts_s,
+         CAST(floor(((user_id - lo_a) * 65536) / (hi_a - lo_a + 1)) AS BIGINT) AS na,
+         CAST(floor(((ts_s - lo_b) * 65536) / (hi_b - lo_b + 1)) AS BIGINT) AS nb
+  FROM e CROSS JOIN b),
+z AS (
+  SELECT user_id, ts_s, CAST({interleave} AS BIGINT) AS zvalue FROM n)
+SELECT zvalue >> 28 AS file_id, count(*) AS n_rows,
+       min(user_id) AS min_a, max(user_id) AS max_a,
+       min(ts_s) AS min_b, max(ts_s) AS max_b
+FROM z GROUP BY 1
+"""
+
+
+SQL_ZORDER_LAYOUT = _sql_zorder_layout()
+
+
 def _sql_hll_hosts() -> str:
     # 60-bit md5 int, digit-for-digit the same arithmetic as the Spark conv()
     h60 = " + ".join(
@@ -3424,6 +3473,7 @@ EXTRA_QUERIES = {
     "q_retention_plan": q_retention_plan,
     "q_star_clusters": q_star_clusters,
     "q_hll_hosts": q_hll_hosts,
+    "q_zorder_layout": q_zorder_layout,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3470,4 +3520,5 @@ EXTRA_ORACLES = {
     ),
     "q_star_clusters": SQL_STAR_CLUSTERS,
     "q_hll_hosts": SQL_HLL_HOSTS,
+    "q_zorder_layout": SQL_ZORDER_LAYOUT,
 }

@@ -623,6 +623,19 @@ def main() -> int:
           "no cartesian in the sketch/exact join")
     sections.append(("q_hll_hosts", p))
 
+    # 13d. z-order layout (r5 session-5): pure JVM integer math; file
+    #      assignment by top z-bits — NO global sort (no rangepartitioning
+    #      exchange); the bounds row is a broadcast build side.
+    p = plan_of(EXTRA_QUERIES["q_zorder_layout"](spark, SF))
+    check("q_zorder_layout",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "morton math is pure JVM (no python stage)")
+    check("q_zorder_layout", "rangepartitioning" not in p.lower(),
+          "no global sort — file ids come from top z-bits")
+    check("q_zorder_layout", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p,
+          "min/max bounds row broadcast back (O(1)-row build side)")
+    sections.append(("q_zorder_layout", p))
+
     # 14. sitemap ingestion (r4): bodies are parsed in ONE Arrow stage whose
     #     output is cached (InMemoryRelation), so the index->child trust
     #     self-join does NOT re-parse bodies; the trust join broadcasts the
