@@ -2810,6 +2810,73 @@ def q_hll_hosts(spark, sf_dir):
     return card.join(exact, "event_type")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting (``operators/dsir.py``, Xie et al. 2023)
+    — hashed-bigram distribution fits for TARGET (lang='en') vs RAW
+    (everything), micro-log integer ratios, exact-bigint per-document
+    weights, top-25 selection. Every weight is an integer dot product
+    (no FP accumulation order anywhere), so DuckDB reproduces the full
+    pipeline bit-for-bit including the ranking."""
+    from anycrawl_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_select,
+        dsir_weights,
+        hashed_feature_counts,
+    )
+
+    B = 4096
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    target = d.filter(F.col("lang") == "en")
+    ratios = dsir_log_ratios(
+        hashed_feature_counts(target, B), hashed_feature_counts(d, B), B
+    )
+    return dsir_select(dsir_weights(d, ratios, B), 25)
+
+
+def _sql_dsir_weights() -> str:
+    h60 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(bg), {i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS tk
+  FROM documents WHERE doc_id < 2000),
+big AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+  FROM d WHERE len(tk) >= 2),
+buck AS (
+  SELECT doc_id, lang, CAST({h60} AS BIGINT) % 4096 AS bucket FROM big),
+tgt AS (SELECT bucket, count(*) AS t_n FROM buck WHERE lang = 'en' GROUP BY 1),
+raw AS (SELECT bucket, count(*) AS r_n FROM buck GROUP BY 1),
+fullb AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         coalesce(t_n, 0) AS t_n, coalesce(r_n, 0) AS r_n
+  FROM tgt t FULL JOIN raw r ON t.bucket = r.bucket),
+tot AS (SELECT sum(t_n) AS T, sum(r_n) AS R FROM fullb),
+ratios AS (
+  SELECT bucket,
+         CAST(round((ln((t_n + 1) / (T + 4096.0)) - ln((r_n + 1) / (R + 4096.0)))
+                    * 1000000) AS BIGINT) AS logr_micro
+  FROM fullb CROSS JOIN tot),
+feat AS (
+  SELECT doc_id, bucket, count(*) AS n FROM buck GROUP BY 1, 2),
+w AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_features,
+         CAST(sum(n * logr_micro) AS BIGINT) AS weight_micro
+  FROM feat JOIN ratios USING (bucket) GROUP BY 1),
+ranked AS (
+  SELECT doc_id, n_features, weight_micro,
+         CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS INTEGER) AS rank
+  FROM w)
+SELECT * FROM ranked WHERE rank <= 25
+"""
+
+
+SQL_DSIR_WEIGHTS = _sql_dsir_weights()
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) file-layout clustering (``operators/layout.py``) —
     the Iceberg write-ordered-by-zorder / Delta OPTIMIZE ZORDER lever,
@@ -3474,6 +3541,7 @@ EXTRA_QUERIES = {
     "q_star_clusters": q_star_clusters,
     "q_hll_hosts": q_hll_hosts,
     "q_zorder_layout": q_zorder_layout,
+    "q_dsir_weights": q_dsir_weights,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3521,4 +3589,5 @@ EXTRA_ORACLES = {
     "q_star_clusters": SQL_STAR_CLUSTERS,
     "q_hll_hosts": SQL_HLL_HOSTS,
     "q_zorder_layout": SQL_ZORDER_LAYOUT,
+    "q_dsir_weights": SQL_DSIR_WEIGHTS,
 }

@@ -636,6 +636,22 @@ def main() -> int:
           "min/max bounds row broadcast back (O(1)-row build side)")
     sections.append(("q_zorder_layout", p))
 
+    # 13e. DSIR importance weighting (r5 session-5): distribution fits are
+    #      two-phase counts over the fixed bucket space; the O(buckets)
+    #      ratio table broadcasts into per-doc scoring; top-k rank plants
+    #      map-side; pure JVM throughout.
+    p = plan_of(EXTRA_QUERIES["q_dsir_weights"](spark, SF))
+    check("q_dsir_weights",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "hashing/fits/weights are pure JVM (no python stage)")
+    check("q_dsir_weights", "partial_count" in p,
+          "two-phase distribution fits (map-side partial counts)")
+    check("q_dsir_weights", "BroadcastHashJoin" in p,
+          "O(buckets) ratio table broadcast into per-doc scoring")
+    check("q_dsir_weights", "WindowGroupLimit" in p,
+          "top-k rank planted map-side")
+    sections.append(("q_dsir_weights", p))
+
     # 14. sitemap ingestion (r4): bodies are parsed in ONE Arrow stage whose
     #     output is cached (InMemoryRelation), so the index->child trust
     #     self-join does NOT re-parse bodies; the trust join broadcasts the
