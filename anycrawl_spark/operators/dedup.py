@@ -92,12 +92,7 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) sharing >=1 LSH band bucket."""
     sig = minhash_signatures(docs, id_col, text_col, num_seeds, k)
-    rows_per_band = num_seeds // bands
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
-    )
+    banded = band_index(sig, id_col, num_seeds, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -106,6 +101,86 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def band_index(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_seeds: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(id, band, band_hash) from a (id, seed, minhash) signature table —
+    the persistable LSH index. ``lsh_candidate_pairs`` derives it inline;
+    the incremental path stores it (O(bands) fixed-width rows per doc)
+    and joins each new crawl slice against it."""
+    rows_per_band = num_seeds // bands
+    return (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
+            ).alias("band_hash")
+        )
+    )
+
+
+def incremental_near_duplicates(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_seeds: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dups of a NEW crawl slice against the EXISTING corpus, from
+    signature state alone — the shape a continuously-ingesting pipeline
+    actually runs: the corpus side is never re-shingled, never re-read;
+    its persisted (id, seed, minhash) table (~num_seeds fixed-width rows
+    per document, O(corpus) but text-free) IS the dedup state, and each
+    ingest appends the new slice's signatures to it.
+
+    Candidates: band-bucket join of the new slice's band index against
+    the stored corpus band index — O(matching buckets), never all-pairs.
+    Verification: signature-estimated Jaccard (fraction of agreeing
+    minhash seeds — the standard unbiased MinHash estimator), so no text
+    or shingle sets are needed for the old side. est_jaccard resolution
+    is 1/num_seeds; callers wanting exact Jaccard re-join flagged NEW
+    docs' texts only (O(candidates)).
+
+    Returns (new_id, old_id, est_jaccard >= threshold). Pure JVM; the
+    seed-agreement join carries (pair, seed) fixed-width rows.
+    """
+    new_b = band_index(new_sigs, id_col, num_seeds, bands).select(
+        F.col(id_col).alias("new_id"), "band", "band_hash"
+    )
+    old_b = band_index(old_sigs, id_col, num_seeds, bands).select(
+        F.col(id_col).alias("old_id"), "band", "band_hash"
+    )
+    cand = (
+        new_b.join(old_b, ["band", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    ns = new_sigs.select(
+        F.col(id_col).alias("new_id"), "seed", F.col("minhash").alias("mh_new")
+    )
+    os_ = old_sigs.select(
+        F.col(id_col).alias("old_id"), "seed", F.col("minhash").alias("mh_old")
+    )
+    agree = (
+        cand.join(ns, "new_id")
+        .join(os_, ["old_id", "seed"])
+        .groupBy("new_id", "old_id")
+        .agg(
+            F.round(
+                F.sum((F.col("mh_new") == F.col("mh_old")).cast("int"))
+                / F.lit(num_seeds),
+                4,
+            ).alias("est_jaccard")
+        )
+    )
+    return agree.filter(F.col("est_jaccard") >= threshold)
 
 
 def jaccard_pairs(

@@ -2810,6 +2810,89 @@ def q_hll_hosts(spark, sf_dir):
     return card.join(exact, "event_type")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup detection of a NEW crawl slice against the
+    EXISTING corpus from persisted signature state alone
+    (``dedup.incremental_near_duplicates``): the old side is its
+    (id, seed, minhash) table — never re-shingled, never re-read. New
+    slice = last-2-token mutations of docs 0..9 (planted near-dups,
+    ids +10000) plus untouched docs 100..109 (ids +20000, expected
+    mostly pair-free). Candidates via band-bucket join against the
+    stored index; verification via the MinHash seed-agreement estimator
+    (resolution 1/12)."""
+    from anycrawl_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    muts = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    fresh = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    new = muts.unionByName(fresh)
+    return incremental_near_duplicates(
+        minhash_signatures(new), minhash_signatures(old), threshold=0.5
+    )
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH olddocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+newdocs AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(tk[1:greatest(len(tk) - 2, 1)], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents WHERE doc_id < 10)
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text
+  FROM documents WHERE doc_id >= 100 AND doc_id < 110),
+shing AS (
+  SELECT side, doc_id,
+         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+                                 FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)])
+         END AS sh
+  FROM (SELECT 'new' AS side, doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM newdocs
+        UNION ALL
+        SELECT 'old', doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '')
+        FROM olddocs)),
+sigs AS (
+  SELECT side, doc_id, seed,
+         list_min(list_transform(sh, x -> md5(seed || '|' || x))) AS minhash
+  FROM shing CROSS JOIN (SELECT unnest(range(12)) AS seed)),
+bands AS (
+  SELECT side, doc_id, seed // 3 AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_hash
+  FROM sigs GROUP BY side, doc_id, seed // 3),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o ON n.band = o.band AND n.band_hash = o.band_hash
+  WHERE n.side = 'new' AND o.side = 'old'),
+agree AS (
+  SELECT c.new_id, c.old_id,
+         round(sum(CASE WHEN ns.minhash = os.minhash THEN 1 ELSE 0 END) / 12.0, 4)
+           AS est_jaccard
+  FROM cand c
+  JOIN sigs ns ON ns.side = 'new' AND ns.doc_id = c.new_id
+  JOIN sigs os ON os.side = 'old' AND os.doc_id = c.old_id AND os.seed = ns.seed
+  GROUP BY 1, 2)
+SELECT * FROM agree WHERE est_jaccard >= 0.5
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weighting (``operators/dsir.py``, Xie et al. 2023)
     — hashed-bigram distribution fits for TARGET (lang='en') vs RAW
@@ -3542,6 +3625,7 @@ EXTRA_QUERIES = {
     "q_hll_hosts": q_hll_hosts,
     "q_zorder_layout": q_zorder_layout,
     "q_dsir_weights": q_dsir_weights,
+    "q_incremental_dedup": q_incremental_dedup,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3590,4 +3674,5 @@ EXTRA_ORACLES = {
     "q_hll_hosts": SQL_HLL_HOSTS,
     "q_zorder_layout": SQL_ZORDER_LAYOUT,
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
+    "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }

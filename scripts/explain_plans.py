@@ -652,6 +652,17 @@ def main() -> int:
           "top-k rank planted map-side")
     sections.append(("q_dsir_weights", p))
 
+    # 13f. incremental near-dup vs signature store (r5 session-5): candidates
+    #      from a band-bucket join (never all-pairs/cartesian), verification
+    #      via the seed-agreement join — pure JVM, two-phase count.
+    p = plan_of(EXTRA_QUERIES["q_incremental_dedup"](spark, SF))
+    check("q_incremental_dedup",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "signature/band/agreement pipeline is pure JVM")
+    check("q_incremental_dedup", "Cartesian" not in p,
+          "no cartesian — candidates come from the band-bucket join")
+    sections.append(("q_incremental_dedup", p))
+
     # 14. sitemap ingestion (r4): bodies are parsed in ONE Arrow stage whose
     #     output is cached (InMemoryRelation), so the index->child trust
     #     self-join does NOT re-parse bodies; the trust join broadcasts the
