@@ -101,3 +101,72 @@ def mixture_sample(
         sample_hash(F.col(key_col), salt)
         < F.coalesce(thresholds[F.col(source_col)], F.lit("0"))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    n_val: int,
+    n_test: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    space_bits: int = 12,
+) -> DataFrame:
+    """EXACT-quota train/val/test split per stratum, deterministic in the
+    row key: within each stratum, rows ordered by (md5(salt||key), key)
+    take positions 1..N — the first ``n_val`` become 'val', the next
+    ``n_test`` 'test', the rest 'train'. Hash order makes every split an
+    unbiased stratum sample; exact quotas (not expected ones) are what
+    eval sets need; determinism means re-runs, resumes and incremental
+    rebuilds reproduce the SAME membership (no eval-set churn between
+    snapshots).
+
+    Scale shape — the naive per-stratum rank window is a mega-partition
+    (one partition per SOURCE); instead the hash space is pre-bucketed
+    (top ``space_bits`` of the 60-bit decision hash, 4096 buckets), so:
+
+    - per-(stratum, bucket) counts are a two-phase aggregate of
+      O(strata x buckets) fixed-width rows;
+    - each bucket's starting POSITION is a cumulative sum over that tiny
+      frame (windowed over O(strata x buckets) rows, never data);
+    - the in-bucket rank window partitions by (stratum, bucket) — each
+      partition is ~1/4096th of a stratum, restoring parallelism no
+      matter how skewed the sources are.
+
+    position = bucket_offset + in-bucket rank, labels by quota cut. The
+    same decomposition is the repo's exact-percentile trick
+    (operators/quantiles.py) applied to order statistics.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bkt = F.shiftright(h, 60 - space_bits)
+    rows = df.withColumn("_h", h).withColumn("_bkt", bkt)
+    per_bucket = rows.groupBy(strata_col, "_bkt").agg(F.count("*").alias("_n"))
+    from pyspark.sql import Window
+
+    cum = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(cum), F.lit(0))
+    ).select(strata_col, "_bkt", "_off")
+    in_bucket = Window.partitionBy(strata_col, "_bkt").orderBy(
+        "_h", F.col(key_col)
+    )
+    pos = F.col("_off") + F.row_number().over(in_bucket)
+    return (
+        rows.join(F.broadcast(offsets), [strata_col, "_bkt"])
+        .withColumn("_pos", pos)
+        .withColumn(
+            "split",
+            F.when(F.col("_pos") <= n_val, F.lit("val"))
+            .when(F.col("_pos") <= n_val + n_test, F.lit("test"))
+            .otherwise(F.lit("train")),
+        )
+        .drop("_h", "_bkt", "_off", "_pos")
+    )

@@ -2810,6 +2810,45 @@ def q_hll_hosts(spark, sf_dir):
     return card.join(exact, "event_type")
 
 
+def q_stratified_split(spark, sf_dir):
+    """Exact-quota deterministic train/val/test split per source stratum
+    (``sampling.stratified_split``): positions in (md5(doc_id), doc_id)
+    hash order, first 20 per source -> val, next 10 -> test, rest train.
+    The Spark side decomposes the rank into bucket offsets + in-bucket
+    windows (no mega-partition); the oracle is the straight window
+    restatement — both must agree row-for-row because bucket order is a
+    prefix of hash order."""
+    from anycrawl_spark.operators.sampling import stratified_split
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "source"
+    )
+    return stratified_split(d, n_val=20, n_test=10)
+
+
+def _sql_stratified_split() -> str:
+    h60 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        f" * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 400),
+h AS (SELECT doc_id, source, CAST({h60} AS BIGINT) AS h FROM d),
+p AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pos
+      FROM h)
+SELECT doc_id, source,
+       CASE WHEN pos <= 20 THEN 'val'
+            WHEN pos <= 30 THEN 'test'
+            ELSE 'train' END AS split
+FROM p
+"""
+
+
+SQL_STRATIFIED_SPLIT = _sql_stratified_split()
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental near-dup detection of a NEW crawl slice against the
     EXISTING corpus from persisted signature state alone
@@ -3445,9 +3484,11 @@ QUERIES = {
 # q_union_dedup / q_pagination / q_queue_depth / q_expiry_sweep /
 # q_host_histogram (trivial shapes, exercised transitively by the crawl-loop
 # queries) moved to EXTRA_QUERIES so local coverage lost nothing (the local
-# gate verifies QUERIES + EXTRA_QUERIES — 61 oracle-backed queries total
+# gate verifies QUERIES + EXTRA_QUERIES — 91 oracle-backed queries total
 # after the r5 additions: frame/audio sampling, audio features, PII,
-# decontamination, repetition stats).
+# decontamination, repetition stats, ... and the session-5 batch:
+# star CC, HLL sketches, z-order layout, DSIR, incremental dedup,
+# stratified split).
 assert len(QUERIES) <= 50, f"driver contract window is 50, got {len(QUERIES)}"
 
 def verify_against_duckdb(spark, sf_dir: str, names=None) -> list[tuple[str, str]]:
@@ -3626,6 +3667,7 @@ EXTRA_QUERIES = {
     "q_zorder_layout": q_zorder_layout,
     "q_dsir_weights": q_dsir_weights,
     "q_incremental_dedup": q_incremental_dedup,
+    "q_stratified_split": q_stratified_split,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3675,4 +3717,5 @@ EXTRA_ORACLES = {
     "q_zorder_layout": SQL_ZORDER_LAYOUT,
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "q_stratified_split": SQL_STRATIFIED_SPLIT,
 }

@@ -663,6 +663,23 @@ def main() -> int:
           "no cartesian — candidates come from the band-bucket join")
     sections.append(("q_incremental_dedup", p))
 
+    # 13g. stratified split (r5 session-5): the rank is decomposed into
+    #      bucket offsets + in-bucket windows, so NO window partitions on
+    #      the bare stratum column (mega-partition) — every Window's
+    #      partition spec includes _bkt; offsets broadcast.
+    p = plan_of(EXTRA_QUERIES["q_stratified_split"](spark, SF))
+    check("q_stratified_split",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "split decision is pure JVM")
+    import re as _re
+    row_windows = _re.findall(r"row_number\(\) windowspecdefinition\((.*?)\)", p)
+    check("q_stratified_split",
+          all("_bkt" in s for s in row_windows),
+          "the data-scale rank window partitions on (stratum, bucket), never bare stratum")
+    check("q_stratified_split", "BroadcastHashJoin" in p,
+          "bucket offsets broadcast back (O(strata x buckets) build side)")
+    sections.append(("q_stratified_split", p))
+
     # 14. sitemap ingestion (r4): bodies are parsed in ONE Arrow stage whose
     #     output is cached (InMemoryRelation), so the index->child trust
     #     self-join does NOT re-parse bodies; the trust join broadcasts the
