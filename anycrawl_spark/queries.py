@@ -2810,6 +2810,85 @@ def q_hll_hosts(spark, sf_dir):
     return card.join(exact, "event_type")
 
 
+def q_cms_hosts(spark, sf_dir):
+    """Count-min sketch frequency state (``operators/cms.py``, Cormode &
+    Muthukrishnan 2005) — per event_type, a 4x256 sketch over user_id,
+    read back with point queries for a present key (42) and an absent
+    one (999999), next to the exact counts. All integer math; DuckDB
+    rebuilds identical cells, so estimates match exactly. The CMS
+    guarantee shows up as est >= exact (never under), with the absent
+    key's estimate = its rows' collision noise."""
+    from anycrawl_spark.operators.cms import cms_query, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("total"),
+        F.sum((F.col("user_id") == 42).cast("long")).alias("exact_42"),
+        F.sum((F.col("user_id") == 999999).cast("long")).alias("exact_absent"),
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "total",
+        "exact_42",
+        cms_query(F.col("sketch"), F.lit(42)).alias("est_42"),
+        "exact_absent",
+        cms_query(F.col("sketch"), F.lit(999999)).alias("est_absent"),
+    )
+
+
+def _sql_cms_hosts() -> str:
+    import hashlib as _hl
+
+    def h60(prefix: str) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substring(md5('{prefix}' || CAST(user_id AS VARCHAR)), {i}, 1)) - 1)"
+            f" * {16 ** (15 - i)}"
+            for i in range(1, 16)
+        )
+
+    def kcell(row: int, key: int) -> int:
+        return int(_hl.md5(f"cms{row}|{key}".encode()).hexdigest()[:15], 16) % 256
+
+    cols = ",\n         ".join(
+        f"CAST({h60(f'cms{r}|')} AS BIGINT) % 256 AS c{r}" for r in range(4)
+    )
+    est_terms = {
+        name: ", ".join(
+            f"coalesce((SELECT n FROM counts{r} x WHERE x.event_type = t.event_type"
+            f" AND x.col = {kcell(r, key)}), 0)"
+            for r in range(4)
+        )
+        for name, key in (("est_42", 42), ("est_absent", 999999))
+    }
+    counts = "\n".join(
+        f"counts{r} AS (SELECT event_type, c{r} AS col, CAST(count(*) AS BIGINT) AS n"
+        f" FROM cells GROUP BY 1, 2),"
+        for r in range(4)
+    )
+    return f"""
+WITH cells AS (
+  SELECT event_type, user_id,
+         {cols}
+  FROM events),
+{counts}
+t AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN user_id = 42 THEN 1 ELSE 0 END) AS BIGINT) AS exact_42,
+         CAST(sum(CASE WHEN user_id = 999999 THEN 1 ELSE 0 END) AS BIGINT) AS exact_absent
+  FROM events GROUP BY 1)
+SELECT event_type, total, exact_42,
+       least({est_terms['est_42']}) AS est_42,
+       exact_absent,
+       least({est_terms['est_absent']}) AS est_absent
+FROM t
+"""
+
+
+SQL_CMS_HOSTS = _sql_cms_hosts()
+
+
 def q_stratified_split(spark, sf_dir):
     """Exact-quota deterministic train/val/test split per source stratum
     (``sampling.stratified_split``): positions in (md5(doc_id), doc_id)
@@ -3484,7 +3563,7 @@ QUERIES = {
 # q_union_dedup / q_pagination / q_queue_depth / q_expiry_sweep /
 # q_host_histogram (trivial shapes, exercised transitively by the crawl-loop
 # queries) moved to EXTRA_QUERIES so local coverage lost nothing (the local
-# gate verifies QUERIES + EXTRA_QUERIES — 91 oracle-backed queries total
+# gate verifies QUERIES + EXTRA_QUERIES — 92 oracle-backed queries total
 # after the r5 additions: frame/audio sampling, audio features, PII,
 # decontamination, repetition stats, ... and the session-5 batch:
 # star CC, HLL sketches, z-order layout, DSIR, incremental dedup,
@@ -3668,6 +3747,7 @@ EXTRA_QUERIES = {
     "q_dsir_weights": q_dsir_weights,
     "q_incremental_dedup": q_incremental_dedup,
     "q_stratified_split": q_stratified_split,
+    "q_cms_hosts": q_cms_hosts,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3718,4 +3798,5 @@ EXTRA_ORACLES = {
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "q_stratified_split": SQL_STRATIFIED_SPLIT,
+    "q_cms_hosts": SQL_CMS_HOSTS,
 }

@@ -680,6 +680,17 @@ def main() -> int:
           "bucket offsets broadcast back (O(strata x buckets) build side)")
     sections.append(("q_stratified_split", p))
 
+    # 13h. count-min sketch (r5 session-5): same discipline as HLL — the
+    #      data-scale aggregation collapses into the fixed cell space
+    #      (two-phase count), rollup O(groups), pure JVM.
+    p = plan_of(EXTRA_QUERIES["q_cms_hosts"](spark, SF))
+    check("q_cms_hosts",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "sketch build/query is pure JVM")
+    check("q_cms_hosts", "partial_count" in p,
+          "two-phase cell counts (map-side partial aggregation)")
+    sections.append(("q_cms_hosts", p))
+
     # 14. sitemap ingestion (r4): bodies are parsed in ONE Arrow stage whose
     #     output is cached (InMemoryRelation), so the index->child trust
     #     self-join does NOT re-parse bodies; the trust join broadcasts the
