@@ -297,3 +297,114 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). (id, qvec array<int> in [-127, 127], scale).
+
+    The memory lever for similarity search at corpus scale: a float32
+    embedding column is 4 bytes/dim — at 10^10 docs x 768 dims that is
+    ~30 TB of vector payload scanned per query batch; int8 cuts the scan
+    (and any broadcast/cache of the vectors) to a quarter with ~1-2%
+    cosine error, and QUANTIZED COSINE NEEDS NO SCALES AT ALL — the
+    per-vector scale cancels in idot/sqrt(idot_aa*idot_bb) — so ranking
+    runs on exact integer dot products (deterministic, engine-portable).
+    """
+    vec = F.col(vec_col)
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = (F.greatest(amax, F.lit(1e-12)) / 127.0).alias("scale")
+    qvec = F.transform(vec, lambda x: F.round(x / F.greatest(amax, F.lit(1e-12)) * 127.0).cast("int"))
+    return df.select(F.col(id_col), qvec.alias("qvec"), scale)
+
+
+def _idot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")), F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-stage ANN: rank by int8-quantized cosine (integer dot products,
+    scan over the 4x-smaller qvec column), keep ``k * refine_factor``
+    candidates per query, rescore ONLY those with exact float cosine,
+    return the final top-k — (query_id, vec_id, cosine, rank), the same
+    contract as ``cosine_topk`` so recall is directly measurable.
+
+    Scale shape: the candidate stage is the only corpus scan and it reads
+    the int8 column; the rescore joins k*refine_factor rows per query
+    back to the float vectors by id (point lookups, O(candidates));
+    the per-query top-k windows plant map-side (WindowGroupLimit).
+    """
+    qv = quantize_int8(vectors, id_col, vec_col)
+    qq = quantize_int8(queries, query_id_col, vec_col)
+    q = F.broadcast(
+        qq.select(
+            F.col(query_id_col), F.col("qvec").alias("_qq"),
+            _idot(F.col("qvec"), F.col("qvec")).alias("_qqn"),
+        )
+    )
+    approx = (
+        qv.crossJoin(q)
+        .withColumn(
+            "_qcos",
+            _idot(F.col("qvec"), F.col("_qq"))
+            / F.sqrt(
+                F.greatest(
+                    (_idot(F.col("qvec"), F.col("qvec")) * F.col("_qqn")).cast("double"),
+                    F.lit(1e-12),
+                )
+            ),
+        )
+        .withColumn(
+            "_arank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("_qcos").desc(), F.col(id_col)
+                )
+            ),
+        )
+        .filter(F.col("_arank") <= k * refine_factor)
+        .select(query_id_col, id_col)
+    )
+    qx = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+            _norm(F.col(vec_col)).alias("_qnorm"),
+        )
+    )
+    rescored = (
+        approx.join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(qx, query_id_col)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / F.greatest(_norm(F.col(vec_col)) * F.col("_qnorm"), F.lit(1e-12)),
+                round_dp,
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("cosine").desc(), F.col(id_col)
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+    return rescored

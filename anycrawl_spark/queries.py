@@ -2810,6 +2810,65 @@ def q_hll_hosts(spark, sf_dir):
     return card.join(exact, "event_type")
 
 
+def q_quantized_topk(spark, sf_dir):
+    """Int8-quantized two-stage ANN (``similarity.quantized_topk``):
+    candidate ranking by integer-dot-product quantized cosine over the
+    4x-smaller qvec column (the scale cancels — no floats in the scan
+    ranking beyond one division), exact rescoring of k*3 candidates,
+    final top-10 in the q_embedding_topk contract. Quantization and
+    both ranking stages are fully mirrored in DuckDB."""
+    from anycrawl_spark.operators.similarity import quantized_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(e, qs, k=10, refine_factor=3, round_dp=4)
+
+
+SQL_QUANTIZED_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+qz AS (
+  SELECT vec_id, emb,
+         list_transform(emb, x -> CAST(round(x / greatest(amax, 1e-12) * 127.0)
+                                       AS BIGINT)) AS qvec
+  FROM (SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) AS amax
+        FROM v)),
+qq AS (SELECT vec_id AS query_id, qvec AS qv FROM qz WHERE vec_id < 5),
+appx AS (
+  SELECT q.query_id, z.vec_id,
+         list_dot_product(z.qvec, q.qv)
+         / sqrt(greatest(CAST(list_dot_product(z.qvec, z.qvec)
+                              * list_dot_product(q.qv, q.qv) AS DOUBLE), 1e-12))
+           AS qcos
+  FROM qz z CROSS JOIN qq q),
+cand AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, vec_id ASC) AS rn
+        FROM appx)
+  WHERE rn <= 30),
+resc AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(v.emb, q2.emb) /
+               greatest(sqrt(list_dot_product(v.emb, v.emb)) *
+                        sqrt(list_dot_product(q2.emb, q2.emb)), 1e-12), 4) AS cosine
+  FROM cand c
+  JOIN v ON v.vec_id = c.vec_id
+  JOIN v q2 ON q2.vec_id = c.query_id),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM resc)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+"""
+
+
 def q_cms_hosts(spark, sf_dir):
     """Count-min sketch frequency state (``operators/cms.py``, Cormode &
     Muthukrishnan 2005) — per event_type, a 4x256 sketch over user_id,
@@ -3563,7 +3622,7 @@ QUERIES = {
 # q_union_dedup / q_pagination / q_queue_depth / q_expiry_sweep /
 # q_host_histogram (trivial shapes, exercised transitively by the crawl-loop
 # queries) moved to EXTRA_QUERIES so local coverage lost nothing (the local
-# gate verifies QUERIES + EXTRA_QUERIES — 92 oracle-backed queries total
+# gate verifies QUERIES + EXTRA_QUERIES — 93 oracle-backed queries total
 # after the r5 additions: frame/audio sampling, audio features, PII,
 # decontamination, repetition stats, ... and the session-5 batch:
 # star CC, HLL sketches, z-order layout, DSIR, incremental dedup,
@@ -3748,6 +3807,7 @@ EXTRA_QUERIES = {
     "q_incremental_dedup": q_incremental_dedup,
     "q_stratified_split": q_stratified_split,
     "q_cms_hosts": q_cms_hosts,
+    "q_quantized_topk": q_quantized_topk,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3799,4 +3859,5 @@ EXTRA_ORACLES = {
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "q_stratified_split": SQL_STRATIFIED_SPLIT,
     "q_cms_hosts": SQL_CMS_HOSTS,
+    "q_quantized_topk": SQL_QUANTIZED_TOPK,
 }

@@ -691,6 +691,18 @@ def main() -> int:
           "two-phase cell counts (map-side partial aggregation)")
     sections.append(("q_cms_hosts", p))
 
+    # 13i. int8 quantized ANN (r5 session-5): both top-k windows plant
+    #      map-side; queries broadcast; pure JVM integer dot products.
+    p = plan_of(EXTRA_QUERIES["q_quantized_topk"](spark, SF))
+    check("q_quantized_topk",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "quantize/rank/rescore are pure JVM")
+    check("q_quantized_topk", "WindowGroupLimit" in p,
+          "per-query top-k planted map-side")
+    check("q_quantized_topk", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p,
+          "query side broadcast (vectors never shuffle for the scan stage)")
+    sections.append(("q_quantized_topk", p))
+
     # 14. sitemap ingestion (r4): bodies are parsed in ONE Arrow stage whose
     #     output is cached (InMemoryRelation), so the index->child trust
     #     self-join does NOT re-parse bodies; the trust join broadcasts the
