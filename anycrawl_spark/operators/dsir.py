@@ -134,10 +134,10 @@ def dsir_weights(
 
 def dsir_select(weights: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     """Top-k by (weight_micro desc, id asc) — integer ordering, no FP
-    ties; the rank window plants map-side (WindowGroupLimit), so each
-    partition emits at most k rows into the final exchange."""
+    ties. ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+    Spark's distributed top-k (each task keeps a k-heap, the driver
+    merges k-sized results; no global sort, no full-rank window) — and
+    the rank column is then derived over just the k survivors."""
+    top = weights.orderBy(F.col("weight_micro").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("weight_micro").desc(), F.col(id_col).asc())
-    return (
-        weights.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))

@@ -648,8 +648,8 @@ def main() -> int:
           "two-phase distribution fits (map-side partial counts)")
     check("q_dsir_weights", "BroadcastHashJoin" in p,
           "O(buckets) ratio table broadcast into per-doc scoring")
-    check("q_dsir_weights", "WindowGroupLimit" in p,
-          "top-k rank planted map-side")
+    check("q_dsir_weights", "TakeOrderedAndProject" in p,
+          "top-k is TakeOrderedAndProject (per-task k-heap, no global sort)")
     sections.append(("q_dsir_weights", p))
 
     # 13f. incremental near-dup vs signature store (r5 session-5): candidates
