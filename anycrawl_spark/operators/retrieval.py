@@ -160,3 +160,82 @@ def bm25_topk_sequential(
     out = [(i, sum(v), len(v)) for i, v in scores.items()]
     out.sort(key=lambda r: (-r[1], r[0]))
     return out[:k]
+
+
+def positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(term, doc_id, pos) positional postings — the phrase-query layer of
+    the inverted index. ``terms`` (usually the query's tokens) prunes the
+    explode INSIDE the scan stage: only postings for queried terms ever
+    become rows, so a k-term phrase query explodes O(matching tokens),
+    not O(corpus tokens). Positions are 1-based token offsets."""
+    toks = tokens(F.lower(F.col(text_col)))
+    entries = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda t, i: F.struct(t.alias("term"), i.alias("pos")),
+        ),
+        (lambda e: e["term"].isin(terms)) if terms is not None else (lambda e: F.lit(True)),
+    )
+    return docs.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, F.col("e.term").alias("term"), F.col("e.pos").alias("pos")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching from positional postings: doc contains the
+    phrase at anchor a iff token(a+i) == phrase[i] for every i.
+
+    Each posting of phrase-term t at position p proposes anchors
+    {p - i : phrase[i] == t}; an anchor is a match when all
+    ``len(phrase)`` indices voted for it — ONE groupBy((doc, anchor))
+    counting distinct indices, fixed-width rows, after the postings
+    explode already pruned to phrase terms in the scan stage. This is
+    the standard positional-index phrase plan (Manning et al., IR book,
+    public); no text ever shuffles.
+
+    Returns (doc_id, n_occurrences, first_pos) for matching docs.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    phrase = [t.lower() for t in phrase]
+    n = len(phrase)
+    post = positional_postings(docs, id_col, text_col, terms=sorted(set(phrase)))
+    # term -> the phrase indices it occupies (handles repeated terms)
+    idx_map = F.array(*[
+        F.struct(F.lit(t).alias("term"), F.lit(i).alias("i"))
+        for i, t in enumerate(phrase)
+    ])
+    votes = (
+        post.withColumn(
+            "_i",
+            F.explode(
+                F.transform(
+                    F.filter(idx_map, lambda e: e["term"] == F.col("term")),
+                    lambda e: e["i"],
+                )
+            ),
+        )
+        .select(id_col, (F.col("pos") - F.col("_i")).alias("anchor"), "_i")
+        .filter(F.col("anchor") >= 1)
+    )
+    return (
+        votes.groupBy(id_col, "anchor")
+        .agg(F.count_distinct("_i").alias("_k"))
+        .filter(F.col("_k") == n)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("anchor").cast("long").alias("first_pos"),
+        )
+    )

@@ -2810,6 +2810,40 @@ def q_hll_hosts(spark, sf_dir):
     return card.join(exact, "event_type")
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase query from positional postings
+    (``retrieval.phrase_search``): docs containing the 3-token phrase
+    "value table part", with occurrence counts and first positions. The
+    Spark side is the positional-index anchor-vote plan (postings pruned
+    to phrase terms in the scan stage, one groupBy((doc, anchor))); the
+    oracle is a DIFFERENT algorithm — a direct sliding-window scan over
+    the token arrays — so agreement checks the plan, not just the
+    arithmetic."""
+    from anycrawl_spark.operators.retrieval import phrase_search
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return phrase_search(d, ["value", "table", "part"])
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id < 300),
+hits AS (
+  SELECT doc_id,
+         list_filter(range(1, greatest(len(tk) - 2, 0) + 1),
+                     a -> tk[a] = 'value' AND tk[a + 1] = 'table'
+                          AND tk[a + 2] = 'part') AS anchors
+  FROM t)
+SELECT doc_id,
+       CAST(len(anchors) AS BIGINT) AS n_occurrences,
+       CAST(list_min(anchors) AS BIGINT) AS first_pos
+FROM hits WHERE len(anchors) > 0
+"""
+
+
 def q_quantized_topk(spark, sf_dir):
     """Int8-quantized two-stage ANN (``similarity.quantized_topk``):
     candidate ranking by integer-dot-product quantized cosine over the
@@ -3622,7 +3656,7 @@ QUERIES = {
 # q_union_dedup / q_pagination / q_queue_depth / q_expiry_sweep /
 # q_host_histogram (trivial shapes, exercised transitively by the crawl-loop
 # queries) moved to EXTRA_QUERIES so local coverage lost nothing (the local
-# gate verifies QUERIES + EXTRA_QUERIES — 93 oracle-backed queries total
+# gate verifies QUERIES + EXTRA_QUERIES — 94 oracle-backed queries total
 # after the r5 additions: frame/audio sampling, audio features, PII,
 # decontamination, repetition stats, ... and the session-5 batch:
 # star CC, HLL sketches, z-order layout, DSIR, incremental dedup,
@@ -3808,6 +3842,7 @@ EXTRA_QUERIES = {
     "q_stratified_split": q_stratified_split,
     "q_cms_hosts": q_cms_hosts,
     "q_quantized_topk": q_quantized_topk,
+    "q_phrase_search": q_phrase_search,
 }
 EXTRA_ORACLES = {
     "q_union_dedup": SQL_UNION_DEDUP,
@@ -3860,4 +3895,5 @@ EXTRA_ORACLES = {
     "q_stratified_split": SQL_STRATIFIED_SPLIT,
     "q_cms_hosts": SQL_CMS_HOSTS,
     "q_quantized_topk": SQL_QUANTIZED_TOPK,
+    "q_phrase_search": SQL_PHRASE_SEARCH,
 }

@@ -703,6 +703,17 @@ def main() -> int:
           "query side broadcast (vectors never shuffle for the scan stage)")
     sections.append(("q_quantized_topk", p))
 
+    # 13j. phrase search (r5 session-5): postings pruned to phrase terms
+    #      inside the scan stage (filter BEFORE the Generate/explode), one
+    #      two-phase vote aggregation; pure JVM.
+    p = plan_of(EXTRA_QUERIES["q_phrase_search"](spark, SF))
+    check("q_phrase_search",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "postings/vote pipeline is pure JVM")
+    check("q_phrase_search", "Cartesian" not in p,
+          "no cartesian — anchors come from the vote groupBy")
+    sections.append(("q_phrase_search", p))
+
     # 14. sitemap ingestion (r4): bodies are parsed in ONE Arrow stage whose
     #     output is cached (InMemoryRelation), so the index->child trust
     #     self-join does NOT re-parse bodies; the trust join broadcasts the
